@@ -1,0 +1,99 @@
+"""Flash attention kernel vs XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visrag_tpu.ops.attention import flash_attention, mha_reference
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_reference_dense(causal):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 2, 256, 4, 64
+    q, k, v = _rand(kq, (b, s, h, d)), _rand(kk, (b, s, h, d)), _rand(kv, (b, s, h, d))
+    ref = mha_reference(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_segments_and_padding(causal):
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 2, 256, 2, 64
+    q, k, v = _rand(kq, (b, s, h, d)), _rand(kk, (b, s, h, d)), _rand(kv, (b, s, h, d))
+    # packed: two sequences then padding (segment 0 never matches since query
+    # pads also use segment 0 — both reference and kernel treat equal segments
+    # as a match, so give pads matching ids and verify via valid positions only)
+    seg = np.zeros((b, s), np.int32)
+    seg[:, :100] = 1
+    seg[:, 100:200] = 2
+    seg[:, 200:] = 3  # treat tail as a third segment; compare everywhere
+    seg = jnp.asarray(seg)
+    ref = mha_reference(q, k, v, seg, seg, causal=causal)
+    out = flash_attention(q, k, v, seg, seg, causal=causal, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_unaligned_seq_and_headdim():
+    """Odd seq length and head dim exercise the padding wrapper."""
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 1, 200, 2, 72  # SigLIP-so400m head dim
+    q, k, v = _rand(kq, (b, s, h, d)), _rand(kk, (b, s, h, d)), _rand(kv, (b, s, h, d))
+    mask = np.ones((b, s), np.int32)
+    mask[:, 150:] = 0
+    seg = jnp.asarray(mask)
+    ref = mha_reference(q, k, v, seg, seg, causal=False)
+    out = flash_attention(q, k, v, seg, seg, causal=False, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out)[:, :150], np.asarray(ref)[:, :150],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gqa():
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, hk, d = 1, 128, 8, 2, 64
+    q = _rand(kq, (b, s, h, d))
+    k = _rand(kk, (b, s, hk, d))
+    v = _rand(kv, (b, s, hk, d))
+    ref = mha_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients(causal):
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 1, 128, 2, 64
+    q, k, v = _rand(kq, (b, s, h, d)), _rand(kk, (b, s, h, d)), _rand(kv, (b, s, h, d))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=causal, interpret=True,
+                            block_q=128, block_k=128)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-3)

@@ -1,0 +1,103 @@
+"""Device mesh construction and canonical sharding rules.
+
+The reference's distributed runtime is torchrun+NCCL / Ray+FSDP meshes
+(SURVEY.md §2.6); here the whole control plane is the JAX single controller and
+the data plane is XLA collectives over mesh axes:
+
+  replica — across DCN slices (HSDP outer axis; replicated weights)
+  data    — DP/FSDP within a slice over ICI
+  seq     — sequence parallelism (Ulysses-style all_to_all / ring attention)
+  model   — tensor parallelism for serving
+
+A 1-chip mesh degenerates every axis to 1 and all collectives become no-ops,
+so the same program runs from 1 chip to a multi-pod deployment.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import MeshConfig
+
+REPLICA, DATA, SEQ, MODEL = "replica", "data", "seq", "model"
+
+
+def build_mesh(cfg: Optional[MeshConfig] = None,
+               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    sizes = {REPLICA: cfg.replica, DATA: cfg.data, SEQ: cfg.seq, MODEL: cfg.model}
+    fixed = math.prod(v for v in sizes.values() if v > 0)
+    free = [k for k, v in sizes.items() if v <= 0]
+    if free:
+        if n % fixed != 0:
+            raise ValueError(f"{n} devices not divisible by fixed axes {sizes}")
+        fill = n // fixed
+        for k in free[:-1]:
+            sizes[k] = 1
+        sizes[free[-1]] = fill
+    if math.prod(sizes.values()) != n:
+        raise ValueError(f"mesh {sizes} != {n} devices")
+    shape = tuple(sizes[a] for a in cfg.axis_names)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, cfg.axis_names)
+
+
+def single_device_mesh() -> Mesh:
+    return build_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+
+
+# ---------------------------------------------------------------------------
+# Sharding helpers
+# ---------------------------------------------------------------------------
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard dim 0 (batch) over (replica, data); replicate the rest."""
+    return NamedSharding(mesh, P((REPLICA, DATA), *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_param_spec(shape: tuple, mesh: Mesh, min_size: int = 2 ** 16) -> P:
+    """ZeRO-3-style weight sharding rule: shard the largest divisible axis of
+    each big parameter over `data`; small params stay replicated.
+
+    Equivalent role to torch FSDP FULL_SHARD (reference fsdp_workers.py:243-286)
+    but expressed as a static NamedSharding on the param pytree — XLA inserts
+    the all-gathers/reduce-scatters.
+    """
+    n_data = mesh.shape[DATA]
+    if n_data <= 1 or math.prod(shape) < min_size:
+        return P(*([None] * len(shape)))
+    # prefer sharding the first axis that divides; fall back to replication
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % n_data == 0:
+            spec = [None] * len(shape)
+            spec[i] = DATA
+            return P(*spec)
+    return P(*([None] * len(shape)))
+
+
+def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """Apply fsdp_param_spec across a param pytree, returning sharded arrays."""
+    def place(x):
+        spec = fsdp_param_spec(x.shape, mesh, min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(place, params)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[REPLICA] * mesh.shape[DATA]
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} data shards")
+    return global_batch // n

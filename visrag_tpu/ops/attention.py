@@ -1,0 +1,415 @@
+"""First-party Pallas flash attention for TPU (forward + backward).
+
+Replaces the reference's flash-attn-2 dependency (SURVEY.md §2.5; used at
+/root/reference/src/rsgrpo/verl/models/transformers/flash_attention_utils.py and
+via torch sdpa in the MiniCPM/SigLIP towers). TPU-first design:
+
+  * block-wise online softmax on the MXU, fp32 accumulation, bf16 IO;
+  * segment ids give varlen/packed sequences with *static* shapes — the TPU
+    equivalent of flash-attn's cu_seqlens varlen API (no dynamic shapes under
+    jit);
+  * `causal` and bidirectional modes (retriever picks by config; see reference
+    dense_retrieval_model.py:282-287);
+  * custom VJP with dedicated dq and dk/dv kernels (flash2-style recompute).
+
+Mosaic layout notes: per-row scalars (log-sum-exp, delta) are carried in
+lane-broadcast buffers of shape (..., S, 128) and segment ids are fed as
+(B, S, 128)/(B, 8, S) broadcasts so every block satisfies the (8, 128) tiling
+constraint of the TPU vector memory.
+
+On non-TPU backends (the 8-device CPU test mesh) the same public function
+dispatches to an XLA reference implementation with identical masking semantics.
+
+Shapes: q, k, v are (B, S, H, D) [kv may have fewer heads: GQA/MQA via
+num_kv_heads dividing num_heads]. segment ids are (B, S) int32; a (query, key)
+pair is visible iff segment ids are equal (optionally AND causal).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NUM_LANES = 128
+NUM_SUBLANES = 8
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (oracle + CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def _build_mask(q_seg, kv_seg, causal: bool, sq: int, sk: int):
+    """(B, Sq, Sk) boolean allow-mask."""
+    allow = q_seg[:, :, None] == kv_seg[:, None, :]
+    if causal:
+        qi = jnp.arange(sq)[:, None]
+        ki = jnp.arange(sk)[None, :]
+        allow = jnp.logical_and(allow, qi >= ki)
+    return allow
+
+
+def mha_reference(q, k, v, q_seg=None, kv_seg=None, *, causal=False,
+                  sm_scale=None, dtype=None):
+    """Plain-XLA multi-head attention with flash-identical masking semantics."""
+    b, sq, h, d = q.shape
+    _, sk, hk, _ = k.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if q_seg is None:
+        q_seg = jnp.ones((b, sq), jnp.int32)
+    if kv_seg is None:
+        kv_seg = jnp.ones((b, sk), jnp.int32)
+    if hk != h:
+        rep = h // hk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    allow = _build_mask(q_seg, kv_seg, causal, sq, sk)
+    s = jnp.where(allow[:, None, :, :], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    # fully-masked rows (padding queries) → zeros, matching the kernel
+    any_allow = jnp.any(allow, axis=-1)[:, None, :, None]
+    p = jnp.where(any_allow, p, 0.0)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return o.astype(dtype or q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Shared kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _segment_mask(qs_lanes, ks_sub, block_q, block_k):
+    """qs_lanes: (block_q, 128) int32; ks_sub: (1, block_k) int32 →
+    (block_q, block_k) bool."""
+    reps = block_k // NUM_LANES
+    q_tiled = jnp.tile(qs_lanes, (1, reps)) if reps > 1 else qs_lanes
+    q_tiled = q_tiled[:, :block_k]
+    return q_tiled == ks_sub
+
+
+def _causal_mask(i, j, block_q, block_k):
+    qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    return qi >= ki
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                sm_scale: float, causal: bool, block_k: int, seq_k: int):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    i = pl.program_id(2)
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale       # (bq, d)
+    qs = qseg_ref[0, :, :]                                      # (bq, 128)
+    num_k = seq_k // block_k
+    if causal:
+        last_q = (i + 1) * bq - 1
+        num_k_run = jnp.minimum(num_k, (last_q // block_k) + 1)
+    else:
+        num_k_run = num_k
+
+    def body(j, carry):
+        acc, m, l = carry
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (bq, bk)
+        ks = kseg_ref[0, 0:1, pl.ds(j * block_k, block_k)]      # (1, bk)
+        allow = _segment_mask(qs, ks, bq, block_k)
+        if causal:
+            allow = jnp.logical_and(allow, _causal_mask(i, j, bq, block_k))
+        s = jnp.where(allow, s, DEFAULT_MASK_VALUE)
+        m_blk = jnp.max(s, axis=1, keepdims=True)               # (bq, 1)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), DEFAULT_MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k_run, body, (acc0, m0, l0))
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l > 0.0, m + jnp.log(l_safe), DEFAULT_MASK_VALUE)
+    lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
+
+
+def _flash_fwd(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q, block_k,
+               interpret=False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    grid = (b, h, sq // block_q)
+    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
+                               block_k=block_k, seq_k=sk)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b_, h_, i: (b_, i, 0)),
+            pl.BlockSpec((1, NUM_SUBLANES, sk), lambda b_, h_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b_, h_, i: (b_, h_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(qs_lanes, ks_sub, q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+               delta_ref, dq_ref, *, sm_scale, causal, block_k, seq_k):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    i = pl.program_id(2)
+    q = q_ref[0, 0, :, :].astype(jnp.float32)
+    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    lse = lse_ref[0, 0, :, 0:1]                                 # (bq, 1)
+    delta = delta_ref[0, 0, :, 0:1]
+    qs = qseg_ref[0, :, :]
+    num_k = seq_k // block_k
+    if causal:
+        last_q = (i + 1) * bq - 1
+        num_k_run = jnp.minimum(num_k, (last_q // block_k) + 1)
+    else:
+        num_k_run = num_k
+
+    def body(j, dq):
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        ks = kseg_ref[0, 0:1, pl.ds(j * block_k, block_k)]
+        allow = _segment_mask(qs, ks, bq, block_k)
+        if causal:
+            allow = jnp.logical_and(allow, _causal_mask(i, j, bq, block_k))
+        p = jnp.where(allow, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        return dq + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k_run, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                delta_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, seq_q):
+    bk, d = k_ref.shape[2], k_ref.shape[3]
+    jblk = pl.program_id(2)
+    kb = k_ref[0, 0, :, :].astype(jnp.float32)
+    vb = v_ref[0, 0, :, :].astype(jnp.float32)
+    ks = kseg_ref[0, 0:1, :]                                    # (1, bk)
+    num_q = seq_q // block_q
+    start_q = (jblk * bk) // block_q if causal else 0
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
+        qs = qseg_ref[0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        allow = _segment_mask(qs, ks, block_q, bk)
+        if causal:
+            allow = jnp.logical_and(allow, _causal_mask(i, jblk, block_q, bk))
+        p = jnp.where(allow, jnp.exp(s - lse), 0.0)              # (bq, bk)
+        dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start_q, num_q, body, (z, z))
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, qs_lanes, ks_sub, o, lse, do, causal, sm_scale,
+               block_q, block_k, interpret=False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (b, h, sq, NUM_LANES))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          block_k=block_k, seq_k=sk),
+        grid=(b, h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b_, h_, i: (b_, i, 0)),
+            pl.BlockSpec((1, NUM_SUBLANES, sk), lambda b_, h_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b_, h_, i: (b_, h_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(qs_lanes, ks_sub, q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, seq_q=sq),
+        grid=(b, h, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, NUM_LANES), lambda b_, h_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, NUM_SUBLANES, block_k), lambda b_, h_, j: (b_, 0, j)),
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sq, NUM_LANES), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sq, NUM_LANES), lambda b_, h_, j: (b_, h_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(qs_lanes, ks_sub, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q, block_k,
+                interpret=False):
+    o, _ = _flash_fwd(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q,
+                      block_k, interpret)
+    return o
+
+
+def _flash_core_fwd(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q,
+                    block_k, interpret=False):
+    o, lse = _flash_fwd(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q,
+                        block_k, interpret)
+    return o, (q, k, v, qs_lanes, ks_sub, o, lse)
+
+
+def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+    q, k, v, qs_lanes, ks_sub, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, qs_lanes, ks_sub, o, lse, do, causal,
+                            sm_scale, block_q, block_k, interpret)
+    return dq, dk, dv, None, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, causal=False,
+                    sm_scale=None, block_q=256, block_k=256,
+                    force_xla=False, interpret=False):
+    """Flash attention with (B, S, H, D) layout, segment-id masking, GQA.
+
+    Falls back to the XLA reference on non-TPU backends so the whole framework
+    runs on the CPU test mesh unchanged.
+    """
+    b, sq, h, d = q.shape
+    _, sk, hk, dk_ = k.shape
+    assert v.shape == k.shape and d == dk_
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if q_seg is None:
+        q_seg = jnp.ones((b, sq), jnp.int32)
+    if kv_seg is None:
+        kv_seg = jnp.ones((b, sk), jnp.int32)
+
+    if force_xla or (jax.default_backend() != "tpu" and not interpret):
+        return mha_reference(q, k, v, q_seg, kv_seg, causal=causal,
+                             sm_scale=sm_scale)
+
+    if hk != h:
+        assert h % hk == 0
+        k = jnp.repeat(k, h // hk, axis=2)
+        v = jnp.repeat(v, h // hk, axis=2)
+
+    # pad seq to block multiples and head dim to lane multiples
+    bq_ = min(block_q, _round_up(sq, 128))
+    bk_ = min(block_k, _round_up(sk, 128))
+    sq_p, sk_p = _round_up(sq, bq_), _round_up(sk, bk_)
+    d_p = _round_up(d, 128)
+
+    def pad_to(x, s_target, d_target):
+        pads = [(0, 0), (0, s_target - x.shape[1]), (0, 0), (0, d_target - x.shape[3])]
+        return jnp.pad(x, pads) if any(p[1] for p in pads) else x
+
+    qp = pad_to(q, sq_p, d_p)
+    kp = pad_to(k, sk_p, d_p)
+    vp = pad_to(v, sk_p, d_p)
+    # padded q rows: segment -2; padded kv rows: -1 → never match anything
+    qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
+                 constant_values=-2)
+    ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, sk_p - sk)),
+                 constant_values=-1)
+    qs_lanes = jnp.broadcast_to(qs[:, :, None], (b, sq_p, NUM_LANES))
+    ks_sub = jnp.broadcast_to(ks[:, None, :], (b, NUM_SUBLANES, sk_p))
+
+    # kernel layout (B, H, S, D); sm_scale applies to the unpadded head dim
+    qt = jnp.swapaxes(qp, 1, 2)
+    kt = jnp.swapaxes(kp, 1, 2)
+    vt = jnp.swapaxes(vp, 1, 2)
+    o = _flash_core(qt, kt, vt, qs_lanes, ks_sub, causal, sm_scale, bq_, bk_,
+                    interpret)
+    o = jnp.swapaxes(o, 1, 2)[:, :sq, :, :d]
+    return o
