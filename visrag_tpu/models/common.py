@@ -1,0 +1,139 @@
+"""Shared model building blocks (flax.linen)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with fp32 accumulation (reference modeling_minicpm.py:126-140)."""
+    dim: int
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return (xf * weight).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Standard LayerNorm (eps 1e-6 to match torch nn.LayerNorm defaults used by
+    the resampler/ViT), fp32 math."""
+    dim: int
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (xf * weight + bias).astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-compatible (out, in) kernel naming for direct
+    HF-safetensors loading. Stored as `weight` (out, in) and optional `bias`."""
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.lecun_normal(),
+                            (self.features_out, self.features_in), self.param_dtype)
+        y = jnp.einsum("...i,oi->...o", x.astype(self.dtype),
+                       weight.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features_out,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def rope_frequencies(head_dim: int, theta: float = 10000.0,
+                     scaling: Optional[dict] = None,
+                     max_positions: int = 4096) -> np.ndarray:
+    """inv_freq per the reference RoPE (modeling_minicpm.py:142-291).
+    linear scaling divides positions by factor; dynamic NTK rescales theta."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    return inv_freq.astype(np.float32)
+
+
+def apply_rope(q, k, positions, inv_freq, scaling: Optional[dict] = None):
+    """q,k: (B, S, H, D); positions: (B, S) int32. fp32 rotation, cast back
+    (reference applies in fp32: modeling_minicpm.py:280-291)."""
+    pos = positions.astype(jnp.float32)
+    if scaling and scaling.get("type") == "linear":
+        pos = pos / float(scaling["factor"])
+    freqs = pos[..., None] * inv_freq[None, None, :]          # (B, S, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)             # (B, S, D)
+    cos = jnp.cos(emb)[:, :, None, :]
+    sin = jnp.sin(emb)[:, :, None, :]
+
+    def rot(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], axis=-1)
+
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + rot(qf) * sin
+    k_out = kf * cos + rot(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """2-D sin-cos position embedding, MAE convention (reference
+    resampler.py:38-92): half the channels encode the row index, half the
+    column; within each half, first sin then cos."""
+    def one_dim(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float64), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gh = np.arange(grid_h, dtype=np.float32)
+    gw = np.arange(grid_w, dtype=np.float32)
+    grid = np.meshgrid(gw, gh)  # w first (reference convention)
+    grid = np.stack(grid, axis=0).reshape(2, -1)
+    emb_h = one_dim(embed_dim // 2, grid[0])  # grid[0] = w-coords (sic, matches ref)
+    emb_w = one_dim(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+def sincos_2d_device(embed_dim: int, h, w, max_len: int):
+    """On-device 2-D sincos for dynamic (h, w) grids, row-major over a padded
+    length. h/w are traced scalars; output (max_len, embed_dim), rows past h*w
+    are garbage and must be masked by the caller.
+
+    Matches get_2d_sincos_pos_embed: first half encodes the *w* coordinate
+    stream from the meshgrid (see reference resampler.py:47-56 where grid[0]
+    is the w-ordinates), second half the h coordinate.
+    """
+    idx = jnp.arange(max_len)
+    row = (idx // w).astype(jnp.float32)
+    col = (idx % w).astype(jnp.float32)
+    half = embed_dim // 2
+
+    def one_dim(dim, pos):
+        omega = jnp.arange(dim // 2, dtype=jnp.float32) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = pos[:, None] * omega[None, :]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
+
+    emb_w = one_dim(half, col)
+    emb_h = one_dim(half, row)
+    return jnp.concatenate([emb_w, emb_h], axis=1)

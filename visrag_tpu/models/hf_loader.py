@@ -1,0 +1,162 @@
+"""HF-checkpoint ↔ JAX param-pytree conversion for the model zoo.
+
+Maps MiniCPM-V 2.0 / VisRAG-Ret safetensors layouts (torch state_dict names,
+see /root/reference/src/openmatch/modeling/modeling_minicpmv/) onto the flax
+module trees defined in this package. Linear kernels keep the torch (out, in)
+orientation (models/common.py Dense), so conversion is pure renaming plus a
+few reshapes (conv patch-embed flatten, pos-embed squeeze).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().to("cpu")
+        if t.dtype.__str__() == "torch.bfloat16":
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+# --- per-tower converters ---------------------------------------------------
+
+
+def convert_minicpm_lm(state: Mapping[str, "np.ndarray"], *,
+                       prefix: str = "", lm_head: bool = True) -> dict:
+    """torch MiniCPMForCausalLM state_dict → flax params dict for
+    MiniCPMForCausalLM/MiniCPMModel. `prefix` strips e.g. 'llm.'."""
+    params: dict = {}
+    for name, t in state.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        v = _np(t)
+        m = re.match(r"model\.layers\.(\d+)\.(.+)", name)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            _set(params, f"model.layers_{i}.{rest}", v)
+        elif name == "model.embed_tokens.weight":
+            _set(params, "model.embed_tokens.embedding", v)
+        elif name == "model.norm.weight":
+            _set(params, "model.norm.weight", v)
+        elif name == "lm_head.weight" and lm_head:
+            _set(params, "lm_head.weight", v)
+        # rotary inv_freq buffers etc. are recomputed
+    return params
+
+
+def convert_siglip_vit(state: Mapping[str, "np.ndarray"], *,
+                       prefix: str = "vpm.", depth: int = 26) -> dict:
+    """timm VisionTransformer state_dict → flax params for SiglipViT.
+    Keeps only the first `depth` blocks (drop_vision_last_layer)."""
+    params: dict = {}
+    for name, t in state.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        v = _np(t)
+        if name == "patch_embed.proj.weight":      # (D, 3, ps, ps)
+            _set(params, "patch_embed_weight", v.reshape(v.shape[0], -1))
+        elif name == "patch_embed.proj.bias":
+            _set(params, "patch_embed_bias", v)
+        elif name == "pos_embed":                   # (1, 729, D) or (729, D)
+            _set(params, "pos_embed", v.reshape(-1, v.shape[-1]))
+        elif (m := re.match(r"blocks\.(\d+)\.(.+)", name)):
+            i = int(m.group(1))
+            if i >= depth:
+                continue
+            rest = m.group(2)
+            rename = {
+                "norm1.weight": "norm1.weight", "norm1.bias": "norm1.bias",
+                "norm2.weight": "norm2.weight", "norm2.bias": "norm2.bias",
+                "attn.qkv.weight": "attn_qkv.weight",
+                "attn.qkv.bias": "attn_qkv.bias",
+                "attn.proj.weight": "attn_proj.weight",
+                "attn.proj.bias": "attn_proj.bias",
+                "mlp.fc1.weight": "mlp_fc1.weight",
+                "mlp.fc1.bias": "mlp_fc1.bias",
+                "mlp.fc2.weight": "mlp_fc2.weight",
+                "mlp.fc2.bias": "mlp_fc2.bias",
+            }
+            if rest in rename:
+                _set(params, f"blocks_{i}.{rename[rest]}", v)
+        elif name == "norm.weight":
+            _set(params, "norm.weight", v)
+        elif name == "norm.bias":
+            _set(params, "norm.bias", v)
+    return params
+
+
+def convert_resampler(state: Mapping[str, "np.ndarray"], *,
+                      prefix: str = "resampler.") -> dict:
+    params: dict = {}
+    rename = {
+        "query": "query",
+        "pos_embed": "pos_embed",
+        "kv_proj.weight": "kv_proj.weight",
+        "attn.in_proj_weight": "in_proj_weight",
+        "attn.in_proj_bias": "in_proj_bias",
+        "attn.out_proj.weight": "out_proj.weight",
+        "attn.out_proj.bias": "out_proj.bias",
+        "ln_q.weight": "ln_q.weight", "ln_q.bias": "ln_q.bias",
+        "ln_kv.weight": "ln_kv.weight", "ln_kv.bias": "ln_kv.bias",
+        "ln_post.weight": "ln_post.weight", "ln_post.bias": "ln_post.bias",
+        "proj": "proj",
+    }
+    for name, t in state.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        if name in rename:
+            _set(params, rename[name], _np(t))
+    return params
+
+
+def convert_minicpmv(state: Mapping[str, "np.ndarray"], *,
+                     vit_depth: int = 26) -> dict:
+    """Full MiniCPM-V 2.0 state_dict → flax params for models.minicpmv.MiniCPMV
+    (llm hidden states only; lm_head dropped as in VisRAG-Ret)."""
+    return {
+        "vpm": convert_siglip_vit(state, prefix="vpm.", depth=vit_depth),
+        "resampler": convert_resampler(state, prefix="resampler."),
+        "llm": convert_minicpm_lm(state, prefix="llm.", lm_head=False),
+    }
+
+
+def convert_visrag_ret(state: Mapping[str, "np.ndarray"], **kw) -> dict:
+    return {"backbone": convert_minicpmv(state, **kw)}
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors in an HF checkpoint dir into one flat dict."""
+    import glob
+    import os
+
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    for f in files:
+        with safe_open(f, framework="np") as sf:
+            for k in sf.keys():
+                state[k] = sf.get_tensor(k)
+    return state

@@ -1,0 +1,165 @@
+"""MiniCPM-2B language model (Llama-family with MUP-style scalings) in JAX.
+
+Behavioral parity with the reference implementation at
+/root/reference/src/openmatch/modeling/modeling_minicpmv/modeling_minicpm.py:
+  * embed_tokens(ids) * scale_emb                          (:1213)
+  * residual += sublayer_out * scale_depth/sqrt(L)         (:984,:993)
+  * logits = lm_head(hidden / (hidden_size/dim_model_base)) (:1412)
+  * RMSNorm eps 1e-5 (model config), RoPE theta 10000 applied in fp32 (:280-291)
+
+TPU-first: attention runs through ops.flash_attention (Pallas on TPU) with the
+padding mask as segment ids; causal vs bidirectional is a config flag
+(reference sets config.is_causal=False for retrieval,
+dense_retrieval_model.py:282-287). Blocks are scanned with optional remat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention
+from .common import Dense, RMSNorm, apply_rope, rope_frequencies
+
+
+@dataclasses.dataclass(frozen=True)
+class MiniCPMConfig:
+    vocab_size: int = 122753
+    hidden_size: int = 2304
+    intermediate_size: int = 5760
+    num_hidden_layers: int = 40
+    num_attention_heads: int = 36
+    num_key_value_heads: int = 36
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    scale_emb: float = 12.0
+    dim_model_base: int = 256
+    scale_depth: float = 1.4
+    max_position_embeddings: int = 4096
+    is_causal: bool = True
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        """Small config for tests."""
+        defaults = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=4, dtype=jnp.float32)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class MiniCPMMLP(nn.Module):
+    cfg: MiniCPMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = Dense(c.hidden_size, c.intermediate_size, use_bias=False,
+                     dtype=c.dtype, name="gate_proj")(x)
+        up = Dense(c.hidden_size, c.intermediate_size, use_bias=False,
+                   dtype=c.dtype, name="up_proj")(x)
+        return Dense(c.intermediate_size, c.hidden_size, use_bias=False,
+                     dtype=c.dtype, name="down_proj")(nn.silu(gate) * up)
+
+
+class MiniCPMAttention(nn.Module):
+    cfg: MiniCPMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids):
+        c = self.cfg
+        b, s, _ = x.shape
+        h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        q = Dense(c.hidden_size, h * d, use_bias=False, dtype=c.dtype,
+                  name="q_proj")(x).reshape(b, s, h, d)
+        k = Dense(c.hidden_size, hk * d, use_bias=False, dtype=c.dtype,
+                  name="k_proj")(x).reshape(b, s, hk, d)
+        v = Dense(c.hidden_size, hk * d, use_bias=False, dtype=c.dtype,
+                  name="v_proj")(x).reshape(b, s, hk, d)
+        inv_freq = jnp.asarray(rope_frequencies(d, c.rope_theta))
+        q, k = apply_rope(q, k, positions, inv_freq)
+        o = flash_attention(q, k, v, segment_ids, segment_ids,
+                            causal=c.is_causal)
+        return Dense(h * d, c.hidden_size, use_bias=False, dtype=c.dtype,
+                     name="o_proj")(o.reshape(b, s, h * d))
+
+
+class MiniCPMBlock(nn.Module):
+    cfg: MiniCPMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids):
+        c = self.cfg
+        depth_scale = c.scale_depth / (c.num_hidden_layers ** 0.5)
+        a = MiniCPMAttention(c, name="self_attn")(
+            RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
+                    name="input_layernorm")(x), positions, segment_ids)
+        x = x + a * depth_scale
+        m = MiniCPMMLP(c, name="mlp")(
+            RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
+                    name="post_attention_layernorm")(x))
+        return x + m * depth_scale
+
+
+class MiniCPMModel(nn.Module):
+    """Decoder stack; returns final hidden states (pre-lm_head)."""
+    cfg: MiniCPMConfig
+
+    @nn.compact
+    def __call__(self, input_ids=None, *, inputs_embeds=None,
+                 attention_mask=None, positions=None):
+        c = self.cfg
+        embed = nn.Embed(c.vocab_size, c.hidden_size,
+                         param_dtype=jnp.float32, dtype=c.dtype,
+                         name="embed_tokens")
+        if inputs_embeds is None:
+            inputs_embeds = embed(input_ids) * c.scale_emb
+        b, s, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.int32)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seg = attention_mask.astype(jnp.int32)
+
+        x = inputs_embeds.astype(c.dtype)
+        block = MiniCPMBlock
+        if c.remat:
+            block = nn.remat(MiniCPMBlock, prevent_cse=False)
+        for i in range(c.num_hidden_layers):
+            x = block(c, name=f"layers_{i}")(x, positions, seg)
+        x = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, name="norm")(x)
+        return x
+
+    def embed_only(self, input_ids):
+        """Token embeddings * scale_emb (for vision scatter composition)."""
+        c = self.cfg
+        embed = nn.Embed(c.vocab_size, c.hidden_size, param_dtype=jnp.float32,
+                         dtype=c.dtype, name="embed_tokens")
+        return embed(input_ids) * c.scale_emb
+
+
+class MiniCPMForCausalLM(nn.Module):
+    cfg: MiniCPMConfig
+
+    @nn.compact
+    def __call__(self, input_ids=None, *, inputs_embeds=None,
+                 attention_mask=None, positions=None):
+        c = self.cfg
+        hidden = MiniCPMModel(c, name="model")(
+            input_ids, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, positions=positions)
+        # MUP logit scaling (reference modeling_minicpm.py:1412)
+        scaled = hidden / (c.hidden_size / c.dim_model_base)
+        logits = Dense(c.hidden_size, c.vocab_size, use_bias=False,
+                       dtype=c.dtype, name="lm_head")(scaled)
+        return logits, hidden

@@ -1,0 +1,113 @@
+"""SigLIP-SO400M ViT vision tower, TPU-first.
+
+Replaces the reference's timm `vit_so400m_patch14_siglip_384.webli` tower
+(/root/reference/timm_modified/timm/models/vision_transformer.py:2611-2618,
+used by modeling_minicpmv.py:57-73 with dynamic_img_size + dynamic_img_pad and
+the last block dropped, attn_pool → Identity).
+
+TPU-first redesign of "dynamic image size": instead of per-sample dynamic
+shapes (a recompile per aspect ratio), every slice is pre-patchified on the
+host to a static (MAX_PATCHES, 3*14*14) buffer with a validity mask, and the
+bicubic-antialias position-embedding resample (timm pos_embed.py:17-57) is
+expressed as a per-slice interpolation matrix P ∈ R^{MAX_PATCHES×729} so that
+pos = P @ pos_embed — exact (the resample is linear in pos_embed),
+differentiable, and batchable across arbitrary grids in ONE compiled program.
+
+Arch: patch14, width 1152, depth 27 (26 used: drop_vision_last_layer), heads 16
+(head_dim 72), mlp 4304, LayerNorm eps 1e-6, GELU, qkv bias, no class token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention
+from .common import Dense, LayerNorm
+
+
+@dataclasses.dataclass(frozen=True)
+class SiglipViTConfig:
+    patch_size: int = 14
+    embed_dim: int = 1152
+    depth: int = 26            # 27 - 1 (drop_vision_last_layer=True)
+    num_heads: int = 16
+    mlp_dim: int = 4304        # int(1152 * 3.7362)
+    pos_grid: int = 27         # 384/14 native grid
+    ln_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.patch_size * self.patch_size
+
+    @classmethod
+    def tiny(cls, **kw):
+        defaults = dict(embed_dim=32, depth=2, num_heads=2, mlp_dim=64,
+                        pos_grid=4, patch_size=2, dtype=jnp.float32)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class ViTBlock(nn.Module):
+    cfg: SiglipViTConfig
+
+    @nn.compact
+    def __call__(self, x, mask):
+        c = self.cfg
+        n, p, e = x.shape
+        h, d = c.num_heads, c.embed_dim // c.num_heads
+        y = LayerNorm(e, c.ln_eps, c.dtype, name="norm1")(x)
+        qkv = Dense(e, 3 * e, use_bias=True, dtype=c.dtype, name="attn_qkv")(y)
+        q, k, v = jnp.split(qkv.reshape(n, p, 3, h, d), 3, axis=2)
+        q, k, v = (t[:, :, 0] for t in (q, k, v))
+        seg = mask.astype(jnp.int32)
+        o = flash_attention(q, k, v, seg, seg, causal=False)
+        o = Dense(e, e, use_bias=True, dtype=c.dtype,
+                  name="attn_proj")(o.reshape(n, p, e))
+        x = x + o
+        y = LayerNorm(e, c.ln_eps, c.dtype, name="norm2")(x)
+        y = Dense(e, c.mlp_dim, use_bias=True, dtype=c.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class SiglipViT(nn.Module):
+    """forward_features equivalent: patchified input → normed patch tokens.
+
+    Args:
+      patches:   (N, MAX_P, 3*ps*ps) pre-extracted patch pixels (normalized).
+      mask:      (N, MAX_P) 1 for real patches, 0 for padding.
+      pos_matrix:(N, MAX_P, pos_grid²) bicubic resample matrix; pos embedding
+                 for slice n = pos_matrix[n] @ pos_embed.
+    Returns (N, MAX_P, embed_dim); rows where mask==0 are garbage (mask them).
+    """
+    cfg: SiglipViTConfig
+
+    @nn.compact
+    def __call__(self, patches, mask, pos_matrix):
+        c = self.cfg
+        w = self.param("patch_embed_weight", nn.initializers.lecun_normal(),
+                       (c.embed_dim, c.patch_dim), jnp.float32)
+        b = self.param("patch_embed_bias", nn.initializers.zeros,
+                       (c.embed_dim,), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (c.pos_grid * c.pos_grid, c.embed_dim), jnp.float32)
+        x = jnp.einsum("npd,ed->npe", patches.astype(c.dtype),
+                       w.astype(c.dtype)) + b.astype(c.dtype)
+        pos_i = jnp.einsum("npg,ge->npe", pos_matrix.astype(jnp.float32),
+                           pos).astype(c.dtype)
+        x = x + pos_i
+        block = ViTBlock
+        if c.remat:
+            block = nn.remat(ViTBlock, prevent_cse=False)
+        for i in range(c.depth):
+            x = block(c, name=f"blocks_{i}")(x, mask)
+        x = LayerNorm(c.embed_dim, c.ln_eps, c.dtype, name="norm")(x)
+        return x

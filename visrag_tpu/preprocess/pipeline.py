@@ -1,0 +1,108 @@
+"""Batch assembly: (text, image) pairs → fixed-shape EncodeBatch arrays.
+
+The TPU-side contract (models/visrag_ret.py EncodeBatch) wants every array
+static-shape; this module does the dynamic→static packing on the host:
+slices across the whole batch are flattened into one (N_slots, MAX_P, …)
+buffer (padded with a dummy slice when text-only), and per-page vision-token
+positions are encoded in the (B, S) slot map.
+
+Mirrors the role of the reference's VisRAG_Ret.forward preprocessing
+(modeling_visrag_ret.py:86-126) but off the accelerator and threadpooled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .slicing import MAX_PATCHES
+from .tokenize import (TokenizerLike, build_page_prompt, build_slot_map,
+                       pad_batch, tokenize_prompt)
+from .transform import prepare_page
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    seq_len: int = 2048
+    query_num: int = 64
+    max_slice_nums: int = 9
+    scale_resolution: int = 448
+    patch_size: int = 14
+    slice_mode: bool = True
+    src_grid: int = 27
+    max_patches: int = MAX_PATCHES
+    max_slices_per_page: int = 10   # 1 source + ≤9 grid cells
+    num_workers: int = 8
+
+
+def _prep_one(args):
+    text, image, tok, cfg = args
+    if image is None:
+        prompt = text
+        slices = []
+        grid = None
+    else:
+        _plan, slices = prepare_page(
+            image, max_slice_nums=cfg.max_slice_nums,
+            scale_resolution=cfg.scale_resolution, patch_size=cfg.patch_size,
+            slice_mode=cfg.slice_mode, src_grid=cfg.src_grid,
+            max_patches=cfg.max_patches)
+        grid = _plan.grid
+        prompt = build_page_prompt(tok, text, grid, cfg.query_num)
+    ids = tokenize_prompt(tok, prompt, cfg.seq_len)
+    return ids, slices
+
+
+def build_encode_batch(tok: TokenizerLike,
+                       items: Sequence[Tuple[str, Optional[Image.Image]]],
+                       cfg: Optional[PipelineConfig] = None,
+                       n_slice_slots: Optional[int] = None) -> dict:
+    """→ dict of numpy arrays matching EncodeBatch fields.
+
+    n_slice_slots pins the slice-buffer size for shape-stable jit calls
+    (e.g. batch_size * max_slices_per_page); defaults to exactly what the
+    batch needs (≥1).
+    """
+    cfg = cfg or PipelineConfig()
+    with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
+        prepped = list(ex.map(_prep_one,
+                              [(t, im, tok, cfg) for t, im in items]))
+
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    total = sum(len(s) for _, s in prepped)
+    n_slots = n_slice_slots if n_slice_slots is not None else max(total, 1)
+    if total > n_slots:
+        raise ValueError(f"batch needs {total} slice slots > {n_slots}")
+
+    patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
+    patch_mask = np.zeros((n_slots, cfg.max_patches), np.int32)
+    pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
+                          np.float32)
+    grid_h = np.ones((n_slots,), np.int32)
+    grid_w = np.ones((n_slots,), np.int32)
+
+    id_list = []
+    slot_maps = []
+    offset = 0
+    for ids, slices in prepped:
+        id_list.append(ids)
+        slot_maps.append(build_slot_map(
+            ids, cfg.seq_len, getattr(tok, "im_start_id"),
+            getattr(tok, "im_end_id"), cfg.query_num, offset))
+        for s in slices:
+            patches[offset] = s["patches"]
+            patch_mask[offset] = s["mask"]
+            pos_matrix[offset] = s["pos_matrix"]
+            grid_h[offset] = s["grid_h"]
+            grid_w[offset] = s["grid_w"]
+            offset += 1
+
+    input_ids, attention_mask = pad_batch(id_list, cfg.seq_len)
+    return dict(input_ids=input_ids, attention_mask=attention_mask,
+                patches=patches, patch_mask=patch_mask, pos_matrix=pos_matrix,
+                grid_h=grid_h, grid_w=grid_w,
+                slot_map=np.stack(slot_maps, axis=0))

@@ -1,0 +1,125 @@
+"""Host-side pixel pipeline: resize → normalize → patchify → pos-interp matrix.
+
+Replaces the reference's torchvision transform + timm dynamic-size conv stem
+(/root/reference/src/openmatch/modeling/modeling_minicpmv/modeling_minicpmv.py:84-92
+ToTensor + Normalize(Inception mean/std); timm patch_embed). Output is the
+static-shape slice buffer consumed by SiglipViT:
+
+  patches     (MAX_P, 3*ps*ps) float32, rows = row-major patch grid, each row
+              the (c, ph, pw)-flattened pixels of one 14×14 patch (conv-weight
+              compatible layout)
+  mask        (MAX_P,) 1/0
+  pos_matrix  (MAX_P, 729) bicubic-antialias resample weights: the timm
+              `resample_abs_pos_embed` (pos_embed.py:17-57) expressed as a
+              linear operator so arbitrary grids batch in one compiled program
+  grid (h, w) patch-grid dims
+
+PIL bicubic resizes keep bit-parity with the reference's preprocessing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .slicing import MAX_PATCHES, SlicePlan, plan_slices
+
+INCEPTION_MEAN = (0.5, 0.5, 0.5)
+INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+def normalize_image(img: Image.Image) -> np.ndarray:
+    """PIL → (3, H, W) float32, ToTensor + Inception normalize parity."""
+    arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    arr = (arr - np.array(INCEPTION_MEAN, np.float32)) / np.array(
+        INCEPTION_STD, np.float32)
+    return arr.transpose(2, 0, 1)
+
+
+def patchify(arr: np.ndarray, patch_size: int = 14,
+             max_patches: int = MAX_PATCHES):
+    """(3, H, W) → (max_patches, 3*ps*ps), mask, (grid_h, grid_w).
+    Row-major patch order; per-patch layout (c, ph, pw) matching a
+    Conv2d(3, D, ps, stride=ps) weight flattened as (D, 3*ps*ps)."""
+    c, h, w = arr.shape
+    ps = patch_size
+    assert h % ps == 0 and w % ps == 0, (h, w)
+    gh, gw = h // ps, w // ps
+    n = gh * gw
+    if n > max_patches:
+        raise ValueError(f"slice grid {gh}x{gw}={n} exceeds MAX_PATCHES "
+                         f"{max_patches}; clamp aspect ratio upstream")
+    p = arr.reshape(c, gh, ps, gw, ps).transpose(1, 3, 0, 2, 4)  # gh,gw,c,ph,pw
+    p = p.reshape(n, c * ps * ps)
+    out = np.zeros((max_patches, c * ps * ps), np.float32)
+    out[:n] = p
+    mask = np.zeros((max_patches,), np.int32)
+    mask[:n] = 1
+    return out, mask, (gh, gw)
+
+
+@functools.lru_cache(maxsize=4096)
+def _bicubic_resample_matrix_1d(src: int, dst: int) -> np.ndarray:
+    """(dst, src) 1-D bicubic-antialias resize operator, exact parity with
+    torch F.interpolate(mode='bicubic', antialias=True, align_corners=False)
+    as used by timm resample_abs_pos_embed. Extracted by resizing the identity
+    (interpolation is linear, separable)."""
+    import torch
+    import torch.nn.functional as F
+
+    # basis signals along H; W must be ≥2 (torch's antialiased resize
+    # degenerates on a singleton spatial axis)
+    eye = (torch.eye(src, dtype=torch.float64)
+           .view(src, 1, src, 1).expand(src, 1, src, 2).contiguous())
+    out = F.interpolate(eye, size=(dst, 2), mode="bicubic", antialias=True,
+                        align_corners=False)
+    return out[:, 0, :, 0].transpose(0, 1).numpy().astype(np.float64)
+
+
+@functools.lru_cache(maxsize=4096)
+def pos_resample_matrix(grid_h: int, grid_w: int, src_grid: int = 27,
+                        max_patches: int = MAX_PATCHES) -> np.ndarray:
+    """(max_patches, src_grid²) operator: P @ pos_embed interpolates the
+    src_grid×src_grid embedding to (grid_h, grid_w) row-major; padded rows 0."""
+    wh = _bicubic_resample_matrix_1d(src_grid, grid_h)   # (gh, src)
+    ww = _bicubic_resample_matrix_1d(src_grid, grid_w)   # (gw, src)
+    full = np.einsum("hi,wj->hwij", wh, ww).reshape(
+        grid_h * grid_w, src_grid * src_grid)
+    out = np.zeros((max_patches, src_grid * src_grid), np.float32)
+    out[:grid_h * grid_w] = full.astype(np.float32)
+    return out
+
+
+def render_slices(img: Image.Image, plan: SlicePlan) -> List[Image.Image]:
+    """Execute a SlicePlan: [source_image] + row-major grid crops."""
+    out = [img.resize(plan.source_size, Image.Resampling.BICUBIC)]
+    if plan.crop_boxes:
+        refined = img.resize(plan.refine_size, Image.Resampling.BICUBIC)
+        out.extend(refined.crop(box) for box in plan.crop_boxes)
+    return out
+
+
+def prepare_page(img: Image.Image, *, max_slice_nums: int = 9,
+                 scale_resolution: int = 448, patch_size: int = 14,
+                 slice_mode: bool = True, src_grid: int = 27,
+                 max_patches: int = MAX_PATCHES):
+    """Page image → per-slice static buffers + the slice plan.
+
+    Returns (plan, slices) where slices is a list of dicts with keys
+    patches/mask/pos_matrix/grid_h/grid_w.
+    """
+    plan = plan_slices(img.size, max_slice_nums, scale_resolution, patch_size,
+                       never_split=not slice_mode)
+    rendered = render_slices(img, plan)
+    out = []
+    for im in rendered:
+        arr = normalize_image(im)
+        patches, mask, (gh, gw) = patchify(arr, patch_size, max_patches)
+        out.append(dict(
+            patches=patches, mask=mask,
+            pos_matrix=pos_resample_matrix(gh, gw, src_grid, max_patches),
+            grid_h=gh, grid_w=gw))
+    return plan, out
