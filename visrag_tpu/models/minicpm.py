@@ -115,15 +115,23 @@ class MiniCPMModel(nn.Module):
     """Decoder stack; returns final hidden states (pre-lm_head)."""
     cfg: MiniCPMConfig
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
+                                     param_dtype=jnp.float32, dtype=c.dtype,
+                                     name="embed_tokens")
+        block = MiniCPMBlock
+        if c.remat:
+            block = nn.remat(MiniCPMBlock, prevent_cse=False)
+        self.layers = [block(c, name=f"layers_{i}")
+                       for i in range(c.num_hidden_layers)]
+        self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, name="norm")
+
     def __call__(self, input_ids=None, *, inputs_embeds=None,
                  attention_mask=None, positions=None):
         c = self.cfg
-        embed = nn.Embed(c.vocab_size, c.hidden_size,
-                         param_dtype=jnp.float32, dtype=c.dtype,
-                         name="embed_tokens")
         if inputs_embeds is None:
-            inputs_embeds = embed(input_ids) * c.scale_emb
+            inputs_embeds = self.embed_only(input_ids)
         b, s, _ = inputs_embeds.shape
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), jnp.int32)
@@ -132,20 +140,13 @@ class MiniCPMModel(nn.Module):
         seg = attention_mask.astype(jnp.int32)
 
         x = inputs_embeds.astype(c.dtype)
-        block = MiniCPMBlock
-        if c.remat:
-            block = nn.remat(MiniCPMBlock, prevent_cse=False)
-        for i in range(c.num_hidden_layers):
-            x = block(c, name=f"layers_{i}")(x, positions, seg)
-        x = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, name="norm")(x)
-        return x
+        for layer in self.layers:
+            x = layer(x, positions, seg)
+        return self.norm(x)
 
     def embed_only(self, input_ids):
         """Token embeddings * scale_emb (for vision scatter composition)."""
-        c = self.cfg
-        embed = nn.Embed(c.vocab_size, c.hidden_size, param_dtype=jnp.float32,
-                         dtype=c.dtype, name="embed_tokens")
-        return embed(input_ids) * c.scale_emb
+        return self.embed_tokens(input_ids) * self.cfg.scale_emb
 
 
 class MiniCPMForCausalLM(nn.Module):

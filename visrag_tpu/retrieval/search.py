@@ -1,0 +1,126 @@
+"""Exact dense top-k retrieval on TPU: sharded Q@Cᵀ + distributed merge.
+
+Replaces the reference's per-rank pickle-shard loop
+(/root/reference/src/openmatch/retriever/dense_retriever.py:13-97): instead of
+each GPU process loading pickle shards and looping, the corpus lives sharded
+over the mesh's (replica, data) axes in HBM, every device scores its shard on
+the MXU, takes a local top-k, and a single all_gather of (k × n_shards)
+candidates per query yields the exact global top-k — one pjit program, no
+filesystem boundary. A host-side streaming wrapper handles corpora larger than
+HBM (the max_inmem_docs role, inference.py:112-131).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mesh import DATA, REPLICA
+
+
+def topk_single(queries: jax.Array, corpus: jax.Array, k: int):
+    """(Q, D), (C, D) → scores (Q, k), indices (Q, k). fp32 scores."""
+    scores = jnp.einsum("qd,cd->qc", queries.astype(jnp.float32),
+                        corpus.astype(jnp.float32))
+    return jax.lax.top_k(scores, k)
+
+
+def make_sharded_topk(mesh: Mesh, k: int):
+    """Build a jitted sharded top-k: corpus rows sharded over (replica, data).
+
+    Returns fn(queries (Q,D) replicated, corpus (C,D) sharded) →
+    (scores (Q,k), global indices (Q,k)).
+    """
+    axes = (REPLICA, DATA)
+    n_shards = mesh.shape[REPLICA] * mesh.shape[DATA]
+
+    def local(queries, corpus_shard):
+        # corpus_shard: (C/n, D) on each device
+        s, idx = topk_single(queries, corpus_shard, k)
+        shard_id = jax.lax.axis_index(axes)
+        idx = idx + shard_id * corpus_shard.shape[0]
+        # gather candidates from all shards → exact global top-k
+        s_all = jax.lax.all_gather(s, axes, axis=1, tiled=True)     # (Q, n*k)
+        idx_all = jax.lax.all_gather(idx, axes, axis=1, tiled=True)
+        best_s, best_pos = jax.lax.top_k(s_all, k)
+        best_idx = jnp.take_along_axis(idx_all, best_pos, axis=1)
+        return best_s, best_idx
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P((REPLICA, DATA), None)),
+                       out_specs=(P(), P()),
+                       check_vma=False)  # outputs identical on all devices post-gather
+    return jax.jit(fn)
+
+
+def shard_corpus(corpus: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Pad rows to shard-divisible and device_put sharded over (replica,data).
+    Padding rows are zero → score 0; callers must request k ≤ true corpus size
+    or filter padded indices (idx >= len(corpus))."""
+    n = mesh.shape[REPLICA] * mesh.shape[DATA]
+    c = corpus.shape[0]
+    pad = (-c) % n
+    if pad:
+        corpus = np.concatenate(
+            [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)], axis=0)
+    sharding = NamedSharding(mesh, P((REPLICA, DATA), None))
+    return jax.device_put(corpus, sharding)
+
+
+class StreamingSearcher:
+    """Exact top-k over a corpus streamed in chunks (HBM-bounded).
+
+    Each chunk is scored with the sharded kernel; running top-k is merged on
+    host. Equivalent to the reference's loop over pickle shards
+    (dense_retriever.py:37-97) but with on-TPU scoring."""
+
+    def __init__(self, mesh: Mesh, k: int):
+        self.mesh = mesh
+        self.k = k
+        self._fn = make_sharded_topk(mesh, k)
+
+    def search(self, queries: np.ndarray,
+               corpus_chunks: Iterable[Tuple[np.ndarray, int]]):
+        """corpus_chunks yields (chunk_array, base_index). Returns
+        (scores (Q,k), global indices (Q,k)) numpy arrays."""
+        q = jax.device_put(jnp.asarray(queries),
+                           NamedSharding(self.mesh, P()))
+        best_s = best_i = None
+        for chunk, base in corpus_chunks:
+            true_n = chunk.shape[0]
+            k_eff = self.k
+            c = shard_corpus(chunk, self.mesh)
+            s, i = self._fn(q, c)
+            s, i = np.asarray(s), np.asarray(i)
+            # drop padded rows (idx >= true_n)
+            invalid = i >= true_n
+            s = np.where(invalid, -np.inf, s)
+            i = i + base
+            if best_s is None:
+                best_s, best_i = s, i
+            else:
+                cat_s = np.concatenate([best_s, s], axis=1)
+                cat_i = np.concatenate([best_i, i], axis=1)
+                order = np.argsort(-cat_s, axis=1, kind="stable")[:, :self.k]
+                best_s = np.take_along_axis(cat_s, order, axis=1)
+                best_i = np.take_along_axis(cat_i, order, axis=1)
+        return best_s, best_i
+
+
+def build_run(scores: np.ndarray, indices: np.ndarray, query_ids: List[str],
+              doc_ids: List[str]) -> dict:
+    """(Q,k) arrays → TREC-style run dict."""
+    run: dict = {}
+    for qi, qid in enumerate(query_ids):
+        docs = {}
+        for s, di in zip(scores[qi], indices[qi]):
+            if not np.isfinite(s):
+                continue
+            docs[doc_ids[int(di)]] = float(s)
+        run[qid] = docs
+    return run
