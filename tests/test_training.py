@@ -1,0 +1,122 @@
+"""Contrastive training: loss semantics, GradCache equivalence, sharded train
+step on the 8-device mesh, checkpoint roundtrip + GC."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visrag_tpu.config import MeshConfig, TrainConfig
+from visrag_tpu.mesh import build_mesh
+from visrag_tpu.training.contrastive import (ContrastiveConfig,
+                                             contrastive_loss,
+                                             direct_loss_fn,
+                                             gradcache_grad_fn,
+                                             stack_micro_batches)
+from visrag_tpu.training.trainer import RetrieverTrainer, make_optimizer
+
+
+def _toy_encoder():
+    """Tiny deterministic encoder: params = {'w': (F, D)}; batch = {'x': (B,F)}.
+    rng participates via dropout-like noise to test PRNG replay."""
+    def encode(params, batch, rng):
+        h = jnp.tanh(batch["x"] @ params["w"])
+        noise = jax.random.normal(rng, h.shape) * params.get("noise_scale", 0.0)
+        h = h + noise
+        return h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+    return encode
+
+
+def test_contrastive_loss_matches_torch_ce():
+    import torch
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(6, 8)).astype(np.float32)
+    p = rng.normal(size=(12, 8)).astype(np.float32)  # n_passages=2
+    cfg = ContrastiveConfig(temperature=0.02, n_passages=2)
+    loss, metrics = contrastive_loss(jnp.asarray(q), jnp.asarray(p), cfg)
+    scores = torch.tensor(q @ p.T / 0.02)
+    target = torch.arange(6) * 2
+    want = torch.nn.functional.cross_entropy(scores, target).item()
+    assert float(loss) == pytest.approx(want, rel=1e-5)
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+
+def test_gradcache_equals_direct():
+    """GradCache two-pass grads == direct full-batch grads (incl. rng replay)."""
+    encode = _toy_encoder()
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32)),
+              "noise_scale": jnp.float32(0.1)}
+    q = {"x": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))}
+    p = {"x": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))}
+    cfg = ContrastiveConfig(temperature=0.1, n_passages=1)
+    key = jax.random.PRNGKey(42)
+
+    gc_fn = gradcache_grad_fn(encode, cfg, num_micro=4)
+    (loss_gc, m_gc), grads_gc = gc_fn(params,
+                                      stack_micro_batches(q, 4),
+                                      stack_micro_batches(p, 4), key)
+
+    # direct equivalent with the same per-micro rng schedule
+    def direct(params):
+        rngs = jax.random.split(key, 8).reshape(4, 2, -1)
+        q_r = jnp.concatenate([encode(params, {"x": q["x"][i*2:(i+1)*2]},
+                                      rngs[i, 0]) for i in range(4)])
+        p_r = jnp.concatenate([encode(params, {"x": p["x"][i*2:(i+1)*2]},
+                                      rngs[i, 1]) for i in range(4)])
+        return contrastive_loss(q_r, p_r, cfg)
+
+    (loss_d, _), grads_d = jax.value_and_grad(direct, has_aux=True)(params)
+    assert float(loss_gc) == pytest.approx(float(loss_d), rel=1e-5)
+    for k in grads_d:
+        np.testing.assert_allclose(np.asarray(grads_gc[k]),
+                                   np.asarray(grads_d[k]), rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_learns_on_mesh():
+    """End-to-end: 8-device mesh, loss decreases, accuracy rises on a
+    learnable toy task (match query rows to passage rows)."""
+    mesh = build_mesh(MeshConfig(data=8))
+    encode = _toy_encoder()
+    rng = np.random.default_rng(2)
+    params = {"w": jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32) * 0.1),
+              "noise_scale": jnp.float32(0.0)}
+    cfg = TrainConfig(lr=1e-2, softmax_temperature=0.05, n_passages=1,
+                      log_every=5, grad_clip=1.0)
+    trainer = RetrieverTrainer(encode, params, cfg, mesh=mesh, total_steps=60)
+
+    base = rng.normal(size=(64, 16)).astype(np.float32)
+
+    def batches():
+        for _ in range(60):
+            idx = rng.choice(64, size=16, replace=False)
+            q = base[idx] + rng.normal(size=(16, 16)).astype(np.float32) * 0.05
+            p = base[idx] + rng.normal(size=(16, 16)).astype(np.float32) * 0.05
+            yield {"x": q}, {"x": p}
+
+    hist = trainer.train(batches())
+    first, last = hist[0][1], hist[-1][1]
+    assert last["loss"] < first["loss"]
+    assert last["accuracy"] >= 0.9
+
+
+def test_checkpoint_roundtrip_and_gc(tmp_path):
+    from visrag_tpu.training.checkpoint import (find_latest_ckpt,
+                                                gc_checkpoints,
+                                                load_checkpoint,
+                                                save_checkpoint)
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    root = str(tmp_path / "ckpt")
+    for step, metric in [(10, 0.5), (20, 0.9), (30, 0.7), (40, 0.6)]:
+        save_checkpoint(root, step, tree, extra={"batches_seen": step},
+                        best_metric=metric, save_limit=2)
+    latest = find_latest_ckpt(root)
+    assert latest.endswith("global_step_40")
+    restored, extra = load_checkpoint(latest)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), tree["w"])
+    assert extra == {"batches_seen": 40}
+    import os
+    kept = sorted(os.listdir(root))
+    # keep latest 2 + best (step 20)
+    assert "global_step_20" in kept and "global_step_10" not in kept
