@@ -11,36 +11,32 @@ import numpy as np
 
 
 class RMSNorm(nn.Module):
-    """RMSNorm with fp32 accumulation (reference modeling_minicpm.py:126-140)."""
+    """RMSNorm with fp32 accumulation (reference modeling_minicpm.py:126-140).
+    Fused Pallas kernel on TPU (ops/norms.py)."""
     dim: int
     eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.norms import rmsnorm
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        xf = xf * jax.lax.rsqrt(var + self.eps)
-        return (xf * weight).astype(self.dtype)
+        return rmsnorm(x, weight, self.eps).astype(self.dtype)
 
 
 class LayerNorm(nn.Module):
     """Standard LayerNorm (eps 1e-6 to match torch nn.LayerNorm defaults used by
-    the resampler/ViT), fp32 math."""
+    the resampler/ViT), fp32 math. Fused Pallas kernel on TPU (ops/norms.py)."""
     dim: int
     eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.norms import layernorm
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        return (xf * weight + bias).astype(self.dtype)
+        return layernorm(x, weight, bias, self.eps).astype(self.dtype)
 
 
 class Dense(nn.Module):

@@ -76,7 +76,7 @@ class MiniCPMAttention(nn.Module):
     cfg: MiniCPMConfig
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids):
+    def __call__(self, x, positions, segment_ids=None, lengths=None):
         c = self.cfg
         b, s, _ = x.shape
         h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -88,8 +88,11 @@ class MiniCPMAttention(nn.Module):
                   name="v_proj")(x).reshape(b, s, hk, d)
         inv_freq = jnp.asarray(rope_frequencies(d, c.rope_theta))
         q, k = apply_rope(q, k, positions, inv_freq)
-        o = flash_attention(q, k, v, segment_ids, segment_ids,
-                            causal=c.is_causal)
+        if lengths is not None:
+            o = flash_attention(q, k, v, lengths=lengths, causal=c.is_causal)
+        else:
+            o = flash_attention(q, k, v, segment_ids, segment_ids,
+                                causal=c.is_causal)
         return Dense(h * d, c.hidden_size, use_bias=False, dtype=c.dtype,
                      name="o_proj")(o.reshape(b, s, h * d))
 
@@ -98,12 +101,12 @@ class MiniCPMBlock(nn.Module):
     cfg: MiniCPMConfig
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids):
+    def __call__(self, x, positions, segment_ids=None, lengths=None):
         c = self.cfg
         depth_scale = c.scale_depth / (c.num_hidden_layers ** 0.5)
         a = MiniCPMAttention(c, name="self_attn")(
             RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
-                    name="input_layernorm")(x), positions, segment_ids)
+                    name="input_layernorm")(x), positions, segment_ids, lengths)
         x = x + a * depth_scale
         m = MiniCPMMLP(c, name="mlp")(
             RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
@@ -128,20 +131,26 @@ class MiniCPMModel(nn.Module):
         self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, name="norm")
 
     def __call__(self, input_ids=None, *, inputs_embeds=None,
-                 attention_mask=None, positions=None):
+                 attention_mask=None, positions=None, segment_ids=None):
+        """attention_mask must be a contiguous right-padded validity mask
+        (fast lengths kernel); pass segment_ids instead for packed batches."""
         c = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed_only(input_ids)
         b, s, _ = inputs_embeds.shape
-        if attention_mask is None:
-            attention_mask = jnp.ones((b, s), jnp.int32)
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        seg = attention_mask.astype(jnp.int32)
+        if segment_ids is not None:
+            seg, lengths = segment_ids.astype(jnp.int32), None
+        else:
+            if attention_mask is None:
+                attention_mask = jnp.ones((b, s), jnp.int32)
+            seg = None
+            lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
         x = inputs_embeds.astype(c.dtype)
         for layer in self.layers:
-            x = layer(x, positions, seg)
+            x = layer(x, positions, seg, lengths)
         return self.norm(x)
 
     def embed_only(self, input_ids):

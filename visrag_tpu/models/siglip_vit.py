@@ -58,7 +58,7 @@ class ViTBlock(nn.Module):
     cfg: SiglipViTConfig
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, lengths):
         c = self.cfg
         n, p, e = x.shape
         h, d = c.num_heads, c.embed_dim // c.num_heads
@@ -66,8 +66,7 @@ class ViTBlock(nn.Module):
         qkv = Dense(e, 3 * e, use_bias=True, dtype=c.dtype, name="attn_qkv")(y)
         q, k, v = jnp.split(qkv.reshape(n, p, 3, h, d), 3, axis=2)
         q, k, v = (t[:, :, 0] for t in (q, k, v))
-        seg = mask.astype(jnp.int32)
-        o = flash_attention(q, k, v, seg, seg, causal=False)
+        o = flash_attention(q, k, v, lengths=lengths, causal=False)
         o = Dense(e, e, use_bias=True, dtype=c.dtype,
                   name="attn_proj")(o.reshape(n, p, e))
         x = x + o
@@ -104,10 +103,11 @@ class SiglipViT(nn.Module):
         pos_i = jnp.einsum("npg,ge->npe", pos_matrix.astype(jnp.float32),
                            pos).astype(c.dtype)
         x = x + pos_i
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=1)  # contiguous prefix
         block = ViTBlock
         if c.remat:
             block = nn.remat(ViTBlock, prevent_cse=False)
         for i in range(c.depth):
-            x = block(c, name=f"blocks_{i}")(x, mask)
+            x = block(c, name=f"blocks_{i}")(x, lengths)
         x = LayerNorm(c.embed_dim, c.ln_eps, c.dtype, name="norm")(x)
         return x

@@ -357,10 +357,16 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, causal=False,
-                    sm_scale=None, block_q=256, block_k=256,
+def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, lengths=None,
+                    causal=False, sm_scale=None, block_q=512, block_k=512,
                     force_xla=False, interpret=False):
-    """Flash attention with (B, S, H, D) layout, segment-id masking, GQA.
+    """Flash attention with (B, S, H, D) layout, GQA, two masking modes:
+
+      lengths (B,) int32 — contiguous right-padding (the fast path: padded
+        k-blocks skipped, interior blocks skip masking entirely); requires
+        sq == sk (self-attention).
+      q_seg/kv_seg (B, S) int32 — general segment-id masking for packed
+        sequences.
 
     Falls back to the XLA reference on non-TPU backends so the whole framework
     runs on the CPU test mesh unchanged.
@@ -370,6 +376,12 @@ def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, causal=False,
     assert v.shape == k.shape and d == dk_
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    use_lengths = lengths is not None
+    if use_lengths:
+        assert q_seg is None and kv_seg is None and sq == sk
+        pos = jnp.arange(sq, dtype=jnp.int32)[None, :]
+        valid = (pos < lengths[:, None]).astype(jnp.int32)
+        q_seg = kv_seg = valid  # for the XLA fallback / reference semantics
     if q_seg is None:
         q_seg = jnp.ones((b, sq), jnp.int32)
     if kv_seg is None:
@@ -397,19 +409,25 @@ def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, causal=False,
     qp = pad_to(q, sq_p, d_p)
     kp = pad_to(k, sk_p, d_p)
     vp = pad_to(v, sk_p, d_p)
-    # padded q rows: segment -2; padded kv rows: -1 → never match anything
-    qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
-                 constant_values=-2)
-    ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, sk_p - sk)),
-                 constant_values=-1)
-    qs_lanes = jnp.broadcast_to(qs[:, :, None], (b, sq_p, NUM_LANES))
-    ks_sub = jnp.broadcast_to(ks[:, None, :], (b, NUM_SUBLANES, sk_p))
 
     # kernel layout (B, H, S, D); sm_scale applies to the unpadded head dim
     qt = jnp.swapaxes(qp, 1, 2)
     kt = jnp.swapaxes(kp, 1, 2)
     vt = jnp.swapaxes(vp, 1, 2)
-    o = _flash_core(qt, kt, vt, qs_lanes, ks_sub, causal, sm_scale, bq_, bk_,
-                    interpret)
+
+    if use_lengths:
+        from .attention_lengths import flash_lengths_core
+        o = flash_lengths_core(qt, kt, vt, lengths.astype(jnp.int32), causal,
+                               sm_scale, bq_, bk_, interpret)
+    else:
+        # padded q rows: segment -2; padded kv rows: -1 → never match anything
+        qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
+                     constant_values=-2)
+        ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, sk_p - sk)),
+                     constant_values=-1)
+        qs_lanes = jnp.broadcast_to(qs[:, :, None], (b, sq_p, NUM_LANES))
+        ks_sub = jnp.broadcast_to(ks[:, None, :], (b, NUM_SUBLANES, sk_p))
+        o = _flash_core(qt, kt, vt, qs_lanes, ks_sub, causal, sm_scale, bq_,
+                        bk_, interpret)
     o = jnp.swapaxes(o, 1, 2)[:, :sq, :, :d]
     return o

@@ -1,0 +1,325 @@
+"""Flash attention, valid-length (contiguous right-padding) specialization.
+
+The general kernel in ops/attention.py masks every (q,k) block against segment
+ids — necessary for packed sequences, but pure overhead for the dominant case
+of right-padded batches (ViT patch buffers, right-padded LM batches: reference
+pad(), modeling_minicpmv.py:440-479). This variant takes per-batch valid
+lengths via scalar prefetch and:
+
+  * bounds the k-loop at ceil(length/bk) — padded tail blocks are never
+    touched (≈20% of ViT work at 950/1152 valid patches);
+  * applies masks only on blocks that need them (boundary block, causal
+    diagonal crossers) via lax.cond — interior blocks skip the compare/select
+    VPU chain entirely (the kernel is VPU-bound, so this is the hot path);
+  * zeroes fully-padded query rows in the epilogue.
+
+Outputs match ops/attention.mha_reference with seg = (pos < length) exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import DEFAULT_MASK_VALUE, NUM_LANES
+
+
+def _row_ids(bq, bk, i):
+    return i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+
+def _col_ids(bq, bk, j):
+    return j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+
+
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                sm_scale: float, causal: bool, block_k: int, seq_k: int):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    length = len_ref[b]
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
+    num_k = pl.cdiv(length, block_k)
+    if causal:
+        last_q = (i + 1) * bq - 1
+        num_k = jnp.minimum(num_k, (last_q // block_k) + 1)
+
+    def body(j, carry):
+        acc, m, l = carry
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+        boundary = (j + 1) * block_k > length
+        if causal:
+            crosses = (j + 1) * block_k - 1 > i * bq
+            needs = jnp.logical_or(boundary, crosses)
+        else:
+            needs = boundary
+
+        def masked(s):
+            allow = _col_ids(bq, block_k, j) < length
+            if causal:
+                allow = jnp.logical_and(
+                    allow, _row_ids(bq, block_k, i) >= _col_ids(bq, block_k, j))
+            return jnp.where(allow, s, DEFAULT_MASK_VALUE)
+
+        s = jax.lax.cond(needs, masked, lambda s: s, s)
+        m_blk = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), DEFAULT_MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
+    # fully-masked (padded) rows get a +LARGE sentinel so the backward pass's
+    # exp(s - lse) underflows to exactly 0 — a -LARGE sentinel would overflow
+    # to inf on the unmasked fast path and poison parameter grads.
+    lse = jnp.where(l > 0.0, m + jnp.log(l_safe), -DEFAULT_MASK_VALUE)
+    lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
+
+
+def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, *, sm_scale, causal, block_k, seq_k):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    length = len_ref[b]
+    q = q_ref[0, 0, :, :].astype(jnp.float32)
+    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    lse = lse_ref[0, 0, :, 0:1]
+    delta = delta_ref[0, 0, :, 0:1]
+    num_k = pl.cdiv(length, block_k)
+    if causal:
+        last_q = (i + 1) * bq - 1
+        num_k = jnp.minimum(num_k, (last_q // block_k) + 1)
+
+    def body(j, dq):
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        p = jnp.exp(s - lse)
+
+        boundary = (j + 1) * block_k > length
+        if causal:
+            crosses = (j + 1) * block_k - 1 > i * bq
+            needs = jnp.logical_or(boundary, crosses)
+        else:
+            needs = boundary
+
+        def masked(p):
+            allow = _col_ids(bq, block_k, j) < length
+            if causal:
+                allow = jnp.logical_and(
+                    allow, _row_ids(bq, block_k, i) >= _col_ids(bq, block_k, j))
+            return jnp.where(allow, p, 0.0)
+
+        p = jax.lax.cond(needs, masked, lambda p: p, p)
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        return dq + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, sm_scale, causal, block_q, seq_q):
+    bk, d = k_ref.shape[2], k_ref.shape[3]
+    b = pl.program_id(0)
+    jblk = pl.program_id(2)
+    length = len_ref[b]
+    kb = k_ref[0, 0, :, :].astype(jnp.float32)
+    vb = v_ref[0, 0, :, :].astype(jnp.float32)
+    # q rows beyond `length` have garbage lse but their do is NOT necessarily
+    # zero; they must be excluded. q loop bound: valid q rows only.
+    num_q = pl.cdiv(length, block_q)
+    start_q = (jblk * bk) // block_q if causal else 0
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        p = jnp.exp(s - lse)
+
+        k_boundary = (jblk + 1) * bk > length     # this k block has padding
+        q_boundary = (i + 1) * block_q > length   # this q block has padding
+        if causal:
+            crosses = (jblk + 1) * bk - 1 > i * block_q
+            needs = k_boundary | q_boundary | crosses
+        else:
+            needs = k_boundary | q_boundary
+
+        def masked(p):
+            allow = jnp.logical_and(
+                _col_ids(block_q, bk, jblk) < length,
+                _row_ids(block_q, bk, i) < length)
+            if causal:
+                allow = jnp.logical_and(
+                    allow,
+                    _row_ids(block_q, bk, i) >= _col_ids(block_q, bk, jblk))
+            return jnp.where(allow, p, 0.0)
+
+        p = jax.lax.cond(needs, masked, lambda p: p, p)
+        dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        ds = jax.lax.cond(needs, masked, lambda x: x, ds)
+        dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start_q, num_q, body, (z, z))
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _specs_qkv(block_q, sk, d):
+    return [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, *_: (b_, h_, i, 0)),
+        pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i, *_: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i, *_: (b_, h_, 0, 0)),
+    ]
+
+
+def flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q, block_k,
+                      interpret=False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, sq // block_q),
+        in_specs=_specs_qkv(block_q, sk, d),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, *_: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b_, h_, i, *_: (b_, h_, i, 0)),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
+                          block_k=block_k, seq_k=sk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(lengths, q, k, v)
+    return o, lse
+
+
+def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
+                      block_q, block_k, interpret=False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (b, h, sq, NUM_LANES))
+
+    lm_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                           lambda b_, h_, i, *_: (b_, h_, i, 0))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          block_k=block_k, seq_k=sk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, sq // block_q),
+            in_specs=_specs_qkv(block_q, sk, d) + [
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h_, i, *_: (b_, h_, i, 0)),
+                lm_spec, lm_spec,
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b_, h_, i, *_: (b_, h_, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(lengths, q, k, v, do, lse, delta)
+
+    full_lm = pl.BlockSpec((1, 1, sq, NUM_LANES),
+                           lambda b_, h_, j, *_: (b_, h_, 0, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, seq_q=sq),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, sk // block_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, *_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, j, *_: (b_, h_, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, j, *_: (b_, h_, j, 0)),
+                pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, *_: (b_, h_, 0, 0)),
+                full_lm, full_lm,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, j, *_: (b_, h_, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h_, j, *_: (b_, h_, j, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(lengths, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_lengths_core(q, k, v, lengths, causal, sm_scale, block_q, block_k,
+                       interpret=False):
+    o, _ = flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q,
+                             block_k, interpret)
+    return o
+
+
+def _core_fwd(q, k, v, lengths, causal, sm_scale, block_q, block_k,
+              interpret=False):
+    o, lse = flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q,
+                               block_k, interpret)
+    return o, (q, k, v, lengths, o, lse)
+
+
+def _core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+    q, k, v, lengths, o, lse = res
+    dq, dk, dv = flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal,
+                                   sm_scale, block_q, block_k, interpret)
+    return dq, dk, dv, None
+
+
+flash_lengths_core.defvjp(_core_fwd, _core_bwd)

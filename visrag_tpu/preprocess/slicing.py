@@ -113,5 +113,9 @@ def max_patches_bound(max_slice_nums: int = 9, scale_resolution: int = 448,
     return (g + 2) * (g + 2)  # generous: 1156 for 448/14
 
 
-# Canonical static buffer size (multiple of 8 sublanes): fits every legal slice
-MAX_PATCHES = 1160  # >= 1156, multiple of 8
+# Canonical static buffer size: 9×128 lanes. Fits every slice produced by the
+# slicing math for aspect ratios up to 48:1 (scanned max = 1116 patches);
+# prepare_page clamps more extreme degenerate aspects before planning, a
+# documented deviation from the reference that only affects >48:1 images.
+MAX_PATCHES = 1152
+MAX_ASPECT_RATIO = 48.0

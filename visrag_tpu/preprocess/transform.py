@@ -25,7 +25,7 @@ from typing import List, Tuple
 import numpy as np
 from PIL import Image
 
-from .slicing import MAX_PATCHES, SlicePlan, plan_slices
+from .slicing import MAX_ASPECT_RATIO, MAX_PATCHES, SlicePlan, plan_slices
 
 INCEPTION_MEAN = (0.5, 0.5, 0.5)
 INCEPTION_STD = (0.5, 0.5, 0.5)
@@ -111,6 +111,16 @@ def prepare_page(img: Image.Image, *, max_slice_nums: int = 9,
     Returns (plan, slices) where slices is a list of dicts with keys
     patches/mask/pos_matrix/grid_h/grid_w.
     """
+    w, h = img.size
+    ratio = w / h
+    if ratio > MAX_ASPECT_RATIO or ratio < 1.0 / MAX_ASPECT_RATIO:
+        # degenerate aspect: clamp so slices fit the static patch buffer
+        if ratio > MAX_ASPECT_RATIO:
+            img = img.resize((int(h * MAX_ASPECT_RATIO), h),
+                             Image.Resampling.BICUBIC)
+        else:
+            img = img.resize((w, int(w * MAX_ASPECT_RATIO)),
+                             Image.Resampling.BICUBIC)
     plan = plan_slices(img.size, max_slice_nums, scale_resolution, patch_size,
                        never_split=not slice_mode)
     rendered = render_slices(img, plan)
