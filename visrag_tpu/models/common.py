@@ -17,11 +17,14 @@ class RMSNorm(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32
 
+    use_pallas: bool = False  # measured: XLA's fusion is already at par
+
     @nn.compact
     def __call__(self, x):
-        from ..ops.norms import rmsnorm
+        from ..ops.norms import _rmsnorm_xla, rmsnorm
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
-        return rmsnorm(x, weight, self.eps).astype(self.dtype)
+        fn = rmsnorm if self.use_pallas else _rmsnorm_xla
+        return fn(x, weight, self.eps).astype(self.dtype)
 
 
 class LayerNorm(nn.Module):
@@ -31,12 +34,15 @@ class LayerNorm(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32
 
+    use_pallas: bool = False
+
     @nn.compact
     def __call__(self, x):
-        from ..ops.norms import layernorm
+        from ..ops.norms import _layernorm_xla, layernorm
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        return layernorm(x, weight, bias, self.eps).astype(self.dtype)
+        fn = layernorm if self.use_pallas else _layernorm_xla
+        return fn(x, weight, bias, self.eps).astype(self.dtype)
 
 
 class Dense(nn.Module):

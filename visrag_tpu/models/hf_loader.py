@@ -160,3 +160,71 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
             for k in sf.keys():
                 state[k] = sf.get_tensor(k)
     return state
+
+
+# --- Qwen2.5-VL ------------------------------------------------------------
+
+
+def convert_qwen25_vl(state: Mapping[str, "np.ndarray"]) -> dict:
+    """HF Qwen2_5_VLForConditionalGeneration state_dict → flax params for
+    models.qwen25_vl.Qwen25VL. Handles both HF key layouts ('model.layers.*'
+    pre-4.52 and 'model.language_model.layers.*' after)."""
+    params: dict = {}
+    for name, t in state.items():
+        v = _np(t)
+        # normalize prefixes
+        name = name.replace("model.language_model.", "model.")
+        name = name.replace("model.visual.", "visual.")
+        if name.startswith("visual."):
+            rest = name[len("visual."):]
+            if rest == "patch_embed.proj.weight":
+                _set(params, "visual.patch_embed.weight",
+                     v.reshape(v.shape[0], -1))
+            elif (m := re.match(r"blocks\.(\d+)\.(.+)", rest)):
+                i, sub = m.group(1), m.group(2)
+                rename = {
+                    "norm1.weight": "norm1.weight",
+                    "norm2.weight": "norm2.weight",
+                    "attn.qkv.weight": "attn_qkv.weight",
+                    "attn.qkv.bias": "attn_qkv.bias",
+                    "attn.proj.weight": "attn_proj.weight",
+                    "attn.proj.bias": "attn_proj.bias",
+                    "mlp.gate_proj.weight": "mlp_gate.weight",
+                    "mlp.gate_proj.bias": "mlp_gate.bias",
+                    "mlp.up_proj.weight": "mlp_up.weight",
+                    "mlp.up_proj.bias": "mlp_up.bias",
+                    "mlp.down_proj.weight": "mlp_down.weight",
+                    "mlp.down_proj.bias": "mlp_down.bias",
+                }
+                if sub in rename:
+                    _set(params, f"visual.blocks_{i}.{rename[sub]}", v)
+            elif rest == "merger.ln_q.weight":
+                _set(params, "visual.merger_ln_q.weight", v)
+            elif rest == "merger.mlp.0.weight":
+                _set(params, "visual.merger_fc1.weight", v)
+            elif rest == "merger.mlp.0.bias":
+                _set(params, "visual.merger_fc1.bias", v)
+            elif rest == "merger.mlp.2.weight":
+                _set(params, "visual.merger_fc2.weight", v)
+            elif rest == "merger.mlp.2.bias":
+                _set(params, "visual.merger_fc2.bias", v)
+        elif (m := re.match(r"model\.layers\.(\d+)\.(.+)", name)):
+            i, sub = m.group(1), m.group(2)
+            rename = {
+                "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
+                "self_attn.v_proj": "attn_v", "self_attn.o_proj": "attn_o",
+                "mlp.gate_proj": "mlp_gate", "mlp.up_proj": "mlp_up",
+                "mlp.down_proj": "mlp_down",
+                "input_layernorm": "input_layernorm",
+                "post_attention_layernorm": "post_attention_layernorm",
+            }
+            mod, _, leaf = sub.rpartition(".")
+            if mod in rename:
+                _set(params, f"model.layers_{i}.{rename[mod]}.{leaf}", v)
+        elif name == "model.embed_tokens.weight":
+            _set(params, "model.embed_tokens.embedding", v)
+        elif name == "model.norm.weight":
+            _set(params, "model.norm.weight", v)
+        elif name == "lm_head.weight":
+            _set(params, "lm_head.weight", v)
+    return params

@@ -1,0 +1,326 @@
+"""Qwen2.5-VL (3B/7B) in JAX — the EVisRAG model family.
+
+Replaces the reference's HF+flash-attn+Ulysses monkey-patched model
+(/root/reference/src/rsgrpo/verl/models/transformers/qwen2_vl.py and
+monkey_patch.py) and the vLLM serving model (src/evisrag/predict.py:112-117)
+with one flax implementation used for training AND serving.
+
+TPU-first vision tower: the HF implementation splits per-window chunks in a
+Python loop under sdpa (modeling_qwen2_5_vl.py:239-260); here window/full
+attention are both ONE packed flash-attention call with segment ids (windows
+are segments; full-attention layers use per-image segments), on a
+statically-padded patch stream. Host prep (preprocess/qwen_vision.py) supplies
+the window permutation, segment ids, and rotary tables.
+
+Text model: Qwen2 decoder (GQA, qkv bias, RMSNorm, SwiGLU, rope θ=1e6) with
+3-D mrope sections (models/mrope.py) and tied embeddings for the 3B size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import flash_attention
+from .common import Dense, RMSNorm
+from .mrope import apply_rope_cos_sin, mrope_cos_sin
+
+
+# ---------------------------------------------------------------------------
+# Configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVisionConfig:
+    depth: int = 32
+    hidden_size: int = 1280
+    intermediate_size: int = 3456
+    num_heads: int = 16
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    window_size: int = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    out_hidden_size: int = 2048
+    rms_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.temporal_patch_size * self.patch_size ** 2  # 1176
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(depth=2, hidden_size=32, intermediate_size=64, num_heads=2,
+                 fullatt_block_indexes=(1,), out_hidden_size=48,
+                 dtype=jnp.float32)
+        d.update(kw)
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenTextConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 2048
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 36
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 2
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    mrope_section: Tuple[int, ...] = (16, 24, 24)
+    tie_word_embeddings: bool = True
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(vocab_size=128, hidden_size=48, intermediate_size=96,
+                 num_hidden_layers=2, num_attention_heads=4,
+                 num_key_value_heads=2, mrope_section=(2, 2, 2),
+                 dtype=jnp.float32)
+        d.update(kw)
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen25VLConfig:
+    vision: QwenVisionConfig = QwenVisionConfig()
+    text: QwenTextConfig = QwenTextConfig()
+    image_token_id: int = 151655
+    vision_start_token_id: int = 151652
+
+    @classmethod
+    def b3(cls):
+        """Qwen2.5-VL-3B-Instruct dims."""
+        return cls(vision=QwenVisionConfig(out_hidden_size=2048),
+                   text=QwenTextConfig())
+
+    @classmethod
+    def b7(cls):
+        """Qwen2.5-VL-7B-Instruct dims."""
+        return cls(
+            vision=QwenVisionConfig(out_hidden_size=3584),
+            text=QwenTextConfig(hidden_size=3584, intermediate_size=18944,
+                                num_hidden_layers=28, num_attention_heads=28,
+                                num_key_value_heads=4, vocab_size=152064,
+                                tie_word_embeddings=False))
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(vision=QwenVisionConfig.tiny(out_hidden_size=48),
+                 text=QwenTextConfig.tiny(),
+                 image_token_id=120, vision_start_token_id=119)
+        d.update(kw)
+        return cls(**d)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+class QwenVisionBlock(nn.Module):
+    cfg: QwenVisionConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, seg):
+        c = self.cfg
+        s, e = x.shape
+        h, d = c.num_heads, c.head_dim
+        y = RMSNorm(e, c.rms_eps, c.dtype, name="norm1")(x)
+        qkv = Dense(e, 3 * e, use_bias=True, dtype=c.dtype, name="attn_qkv")(y)
+        q, k, v = jnp.split(qkv.reshape(s, 3, h, d), 3, axis=1)
+        q, k, v = (t[:, 0][None] for t in (q, k, v))       # (1, S, H, D)
+        q, k = apply_rope_cos_sin(q, k, cos[None], sin[None])
+        o = flash_attention(q, k, v, seg[None], seg[None], causal=False)
+        o = Dense(e, e, use_bias=True, dtype=c.dtype,
+                  name="attn_proj")(o.reshape(s, e))
+        x = x + o
+        y = RMSNorm(e, c.rms_eps, c.dtype, name="norm2")(x)
+        gate = Dense(e, c.intermediate_size, use_bias=True, dtype=c.dtype,
+                     name="mlp_gate")(y)
+        up = Dense(e, c.intermediate_size, use_bias=True, dtype=c.dtype,
+                   name="mlp_up")(y)
+        y = Dense(c.intermediate_size, e, use_bias=True, dtype=c.dtype,
+                  name="mlp_down")(nn.silu(gate) * up)
+        return x + y
+
+
+class QwenVisionTower(nn.Module):
+    """Packed-stream vision tower.
+
+    Inputs (host-prepared, window-permuted order, padded to S_pad):
+      patches:    (S_pad, patch_dim) pixel patches;
+      rot_cos/rot_sin: (S_pad, head_dim) rotary tables;
+      seg_window: (S_pad,) window segment ids (≥1 real, 0 pad);
+      seg_full:   (S_pad,) image segment ids for full-attention layers;
+      reverse_index: (S_pad/merge²,) gather indices restoring image order on
+                  the merged stream (pad slots point at a pad row).
+    Returns (S_pad/merge², out_hidden) merged tokens in image order.
+    """
+    cfg: QwenVisionConfig
+
+    @nn.compact
+    def __call__(self, patches, rot_cos, rot_sin, seg_window, seg_full,
+                 reverse_index):
+        c = self.cfg
+        x = Dense(c.patch_dim, c.hidden_size, use_bias=False, dtype=c.dtype,
+                  name="patch_embed")(patches.astype(c.dtype))
+        block = QwenVisionBlock
+        if c.remat:
+            block = nn.remat(QwenVisionBlock, prevent_cse=False)
+        for i in range(c.depth):
+            seg = seg_full if i in c.fullatt_block_indexes else seg_window
+            x = block(c, name=f"blocks_{i}")(x, rot_cos, rot_sin, seg)
+
+        # merger: RMSNorm then group merge² neighbors → MLP
+        mu = c.spatial_merge_size ** 2
+        y = RMSNorm(c.hidden_size, c.rms_eps, c.dtype, name="merger_ln_q")(x)
+        y = y.reshape(-1, mu * c.hidden_size)
+        y = Dense(mu * c.hidden_size, mu * c.hidden_size, use_bias=True,
+                  dtype=c.dtype, name="merger_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = Dense(mu * c.hidden_size, c.out_hidden_size, use_bias=True,
+                  dtype=c.dtype, name="merger_fc2")(y)
+        return y[reverse_index]
+
+
+# ---------------------------------------------------------------------------
+# Text model
+# ---------------------------------------------------------------------------
+
+
+class QwenTextBlock(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, seg, lengths):
+        c = self.cfg
+        b, s, e = x.shape
+        h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        y = RMSNorm(e, c.rms_norm_eps, c.dtype, name="input_layernorm")(x)
+        q = Dense(e, h * d, use_bias=True, dtype=c.dtype,
+                  name="attn_q")(y).reshape(b, s, h, d)
+        k = Dense(e, hk * d, use_bias=True, dtype=c.dtype,
+                  name="attn_k")(y).reshape(b, s, hk, d)
+        v = Dense(e, hk * d, use_bias=True, dtype=c.dtype,
+                  name="attn_v")(y).reshape(b, s, hk, d)
+        q, k = apply_rope_cos_sin(q, k, cos, sin)
+        if lengths is not None:
+            o = flash_attention(q, k, v, lengths=lengths, causal=True)
+        else:
+            o = flash_attention(q, k, v, seg, seg, causal=True)
+        o = Dense(h * d, e, use_bias=False, dtype=c.dtype,
+                  name="attn_o")(o.reshape(b, s, h * d))
+        x = x + o
+        y = RMSNorm(e, c.rms_norm_eps, c.dtype,
+                    name="post_attention_layernorm")(x)
+        gate = Dense(e, c.intermediate_size, use_bias=False, dtype=c.dtype,
+                     name="mlp_gate")(y)
+        up = Dense(e, c.intermediate_size, use_bias=False, dtype=c.dtype,
+                   name="mlp_up")(y)
+        y = Dense(c.intermediate_size, e, use_bias=False, dtype=c.dtype,
+                  name="mlp_down")(nn.silu(gate) * up)
+        return x + y
+
+
+class QwenTextModel(nn.Module):
+    cfg: QwenTextConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
+                                     param_dtype=jnp.float32, dtype=c.dtype,
+                                     name="embed_tokens")
+        block = QwenTextBlock
+        if c.remat:
+            block = nn.remat(QwenTextBlock, prevent_cse=False)
+        self.layers = [block(c, name=f"layers_{i}")
+                       for i in range(c.num_hidden_layers)]
+        self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
+                            name="norm")
+
+    def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
+                 attention_mask=None, segment_ids=None):
+        """positions: (3, B, S) mrope streams (or (B, S) → broadcast)."""
+        c = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        b, s, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        if positions.ndim == 2:
+            positions = jnp.broadcast_to(positions[None], (3, b, s))
+        inv_freq = 1.0 / (c.rope_theta ** (
+            jnp.arange(0, c.head_dim, 2, dtype=jnp.float32) / c.head_dim))
+        cos, sin = mrope_cos_sin(positions, inv_freq, c.mrope_section)
+
+        if segment_ids is not None:
+            seg, lengths = segment_ids.astype(jnp.int32), None
+        else:
+            if attention_mask is None:
+                attention_mask = jnp.ones((b, s), jnp.int32)
+            seg = None
+            lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+
+        x = inputs_embeds.astype(c.dtype)
+        for layer in self.layers:
+            x = layer(x, cos, sin, seg, lengths)
+        return self.norm(x)
+
+
+class Qwen25VL(nn.Module):
+    """Full conditional-generation model: vision tokens scattered into the
+    text stream by slot map (same contract as MiniCPMV), then lm_head."""
+    cfg: Qwen25VLConfig
+
+    def setup(self):
+        self.visual = QwenVisionTower(self.cfg.vision, name="visual")
+        self.model = QwenTextModel(self.cfg.text, name="model")
+        if not self.cfg.text.tie_word_embeddings:
+            self.lm_head = Dense(self.cfg.text.hidden_size,
+                                 self.cfg.text.vocab_size, use_bias=False,
+                                 dtype=self.cfg.text.dtype, name="lm_head")
+
+    def encode_images(self, vision_batch: dict):
+        return self.visual(vision_batch["patches"], vision_batch["rot_cos"],
+                           vision_batch["rot_sin"], vision_batch["seg_window"],
+                           vision_batch["seg_full"],
+                           vision_batch["reverse_index"])
+
+    def compute_logits(self, hidden):
+        if self.cfg.text.tie_word_embeddings:
+            emb = self.model.embed_tokens.embedding
+            return jnp.einsum("bsd,vd->bsv", hidden,
+                              emb.astype(hidden.dtype))
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids, attention_mask=None, positions=None,
+                 vision_batch=None, slot_map=None, segment_ids=None):
+        embeds = self.model.embed_tokens(input_ids)
+        if vision_batch is not None:
+            vis = self.encode_images(vision_batch)
+            safe = jnp.maximum(slot_map, 0)
+            gathered = vis[safe.reshape(-1)].reshape(*slot_map.shape, -1)
+            embeds = jnp.where((slot_map >= 0)[..., None],
+                               gathered.astype(embeds.dtype), embeds)
+        hidden = self.model(inputs_embeds=embeds, positions=positions,
+                            attention_mask=attention_mask,
+                            segment_ids=segment_ids)
+        return self.compute_logits(hidden), hidden
