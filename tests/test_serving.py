@@ -1,0 +1,114 @@
+"""Serving engine: KV-cache decode parity with full forward, greedy match vs
+HF generate, continuous batching bookkeeping."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+from visrag_tpu.serving.engine import Engine
+from visrag_tpu.serving.sampling import SamplingParams, sample
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    ref, cfg = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    return ref, model, params
+
+
+def test_decode_matches_full_forward(tiny_model):
+    """Incremental decode logits == full-forward logits at each position."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 100, size=(1, 8)).astype(np.int32)
+
+    full_logits, _ = model.apply(params, jnp.asarray(ids))
+    full_logits = np.asarray(full_logits)
+
+    # prefill first 5 tokens, then decode 3 more
+    pre = ids[:, :5]
+    pos = np.broadcast_to(np.arange(5), (3, 1, 5))
+    logits, k, v = model.apply(params, jnp.asarray(pre),
+                               positions=jnp.asarray(pos),
+                               method=model.prefill)
+    np.testing.assert_allclose(np.asarray(logits)[0], full_logits[0, :5],
+                               rtol=2e-4, atol=2e-4)
+
+    layers = k.shape[0]
+    max_len = 16
+    kc = np.zeros((layers, 1, max_len) + k.shape[3:], np.float32)
+    vc = np.zeros_like(kc)
+    kc[:, :, :5] = np.asarray(k)
+    vc[:, :, :5] = np.asarray(v)
+    length = 5
+    for t in range(5, 8):
+        tok = ids[:, t:t + 1]
+        pos_t = np.full((3, 1, 1), t, np.int32)
+        lg, kn, vn = model.apply(params, jnp.asarray(tok),
+                                 jnp.asarray(pos_t), jnp.asarray(kc),
+                                 jnp.asarray(vc),
+                                 jnp.asarray([length + 1], jnp.int32),
+                                 method=model.decode)
+        np.testing.assert_allclose(np.asarray(lg)[0], full_logits[0, t],
+                                   rtol=3e-4, atol=3e-4)
+        kc[:, 0, length] = np.asarray(kn)[:, 0]
+        vc[:, 0, length] = np.asarray(vn)[:, 0]
+        length += 1
+
+
+def test_engine_greedy_matches_hf(tiny_model):
+    import torch
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 100, size=(6,)).astype(np.int32)
+    with torch.no_grad():
+        out = ref.generate(torch.tensor(prompt[None].astype(np.int64)),
+                           max_new_tokens=6, do_sample=False)
+    want = out[0, 6:].numpy().tolist()
+
+    eng = Engine(model, params, num_slots=2, max_len=64,
+                 prompt_buckets=(16, 32))
+    outs = eng.generate(
+        [dict(input_ids=prompt)],
+        sampling=SamplingParams(temperature=0.0, max_tokens=6))
+    assert outs[0] == want
+
+
+def test_engine_continuous_batching(tiny_model):
+    """More requests than slots; all complete with correct lengths."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(2)
+    eng = Engine(model, params, num_slots=2, max_len=64,
+                 prompt_buckets=(16,))
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,)).astype(np.int32))
+               for n in (4, 7, 5, 9, 3)]
+    outs = eng.generate(prompts, sampling=SamplingParams(temperature=0.0,
+                                                         max_tokens=4))
+    assert len(outs) == 5
+    assert all(len(o) == 4 for o in outs)
+    # determinism: same prompt twice → same continuation
+    eng2 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    outs2 = eng2.generate([prompts[0], prompts[0]],
+                          sampling=SamplingParams(temperature=0.0, max_tokens=4))
+    assert outs2[0] == outs2[1]
+
+
+def test_sampling_top_p_and_penalty():
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 10.0]])
+    # top_p tiny → only argmax survives
+    p = SamplingParams(temperature=1.0, top_p=0.1)
+    tok = sample(logits, rng, p)
+    assert int(tok[0]) == 3
+    # repetition penalty pushes down a seen dominant token
+    seen = jnp.asarray([[False, False, False, True]])
+    p2 = SamplingParams(temperature=0.0, repetition_penalty=100.0)
+    tok2 = sample(jnp.asarray([[2.0, 1.9, 0.0, 2.05]]), rng, p2, seen)
+    assert int(tok2[0]) == 0

@@ -209,35 +209,66 @@ class QwenVisionTower(nn.Module):
 class QwenTextBlock(nn.Module):
     cfg: QwenTextConfig
 
-    @nn.compact
-    def __call__(self, x, cos, sin, seg, lengths):
+    def setup(self):
+        c = self.cfg
+        e = c.hidden_size
+        h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        self.input_layernorm = RMSNorm(e, c.rms_norm_eps, c.dtype,
+                                       name="input_layernorm")
+        self.attn_q = Dense(e, h * d, use_bias=True, dtype=c.dtype, name="attn_q")
+        self.attn_k = Dense(e, hk * d, use_bias=True, dtype=c.dtype, name="attn_k")
+        self.attn_v = Dense(e, hk * d, use_bias=True, dtype=c.dtype, name="attn_v")
+        self.attn_o = Dense(h * d, e, use_bias=False, dtype=c.dtype, name="attn_o")
+        self.post_attention_layernorm = RMSNorm(
+            e, c.rms_norm_eps, c.dtype, name="post_attention_layernorm")
+        self.mlp_gate = Dense(e, c.intermediate_size, use_bias=False,
+                              dtype=c.dtype, name="mlp_gate")
+        self.mlp_up = Dense(e, c.intermediate_size, use_bias=False,
+                            dtype=c.dtype, name="mlp_up")
+        self.mlp_down = Dense(c.intermediate_size, e, use_bias=False,
+                              dtype=c.dtype, name="mlp_down")
+
+    def _qkv(self, x, cos, sin):
         c = self.cfg
         b, s, e = x.shape
         h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        y = RMSNorm(e, c.rms_norm_eps, c.dtype, name="input_layernorm")(x)
-        q = Dense(e, h * d, use_bias=True, dtype=c.dtype,
-                  name="attn_q")(y).reshape(b, s, h, d)
-        k = Dense(e, hk * d, use_bias=True, dtype=c.dtype,
-                  name="attn_k")(y).reshape(b, s, hk, d)
-        v = Dense(e, hk * d, use_bias=True, dtype=c.dtype,
-                  name="attn_v")(y).reshape(b, s, hk, d)
+        y = self.input_layernorm(x)
+        q = self.attn_q(y).reshape(b, s, h, d)
+        k = self.attn_k(y).reshape(b, s, hk, d)
+        v = self.attn_v(y).reshape(b, s, hk, d)
         q, k = apply_rope_cos_sin(q, k, cos, sin)
+        return q, k, v
+
+    def _mlp_residual(self, x, attn_out):
+        b, s, _ = x.shape
+        x = x + self.attn_o(attn_out.reshape(b, s, -1))
+        y = self.post_attention_layernorm(x)
+        y = self.mlp_down(nn.silu(self.mlp_gate(y)) * self.mlp_up(y))
+        return x + y
+
+    def __call__(self, x, cos, sin, seg, lengths, return_kv=False):
+        q, k, v = self._qkv(x, cos, sin)
         if lengths is not None:
             o = flash_attention(q, k, v, lengths=lengths, causal=True)
         else:
             o = flash_attention(q, k, v, seg, seg, causal=True)
-        o = Dense(h * d, e, use_bias=False, dtype=c.dtype,
-                  name="attn_o")(o.reshape(b, s, h * d))
-        x = x + o
-        y = RMSNorm(e, c.rms_norm_eps, c.dtype,
-                    name="post_attention_layernorm")(x)
-        gate = Dense(e, c.intermediate_size, use_bias=False, dtype=c.dtype,
-                     name="mlp_gate")(y)
-        up = Dense(e, c.intermediate_size, use_bias=False, dtype=c.dtype,
-                   name="mlp_up")(y)
-        y = Dense(c.intermediate_size, e, use_bias=False, dtype=c.dtype,
-                  name="mlp_down")(nn.silu(gate) * up)
-        return x + y
+        out = self._mlp_residual(x, o)
+        return (out, (k, v)) if return_kv else out
+
+    def decode(self, x, cos, sin, k_cache, v_cache, lengths_incl):
+        """x (B, 1, E); k_cache/v_cache (B, L_max, kvh, d); lengths_incl
+        counts INCLUDING this step's token. Returns (out, k_new, v_new) with
+        k_new/v_new (B, kvh, d) for the engine to write into the cache."""
+        from ..serving.kv_cache import decode_attention
+        q, k, v = self._qkv(x, cos, sin)
+        # attention against cache + the current token (not yet written)
+        b = x.shape[0]
+        pos = lengths_incl - 1
+        kc = k_cache.at[jnp.arange(b), pos].set(k[:, 0].astype(k_cache.dtype))
+        vc = v_cache.at[jnp.arange(b), pos].set(v[:, 0].astype(v_cache.dtype))
+        o = decode_attention(q[:, 0], kc, vc, lengths_incl)
+        out = self._mlp_residual(x, o[:, None])
+        return out, k[:, 0], v[:, 0]
 
 
 class QwenTextModel(nn.Module):
@@ -256,20 +287,24 @@ class QwenTextModel(nn.Module):
         self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
                             name="norm")
 
-    def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
-                 attention_mask=None, segment_ids=None):
-        """positions: (3, B, S) mrope streams (or (B, S) → broadcast)."""
+    def _cos_sin(self, positions, b, s):
         c = self.cfg
-        if inputs_embeds is None:
-            inputs_embeds = self.embed_tokens(input_ids)
-        b, s, _ = inputs_embeds.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
         if positions.ndim == 2:
             positions = jnp.broadcast_to(positions[None], (3, b, s))
         inv_freq = 1.0 / (c.rope_theta ** (
             jnp.arange(0, c.head_dim, 2, dtype=jnp.float32) / c.head_dim))
-        cos, sin = mrope_cos_sin(positions, inv_freq, c.mrope_section)
+        return mrope_cos_sin(positions, inv_freq, c.mrope_section)
+
+    def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
+                 attention_mask=None, segment_ids=None, return_kv=False):
+        """positions: (3, B, S) mrope streams (or (B, S) → broadcast)."""
+        c = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        b, s, _ = inputs_embeds.shape
+        cos, sin = self._cos_sin(positions, b, s)
 
         if segment_ids is not None:
             seg, lengths = segment_ids.astype(jnp.int32), None
@@ -280,9 +315,30 @@ class QwenTextModel(nn.Module):
             lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
         x = inputs_embeds.astype(c.dtype)
+        kvs = []
         for layer in self.layers:
-            x = layer(x, cos, sin, seg, lengths)
-        return self.norm(x)
+            if return_kv:
+                x, kv = layer(x, cos, sin, seg, lengths, return_kv=True)
+                kvs.append(kv)
+            else:
+                x = layer(x, cos, sin, seg, lengths)
+        out = self.norm(x)
+        return (out, kvs) if return_kv else out
+
+    def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl):
+        """One decode step. inputs_embeds (B, 1, E); positions (3, B, 1);
+        k_cache/v_cache (layers, B, L_max, kvh, d). Returns
+        (hidden (B,1,E), k_new (layers,B,kvh,d), v_new (layers,B,kvh,d))."""
+        b = inputs_embeds.shape[0]
+        cos, sin = self._cos_sin(positions, b, 1)
+        x = inputs_embeds.astype(self.cfg.dtype)
+        k_news, v_news = [], []
+        for i, layer in enumerate(self.layers):
+            x, kn, vn = layer.decode(x, cos, sin, k_cache[i], v_cache[i],
+                                     lengths_incl)
+            k_news.append(kn)
+            v_news.append(vn)
+        return self.norm(x), jnp.stack(k_news), jnp.stack(v_news)
 
 
 class Qwen25VL(nn.Module):
@@ -311,8 +367,7 @@ class Qwen25VL(nn.Module):
                               emb.astype(hidden.dtype))
         return self.lm_head(hidden)
 
-    def __call__(self, input_ids, attention_mask=None, positions=None,
-                 vision_batch=None, slot_map=None, segment_ids=None):
+    def _embed(self, input_ids, vision_batch, slot_map):
         embeds = self.model.embed_tokens(input_ids)
         if vision_batch is not None:
             vis = self.encode_images(vision_batch)
@@ -320,7 +375,31 @@ class Qwen25VL(nn.Module):
             gathered = vis[safe.reshape(-1)].reshape(*slot_map.shape, -1)
             embeds = jnp.where((slot_map >= 0)[..., None],
                                gathered.astype(embeds.dtype), embeds)
+        return embeds
+
+    def __call__(self, input_ids, attention_mask=None, positions=None,
+                 vision_batch=None, slot_map=None, segment_ids=None):
+        embeds = self._embed(input_ids, vision_batch, slot_map)
         hidden = self.model(inputs_embeds=embeds, positions=positions,
                             attention_mask=attention_mask,
                             segment_ids=segment_ids)
         return self.compute_logits(hidden), hidden
+
+    def prefill(self, input_ids, attention_mask=None, positions=None,
+                vision_batch=None, slot_map=None):
+        """Forward returning per-layer K/V for cache population.
+        → (logits (B,S,V), k (layers,B,S,kvh,d), v (layers,B,S,kvh,d))."""
+        embeds = self._embed(input_ids, vision_batch, slot_map)
+        hidden, kvs = self.model(inputs_embeds=embeds, positions=positions,
+                                 attention_mask=attention_mask,
+                                 return_kv=True)
+        k = jnp.stack([kv[0] for kv in kvs])
+        v = jnp.stack([kv[1] for kv in kvs])
+        return self.compute_logits(hidden), k, v
+
+    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl):
+        """token_ids (B, 1); → (logits (B, V), k_new, v_new)."""
+        embeds = self.model.embed_tokens(token_ids)
+        hidden, k_new, v_new = self.model.decode(
+            embeds, positions, k_cache, v_cache, lengths_incl)
+        return self.compute_logits(hidden)[:, 0], k_new, v_new

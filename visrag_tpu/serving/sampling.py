@@ -1,0 +1,57 @@
+"""Token sampling for the serving engine.
+
+Matches the reference's vLLM SamplingParams surface used by EVisRAG
+(predict.py:119-123: temperature, repetition_penalty=1.05, max_tokens) and the
+RS-GRPO rollout (rollout/config.py: temperature, top_p, n samples).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0                 # 0 = disabled
+    repetition_penalty: float = 1.0
+    max_tokens: int = 2048
+    stop_token_ids: Sequence[int] = ()
+
+
+def apply_repetition_penalty(logits, seen_mask, penalty: float):
+    """vLLM/HF semantics: logits of already-generated-or-prompt tokens are
+    divided by `penalty` if positive, multiplied if negative.
+    seen_mask: (B, V) bool."""
+    if penalty == 1.0:
+        return logits
+    scaled = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, scaled, logits)
+
+
+def sample(logits, rng, params: SamplingParams, seen_mask=None):
+    """logits (B, V) → token ids (B,). Greedy when temperature == 0."""
+    logits = logits.astype(jnp.float32)
+    if seen_mask is not None:
+        logits = apply_repetition_penalty(logits, seen_mask,
+                                          params.repetition_penalty)
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / params.temperature
+    if params.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if params.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
