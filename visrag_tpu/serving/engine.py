@@ -43,6 +43,7 @@ class Request:
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    cum_logprob: float = 0.0
     done: bool = False
 
 
@@ -132,6 +133,7 @@ class Engine:
         last_logits = logits[0, s - 1][None]
         seen = self._seen_mask([req])
         tok = int(np.asarray(sample(last_logits, rng, req.sampling, seen))[0])
+        self._accumulate_logprob([req], np.asarray(last_logits), [tok])
         self._append_token(req, slot, tok)
         return tok
 
@@ -143,6 +145,15 @@ class Engine:
             if r.output_ids:
                 m[i, np.asarray(r.output_ids, np.int64) % vocab] = True
         return jnp.asarray(m)
+
+    def _accumulate_logprob(self, reqs, logits, toks):
+        """Track Σ log p(token) per request (sequence scores for the
+        weighted-selection strategy, reference weighted_selection/...:394-424)."""
+        logits = np.asarray(logits, np.float64)
+        mx = logits.max(-1)
+        logz = np.log(np.sum(np.exp(logits - mx[:, None]), axis=-1)) + mx
+        for j, (r, t) in enumerate(zip(reqs, toks)):
+            r.cum_logprob += float(logits[j, int(t)] - logz[j])
 
     def _append_token(self, req: Request, slot: int, tok: int):
         req.output_ids.append(tok)
@@ -178,8 +189,10 @@ class Engine:
         reqs = [self.slot_req[i] for i in active]
         seen = self._seen_mask(reqs)
         sampling = reqs[0].sampling  # per-batch params (engine-level contract)
-        toks_new = np.asarray(sample(jnp.asarray(np.asarray(logits)[active]),
+        active_logits = np.asarray(logits)[active]
+        toks_new = np.asarray(sample(jnp.asarray(active_logits),
                                      rng, sampling, seen))
+        self._accumulate_logprob(reqs, active_logits, toks_new.tolist())
         for j, i in enumerate(active):
             self.lengths[i] += 1
             self._append_token(self.slot_req[i], i, int(toks_new[j]))
