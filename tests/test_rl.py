@@ -1,0 +1,250 @@
+"""RS-GRPO RL stack: reward parity, advantage parity, PPO-loss parity vs the
+reference torch code (AST-extracted), seqlen balancing, tiny end-to-end fit."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visrag_tpu.rl.advantage import (compute_advantage, grpo_advantage,
+                                     rloo_advantage, router_advantage)
+from visrag_tpu.rl.ppo import (average_loss, compute_kl, compute_policy_loss,
+                               combine_channel_losses, log_probs_from_logits)
+from visrag_tpu.rl.rewards import (REWARD_CHANNELS, accuracy_reward,
+                                   build_reward_masks, compute_rewards,
+                                   evidence_reward, find_first_subsequence,
+                                   format_reward, is_observe_punishment,
+                                   is_think_punishment, overlong_punishment,
+                                   score_response)
+from visrag_tpu.rl.seqlen import (balanced_partitions, balance_metrics,
+                                  reorder_for_dp, token_budget_micro_batches)
+
+from ref_oracle import load_functions
+
+GOOD = ("<observe>img1 shows a chart</observe> <evidence>\n[1]: the 2020 "
+        "value is 42\n[2]: no relevant information\n</evidence> <think>the "
+        "answer is 42</think> <answer>42</answer>")
+GT = "<evidence>[1]: the 2020 value is 42\n[2]: no relevant information</evidence><answer>42</answer>"
+
+
+def _ref_reward_fns():
+    import re, string
+    from collections import Counter
+    return load_functions(
+        "src/rsgrpo/examples/reward_function/evidencecot.py",
+        ["normalize_answer_qa", "f1_match", "em_match", "accuracy_reward",
+         "evidence_reward", "format_reward", "soft_overlong_punishment",
+         "isObserve_punishment", "isThink_punishment"],
+        extra_ns={"re": re, "string": string, "Counter": Counter})
+
+
+def test_reward_channels_match_reference():
+    fns = _ref_reward_fns()
+    cases = [(GOOD, GT), ("<answer>blue</answer>", "<answer>red</answer>"),
+             ("no tags at all", GT),
+             ("<observe>[1] is a chart</observe><evidence>[1]: x</evidence>"
+              "<think>t</think><answer>t</answer>", GT)]
+    for resp, gt in cases:
+        assert accuracy_reward(resp, gt) == pytest.approx(
+            fns["accuracy_reward"](resp, gt)), resp
+        assert evidence_reward(resp, gt) == pytest.approx(
+            fns["evidence_reward"](resp, gt)), resp
+        assert format_reward(resp) == fns["format_reward"](resp, gt), resp
+        assert is_observe_punishment(resp) == fns["isObserve_punishment"](resp)
+        assert is_think_punishment(resp) == fns["isThink_punishment"](resp)
+    for ln in (100, 300, 1100, 1400, 1600):
+        assert overlong_punishment(ln) == fns["soft_overlong_punishment"](
+            ln, 1536, 512, 200)
+
+
+def test_score_response_weighting():
+    s = score_response(GOOD, GT, 400)
+    assert s["format"] == 1.0
+    assert s["accuracy"] == pytest.approx(3.0)
+    assert s["overall"] == pytest.approx(
+        s["accuracy"] + s["evidence"] + s["format"] + s["overlong"] +
+        s["isObserve"] + s["isThink"])
+
+
+def test_reward_masks_spans():
+    # tags as single tokens: <think>=50, <evidence>=51, <answer>=52
+    tags = {"<think>": [50], "<evidence>": [51], "<answer>": [52]}
+    ids = np.array([[9, 51, 9, 9, 50, 9, 52, 9, 0, 0]])
+    rmask = np.array([[1, 1, 1, 1, 1, 1, 1, 1, 0, 0]])
+    masks = build_reward_masks(ids, rmask, tags)
+    ch = {c: i for i, c in enumerate(REWARD_CHANNELS)}
+    # accuracy: <think>(pos 4) → end (valid)
+    np.testing.assert_array_equal(masks[0, ch["accuracy"]],
+                                  [0, 0, 0, 0, 1, 1, 1, 1, 0, 0])
+    # evidence: start → <think>
+    np.testing.assert_array_equal(masks[0, ch["evidence"]],
+                                  [1, 1, 1, 1, 0, 0, 0, 0, 0, 0])
+    # isObserve: start → <evidence>(pos 1)
+    np.testing.assert_array_equal(masks[0, ch["isObserve"]],
+                                  [1, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+    # isThink: <think> → <answer>
+    np.testing.assert_array_equal(masks[0, ch["isThink"]],
+                                  [0, 0, 0, 0, 1, 1, 0, 0, 0, 0])
+    # format: full response
+    np.testing.assert_array_equal(masks[0, ch["format"]], rmask[0])
+
+
+def test_find_subsequence():
+    row = np.array([1, 2, 3, 4, 2, 3])
+    assert find_first_subsequence(row, np.array([2, 3])) == 1
+    assert find_first_subsequence(row, np.array([3, 2])) == -1
+    assert find_first_subsequence(row, np.array([9])) == -1
+
+
+def test_router_advantage_vs_reference():
+    import torch
+    ref = load_functions("src/rsgrpo/verl/trainer/core_algos.py",
+                         ["compute_router_outcome_advantage"],
+                         extra_ns={"torch": torch, "Tuple": tuple})
+    rng = np.random.default_rng(0)
+    rewards = rng.normal(size=(8, 3)).astype(np.float32)
+    index = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    want, _ = ref["compute_router_outcome_advantage"](
+        torch.tensor(rewards.copy()), torch.ones(8, 5), index)
+    got, _ = router_advantage(rewards, index)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_grpo_advantage_vs_reference():
+    import torch
+    from collections import defaultdict
+    ref = load_functions("src/rsgrpo/verl/trainer/core_algos.py",
+                         ["compute_grpo_outcome_advantage"],
+                         extra_ns={"torch": torch, "defaultdict": defaultdict,
+                                   "Tuple": tuple})
+    rng = np.random.default_rng(1)
+    tok = rng.normal(size=(6, 7)).astype(np.float32)
+    mask = (rng.random((6, 7)) > 0.3).astype(np.float32)
+    index = np.array([0, 0, 0, 1, 1, 1])
+    want, _ = ref["compute_grpo_outcome_advantage"](
+        torch.tensor(tok.copy()), torch.tensor(mask), index)
+    got, _ = grpo_advantage(tok, mask, index)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_policy_loss_vs_reference():
+    import torch
+    import numpy as _np
+
+    class VF:
+        @staticmethod
+        def masked_mean(x, m, eps=1e-8):
+            if not torch.is_tensor(x) or x.dim() == 0:
+                return torch.as_tensor(x)
+            while m.dim() < x.dim():
+                m = m.unsqueeze(1)
+            m = m.expand_as(x)
+            return (x * m).sum() / (m.sum() + eps)
+
+    def ref_average_loss(values, mask, mode, eps=1e-8):
+        if mode == "router":
+            return (values * mask).sum(dim=(0, 2)) / (mask.sum(dim=(0, 2)) + eps)
+        return VF.masked_mean(values, mask, eps=eps)
+
+    ref = load_functions(
+        "src/rsgrpo/verl/trainer/core_algos.py", ["compute_policy_loss"],
+        extra_ns={"torch": torch, "np": _np, "VF": VF,
+                  "average_loss": ref_average_loss, "Tuple": tuple,
+                  "Dict": dict, "Literal": __import__("typing").Literal})
+
+    rng = np.random.default_rng(2)
+    bs, n, ln = 4, 3, 9
+    old = rng.normal(size=(bs, ln)).astype(np.float32) * 0.1 - 2
+    new = old + rng.normal(size=(bs, ln)).astype(np.float32) * 0.2
+    adv = rng.normal(size=(bs, n)).astype(np.float32)
+    rmask = (rng.random((bs, n, ln)) > 0.3).astype(np.float32)
+    resp_mask = np.ones((bs, ln), np.float32)
+
+    want, want_m = ref["compute_policy_loss"](
+        torch.tensor(old), torch.tensor(new), torch.tensor(adv),
+        torch.tensor(resp_mask), torch.tensor(rmask), 0.2, 0.3, 3.0, "token")
+    got, got_m = compute_policy_loss(
+        jnp.asarray(old), jnp.asarray(new), jnp.asarray(adv),
+        jnp.asarray(resp_mask), jnp.asarray(rmask),
+        clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    for k in ("pg_clipfrac_higher", "pg_clipfrac_lower", "ppo_kl"):
+        assert float(got_m[k]) == pytest.approx(want_m[k], abs=1e-4), k
+
+
+def test_kl_variants():
+    lp = jnp.asarray([[0.0, -1.0]])
+    ref = jnp.asarray([[-0.5, -0.5]])
+    assert np.allclose(np.asarray(compute_kl(lp, ref, "kl")), [[0.5, -0.5]])
+    lv = np.asarray(compute_kl(lp, ref, "low_var_kl"))
+    assert (lv >= 0).all()  # low-var estimator is nonnegative
+
+
+def test_seqlen_balancing():
+    rng = np.random.default_rng(3)
+    lens = rng.integers(10, 1000, size=32).tolist()
+    groups = balanced_partitions(lens, 8, equal_size=True)
+    assert sorted(i for g in groups for i in g) == list(range(32))
+    assert all(len(g) == 4 for g in groups)
+    m = balance_metrics(lens, groups)
+    assert m["imbalance"] < 2.0
+    perm = reorder_for_dp(lens, 8)
+    assert sorted(perm.tolist()) == list(range(32))
+    micro, restore = token_budget_micro_batches(lens, max_tokens=1500)
+    flat = [i for g in micro for i in g]
+    assert sorted(flat) == list(range(32))
+    assert [flat[r] for r in restore] == list(range(32))
+    assert all(sum(lens[i] for i in g) <= 1500 or len(g) == 1 for g in micro)
+
+
+def test_rl_fit_smoke():
+    """Tiny Qwen + synthetic prompts: one full RS-GRPO step runs, metrics are
+    finite, params change."""
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import RLConfig, RolloutConfig, RLTrainerConfig
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+
+    cfg = RLConfig()
+    cfg = dataclass_replace(cfg)
+    rng = np.random.default_rng(4)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,)).astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+
+    # decode yields group-varying accuracy so advantages are nonzero
+    def decode(ids):
+        return "<answer>x</answer>" if sum(ids) % 2 == 0 else "wrong"
+
+    trainer = RLTrainer(
+        model, params, cfg,
+        tokenizer_decode=decode,
+        tag_token_ids={"<think>": [50], "<evidence>": [51], "<answer>": [52]},
+        engine_kwargs=dict(num_slots=4, max_len=64, prompt_buckets=(16,)))
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(params["params"])]
+    hist = trainer.fit([prompts])
+    assert len(hist) == 1
+    step, m = hist[0]
+    assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"])
+    after = [np.asarray(x)
+             for x in jax.tree_util.tree_leaves(trainer.params["params"])]
+    if m["grad_norm"] > 0:
+        assert any((a != b).any() for a, b in zip(before, after))
+
+
+def dataclass_replace(cfg):
+    import dataclasses
+    return dataclasses.replace(
+        cfg,
+        rollout=dataclasses.replace(cfg.rollout, n=4, max_response_length=8,
+                                    temperature=1.0),
+        trainer=dataclasses.replace(cfg.trainer, total_steps=1,
+                                    rollout_batch_size=2))
