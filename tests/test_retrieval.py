@@ -71,7 +71,7 @@ def test_sharded_topk_exact():
     c = rng.normal(size=(101, 32)).astype(np.float32)
     fn = make_sharded_topk(mesh, k=10)
     cs = shard_corpus(c, mesh)
-    s, i = fn(jnp.asarray(q), cs)
+    s, i = fn(jnp.asarray(q), cs, jnp.int32(101))
     s, i = np.asarray(s), np.asarray(i)
     ref_s, ref_i = topk_single(jnp.asarray(q), jnp.asarray(c), 10)
     # padded corpus rows are zero vectors; exclude any entries pointing there

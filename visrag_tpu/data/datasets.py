@@ -1,0 +1,195 @@
+"""Training / inference datasets for the retriever.
+
+Parity with the reference data layer (SURVEY.md §2 O8-O10):
+  * MMDRTrainDataset (dataset/train_dataset.py:135-166): parquet rows
+    {query, image{bytes}} → query item (instruction template + text, no image)
+    and passage items ('' text + page image); length from HF split info or a
+    sibling metadata.json {"length": N} (:84-102);
+  * InferenceDataset (dataset/inference_dataset.py): extension dispatch
+    (parquet/tsv/jsonl/in-memory), id extraction trying
+    _id/id/text_id/sample_id/filename/corpus-id/query-id (:25-42), template
+    fill, empty docs → "empty document" (:239-241);
+  * round-robin shard-by-batch-window iteration (:261-280) so every data
+    shard sees an identical number of batches.
+
+Everything is plain-python iterators feeding the host preprocessing pipeline;
+device sharding happens downstream via NamedShardings.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+from PIL import Image
+
+QUERY_INSTRUCTION = ("Represent this query for retrieving relevant documents: ")
+
+
+def get_idx(obj: Dict[str, Any]) -> str:
+    for key in ("_id", "id", "text_id", "sample_id", "filename", "corpus-id",
+                "query-id"):
+        if obj.get(key) is not None:
+            return str(obj[key])
+    raise ValueError("no id field found (tried _id/id/text_id/sample_id/"
+                     "filename/corpus-id/query-id)")
+
+
+def to_pil(image_field) -> Optional[Image.Image]:
+    """HF image structs come as {'bytes': ..} or PIL or base64 str."""
+    if image_field is None:
+        return None
+    if isinstance(image_field, Image.Image):
+        return image_field
+    if isinstance(image_field, dict) and image_field.get("bytes"):
+        return Image.open(io.BytesIO(image_field["bytes"]))
+    if isinstance(image_field, (bytes, bytearray)):
+        return Image.open(io.BytesIO(image_field))
+    if isinstance(image_field, str):
+        import base64
+        return Image.open(io.BytesIO(base64.b64decode(image_field)))
+    raise TypeError(f"cannot decode image field {type(image_field)}")
+
+
+def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
+    """Extension-dispatch row iterator: .parquet / .tsv / .jsonl / .json."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        import pyarrow.parquet as pq
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=64):
+            yield from batch.to_pylist()
+    elif ext in (".tsv", ".txt"):
+        with open(path) as f:
+            header = f.readline().rstrip("\n").split("\t")
+            for line in f:
+                yield dict(zip(header, line.rstrip("\n").split("\t")))
+    elif ext == ".jsonl":
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    yield json.loads(line)
+    elif ext == ".json":
+        with open(path) as f:
+            data = json.load(f)
+        yield from data
+    else:
+        raise ValueError(f"unsupported data extension {ext!r}")
+
+
+def dataset_length(path: str) -> Optional[int]:
+    """metadata.json {"length": N} next to the data files
+    (train_dataset.py:84-102; examples/training_data/metadata.json)."""
+    meta = os.path.join(os.path.dirname(path), "metadata.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f).get("length")
+    return None
+
+
+class MMDRTrainDataset:
+    """Query–page training pairs. Yields dicts:
+      {"query": (text, None), "passages": [(text, PIL.Image), ...]}.
+    """
+
+    def __init__(self, path: str, query_template: str = None,
+                 n_passages: int = 1):
+        self.path = path
+        self.instruction = QUERY_INSTRUCTION
+        self.n_passages = n_passages
+        self.length = dataset_length(path)
+
+    def __len__(self):
+        if self.length is None:
+            raise TypeError("streaming dataset without metadata.json length")
+        return self.length
+
+    def __iter__(self):
+        for row in iter_rows(self.path):
+            query = self.instruction + row["query"]
+            image = to_pil(row.get("image"))
+            yield {"query": (query, None),
+                   "passages": [("", image)] * 1}
+
+
+class InferenceDataset:
+    """Corpus/query encode stream. Yields (id, text, image)."""
+
+    def __init__(self, path: str, template: str = "<text>",
+                 mode: str = "multimodal"):
+        from .templates import fill_template
+        self.path = path
+        self.template = template
+        self.mode = mode
+        self._fill = fill_template
+
+    def __iter__(self):
+        for row in iter_rows(self.path):
+            rid = get_idx(row)
+            text = self._fill(self.template, row, allow_not_found=True)
+            image = to_pil(row.get("image")) if self.mode == "multimodal" else None
+            if not text and image is None:
+                text = "empty document"   # inference_dataset.py:239-241
+            yield rid, text, image
+
+
+def shard_round_robin(iterable: Iterable, batch_size: int, shard_index: int,
+                      num_shards: int) -> Iterator:
+    """Round-robin sharding by batch window (inference_dataset.py:261-280):
+    each shard takes its contiguous batch_size slice of every
+    batch_size×num_shards window."""
+    window = batch_size * num_shards
+    lo = shard_index * batch_size
+    hi = lo + batch_size
+    buf: List = []
+    for item in iterable:
+        buf.append(item)
+        if len(buf) == window:
+            yield from buf[lo:hi]
+            buf = []
+    if buf:
+        yield from buf[lo:min(hi, len(buf))]
+
+
+def batched(iterable: Iterable, batch_size: int) -> Iterator[List]:
+    buf: List = []
+    for item in iterable:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def qp_collate(items: List[Dict]) -> Dict[str, List]:
+    """MMQPCollator semantics (dataset/data_collator.py:21-32): list-of-dicts
+    → dict of lists; queries and flattened passages stay raw (strings + PIL),
+    tokenization happens in the preprocess pipeline."""
+    queries = [it["query"] for it in items]
+    passages = [p for it in items for p in it["passages"]]
+    return {"queries": queries, "passages": passages}
+
+
+class RLHFDataset:
+    """RS-GRPO prompt dataset (verl/utils/dataset.py role): rows with
+    {problem/prompt, answer, images?}; yields engine-ready prompt dicts after
+    tokenization by the caller-provided encode_fn."""
+
+    def __init__(self, path: str, encode_fn: Callable[[Dict], Dict],
+                 max_prompt_length: Optional[int] = None):
+        self.path = path
+        self.encode_fn = encode_fn
+        self.max_prompt_length = max_prompt_length
+
+    def __iter__(self):
+        for row in iter_rows(self.path):
+            item = self.encode_fn(row)
+            if item is None:
+                continue
+            if (self.max_prompt_length is not None and
+                    len(item["input_ids"]) > self.max_prompt_length):
+                continue  # filter overlong prompts (dataset.py:146-151)
+            yield item

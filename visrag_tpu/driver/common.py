@@ -1,0 +1,74 @@
+"""Shared driver plumbing: model/tokenizer/params construction."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.visrag_ret import VisRAGRet, VisRAGRetConfig
+from ..preprocess.pipeline import PipelineConfig
+from ..preprocess.tokenize import HFTokenizerAdapter, MockTokenizer
+
+
+def build_tokenizer(checkpoint: str):
+    """HF tokenizer from a checkpoint dir if present, else the deterministic
+    mock (for smoke runs without downloaded weights)."""
+    if checkpoint and os.path.exists(os.path.join(checkpoint, "tokenizer_config.json")):
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(checkpoint, use_fast=True)
+        return HFTokenizerAdapter(tok)
+    return MockTokenizer()
+
+
+def build_visrag_ret(model_cfg: ModelConfig, *, tiny: bool = False,
+                     rng_seed: int = 0) -> Tuple[VisRAGRet, dict, PipelineConfig]:
+    """→ (model, params, pipeline_cfg). Loads HF safetensors when
+    model_cfg.checkpoint points at a converted MiniCPM-V/VisRAG-Ret dir;
+    otherwise random init (bf16)."""
+    if tiny:
+        cfg = VisRAGRetConfig.tiny()
+    else:
+        cfg = VisRAGRetConfig(pooling=model_cfg.pooling,
+                              normalize=model_cfg.normalize)
+    model = VisRAGRet(cfg)
+    pcfg = PipelineConfig(
+        seq_len=64 if tiny else model_cfg.max_inp_length,
+        query_num=cfg.backbone.query_num,
+        patch_size=cfg.backbone.vit.patch_size,
+        src_grid=cfg.backbone.vit.pos_grid,
+        scale_resolution=8 if tiny else cfg.backbone.scale_resolution,
+        max_patches=64 if tiny else 1152)
+
+    if model_cfg.checkpoint:
+        from ..models.hf_loader import convert_visrag_ret, load_safetensors_dir
+        state = load_safetensors_dir(model_cfg.checkpoint)
+        params = {"params": convert_visrag_ret(state)}
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.bfloat16)
+            if np.issubdtype(x.dtype, np.floating) else jnp.asarray(x), params)
+    else:
+        from ..preprocess.pipeline import build_encode_batch
+        from ..models.visrag_ret import EncodeBatch
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        pages = [("init", Image.fromarray(
+            rng.integers(0, 255, (12, 12, 3), dtype=np.uint8)))]
+        batch = build_encode_batch(MockTokenizer(), pages, pcfg)
+        eb = EncodeBatch(**{k: jnp.asarray(v) for k, v in batch.items()})
+
+        @jax.jit
+        def init(key):
+            p = model.init(key, eb)
+            if tiny:
+                return p
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+
+        params = init(jax.random.PRNGKey(rng_seed))
+    return model, params, pcfg

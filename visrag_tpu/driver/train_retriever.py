@@ -1,0 +1,92 @@
+"""Retriever contrastive-training driver.
+
+CLI parity with /root/reference/src/openmatch/driver/train.py +
+visrag_scripts/train_retriever/train.sh (paper config: seq 2048, per-device
+batch 16, τ=0.02, wmean pooling, 1 epoch, cross-device negatives, GradCache
+optional).
+
+    python -m visrag_tpu.driver.train_retriever \
+        --train-data pairs.parquet --output-dir out/ [--config run.yaml] \
+        [--set train.lr=5e-6 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-data", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--config", default=None, help="YAML config")
+    ap.add_argument("--set", action="append", default=[],
+                    help="dotlist overrides, e.g. train.lr=1e-5")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..config import RetrieverTrainConfig, dump_config, load_config
+    from ..data.datasets import MMDRTrainDataset, batched, qp_collate
+    from ..mesh import build_mesh
+    from ..models.visrag_ret import EncodeBatch
+    from ..preprocess.pipeline import build_encode_batch
+    from ..training.trainer import RetrieverTrainer
+    from ..utils.tracker import Tracker
+    from .common import build_tokenizer, build_visrag_ret
+
+    import os
+    cfg = load_config(RetrieverTrainConfig, yaml_path=args.config,
+                      dotlist=args.set)
+    cfg.train.output_dir = args.output_dir
+    os.makedirs(args.output_dir, exist_ok=True)
+    dump_config(cfg, os.path.join(args.output_dir, "run_config.json"))
+
+    model, params, pcfg = build_visrag_ret(cfg.model, tiny=args.tiny)
+    tok = build_tokenizer(cfg.model.checkpoint)
+    mesh = build_mesh(cfg.mesh)
+    tracker = Tracker(args.output_dir)
+
+    slots = cfg.data.batch_size * pcfg.max_slices_per_page
+
+    def encode(p, batch, rng):
+        del rng
+        return model.apply({"params": p}, batch)
+
+    dataset = MMDRTrainDataset(args.train_data)
+    try:
+        total = len(dataset) // cfg.data.batch_size * cfg.train.epochs
+    except TypeError:
+        total = max(cfg.train.max_steps, 1000)
+
+    def batches():
+        for _ in range(cfg.train.epochs):
+            for items in batched(iter(dataset), cfg.data.batch_size):
+                if len(items) < cfg.data.batch_size:
+                    continue  # drop ragged tail (static shapes)
+                coll = qp_collate(items)
+                qb = build_encode_batch(tok, coll["queries"], pcfg,
+                                        n_slice_slots=slots)
+                pb = build_encode_batch(tok, coll["passages"], pcfg,
+                                        n_slice_slots=slots)
+                yield (EncodeBatch(**{k: jnp.asarray(v) for k, v in qb.items()}),
+                       EncodeBatch(**{k: jnp.asarray(v) for k, v in pb.items()}))
+
+    trainer = RetrieverTrainer(encode, params["params"], cfg.train, mesh=mesh,
+                               total_steps=total,
+                               logger=lambda s, m: tracker.log(m, s))
+    trainer.train(batches(), checkpoint_dir=args.output_dir)
+    from ..training.checkpoint import save_checkpoint
+    save_checkpoint(args.output_dir, trainer.step,
+                    {"params": trainer.params})
+    tracker.close()
+    print(f"done: {trainer.step} steps -> {args.output_dir}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,11 +39,22 @@ def make_sharded_topk(mesh: Mesh, k: int):
     axes = (REPLICA, DATA)
     n_shards = mesh.shape[REPLICA] * mesh.shape[DATA]
 
-    def local(queries, corpus_shard):
-        # corpus_shard: (C/n, D) on each device
-        s, idx = topk_single(queries, corpus_shard, k)
+    def local(queries, corpus_shard, n_true):
+        # corpus_shard: (C/n, D) on each device; shard may hold fewer than k
+        rows = corpus_shard.shape[0]
         shard_id = jax.lax.axis_index(axes)
-        idx = idx + shard_id * corpus_shard.shape[0]
+        scores = jnp.einsum("qd,cd->qc", queries.astype(jnp.float32),
+                            corpus_shard.astype(jnp.float32))
+        # zero-padded rows must never outrank real (possibly negative) scores
+        global_rows = shard_id * rows + jnp.arange(rows)
+        scores = jnp.where(global_rows[None, :] < n_true, scores, -jnp.inf)
+        k_local = min(k, rows)
+        s, idx = jax.lax.top_k(scores, k_local)
+        if k_local < k:
+            pad = k - k_local
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        idx = idx + shard_id * rows
         # gather candidates from all shards → exact global top-k
         s_all = jax.lax.all_gather(s, axes, axis=1, tiled=True)     # (Q, n*k)
         idx_all = jax.lax.all_gather(idx, axes, axis=1, tiled=True)
@@ -52,7 +63,7 @@ def make_sharded_topk(mesh: Mesh, k: int):
         return best_s, best_idx
 
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(), P((REPLICA, DATA), None)),
+                       in_specs=(P(), P((REPLICA, DATA), None), P()),
                        out_specs=(P(), P()),
                        check_vma=False)  # outputs identical on all devices post-gather
     return jax.jit(fn)
@@ -93,13 +104,9 @@ class StreamingSearcher:
         best_s = best_i = None
         for chunk, base in corpus_chunks:
             true_n = chunk.shape[0]
-            k_eff = self.k
             c = shard_corpus(chunk, self.mesh)
-            s, i = self._fn(q, c)
+            s, i = self._fn(q, c, jnp.int32(true_n))
             s, i = np.asarray(s), np.asarray(i)
-            # drop padded rows (idx >= true_n)
-            invalid = i >= true_n
-            s = np.where(invalid, -np.inf, s)
             i = i + base
             if best_s is None:
                 best_s, best_i = s, i
