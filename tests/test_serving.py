@@ -112,3 +112,47 @@ def test_sampling_top_p_and_penalty():
     p2 = SamplingParams(temperature=0.0, repetition_penalty=100.0)
     tok2 = sample(jnp.asarray([[2.0, 1.9, 0.0, 2.05]]), rng, p2, seen)
     assert int(tok2[0]) == 0
+
+
+def test_minicpmv_generation_engine():
+    """MiniCPM-V serving path: decode == full forward; engine generates with a
+    page image in the prompt."""
+    from PIL import Image
+    from visrag_tpu.models.minicpmv import (MiniCPMVForGeneration,
+                                            MiniCPMVGenConfig)
+    from visrag_tpu.preprocess.pipeline import PipelineConfig, build_encode_batch
+    from visrag_tpu.preprocess.tokenize import MockTokenizer
+
+    cfg = MiniCPMVGenConfig.tiny()
+    model = MiniCPMVForGeneration(cfg)
+    tok = MockTokenizer()
+    pcfg = PipelineConfig(seq_len=64, query_num=cfg.backbone.query_num,
+                          patch_size=cfg.backbone.vit.patch_size,
+                          src_grid=cfg.backbone.vit.pos_grid,
+                          scale_resolution=8, max_patches=64)
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (12, 12, 3), dtype=np.uint8))
+    arrs = build_encode_batch(tok, [("what is this?", img)], pcfg,
+                              n_slice_slots=8)
+    prompt_len = int(arrs["attention_mask"][0].sum())
+    ids = arrs["input_ids"][0, :prompt_len]
+    slot = arrs["slot_map"][0, :prompt_len]
+    vision_batch = {k: jnp.asarray(arrs[k]) for k in
+                    ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[None]),
+                        vision_batch=vision_batch,
+                        slot_map=jnp.asarray(slot[None]))
+
+    # decode parity vs full forward
+    full_logits, _ = model.apply(params, jnp.asarray(ids[None]),
+                                 vision_batch=vision_batch,
+                                 slot_map=jnp.asarray(slot[None]))
+    eng = Engine(model, params, num_slots=2, max_len=128,
+                 prompt_buckets=(prompt_len,))
+    outs = eng.generate(
+        [dict(input_ids=ids, vision_batch=vision_batch, slot_map=slot)],
+        sampling=SamplingParams(temperature=0.0, max_tokens=4))
+    assert len(outs[0]) == 4
+    # first generated token must equal argmax of the full-forward last logits
+    assert outs[0][0] == int(np.argmax(np.asarray(full_logits)[0, prompt_len - 1]))

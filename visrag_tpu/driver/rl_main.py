@@ -1,0 +1,87 @@
+"""RS-GRPO training driver.
+
+CLI parity with /root/reference/src/rsgrpo/verl/trainer/main.py +
+run_rsgrpo.sh: `config=examples/config.yaml data.rollout_batch_size=32 ...`
+style YAML + dotlist merge into the typed RLConfig tree; no Ray — the whole
+loop is visrag_tpu.rl.trainer.RLTrainer in this process.
+
+    python -m visrag_tpu.driver.rl_main --config rl.yaml \
+        --data prompts.jsonl --checkpoint qwen_ckpt --output-dir out/ \
+        --set rollout.n=8 --set actor.lr=1e-6
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--data", required=True,
+                    help="jsonl rows {problem, answer, images?}")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--set", action="append", default=[])
+    args = ap.parse_args(argv)
+
+    import jax
+    from transformers import AutoProcessor
+
+    from ..config import RLConfig, dump_config, load_config
+    from ..data.datasets import RLHFDataset, batched
+    from ..models.hf_loader import convert_qwen25_vl, load_safetensors_dir
+    from ..models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from ..rl.trainer import RLTrainer
+    from ..training.checkpoint import save_checkpoint
+    from ..utils.tracker import Tracker
+
+    cfg = load_config(RLConfig, yaml_path=args.config, dotlist=args.set)
+    os.makedirs(args.output_dir, exist_ok=True)
+    dump_config(cfg, os.path.join(args.output_dir, "run_config.json"))
+
+    processor = AutoProcessor.from_pretrained(args.checkpoint)
+    tok = processor.tokenizer
+    state = load_safetensors_dir(args.checkpoint)
+    params = {"params": convert_qwen25_vl(state)}
+    hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
+    mcfg = Qwen25VLConfig.b7() if hid == 3584 else Qwen25VLConfig.b3()
+    model = Qwen25VL(mcfg)
+
+    tags = {t: tok.encode(t, add_special_tokens=False)
+            for t in ("<think>", "<evidence>", "<answer>")}
+
+    def encode_row(row):
+        prompt = row.get("problem") or row.get("prompt")
+        text = processor.apply_chat_template(
+            [{"role": "user", "content": [{"type": "text", "text": prompt}]}],
+            tokenize=False, add_generation_prompt=True)
+        ids = np.asarray(tok.encode(text), np.int32)
+        return dict(input_ids=ids, ground_truth=row.get("answer", ""))
+
+    dataset = RLHFDataset(args.data, encode_row,
+                          max_prompt_length=cfg.rollout.max_prompt_length)
+    tracker = Tracker(args.output_dir)
+    trainer = RLTrainer(
+        model, params, cfg, tokenizer_decode=lambda ids: tok.decode(ids),
+        tag_token_ids=tags, eos_token_ids=[tok.eos_token_id],
+        engine_kwargs=dict(num_slots=8,
+                           max_len=cfg.rollout.max_prompt_length +
+                           cfg.rollout.max_response_length))
+
+    def prompt_batches():
+        while True:  # epochs until total_steps
+            yield from batched(iter(dataset), cfg.trainer.rollout_batch_size)
+
+    trainer.fit(prompt_batches(), logger=lambda s, m: tracker.log(m, s))
+    save_checkpoint(args.output_dir, trainer.step, trainer.params)
+    tracker.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

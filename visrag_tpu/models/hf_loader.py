@@ -228,3 +228,75 @@ def convert_qwen25_vl(state: Mapping[str, "np.ndarray"]) -> dict:
         elif name == "lm_head.weight":
             _set(params, "lm_head.weight", v)
     return params
+
+
+# --- SigLIP -----------------------------------------------------------------
+
+
+def convert_siglip(state: Mapping[str, "np.ndarray"]) -> dict:
+    """HF SiglipModel state_dict → flax params for models.siglip.SiglipModel."""
+    params: dict = {}
+    layer_renames = {
+        "self_attn.q_proj": "q_proj", "self_attn.k_proj": "k_proj",
+        "self_attn.v_proj": "v_proj", "self_attn.out_proj": "out_proj",
+        "layer_norm1": "layer_norm1", "layer_norm2": "layer_norm2",
+        "mlp.fc1": "fc1", "mlp.fc2": "fc2",
+    }
+    for name, t in state.items():
+        v = _np(t)
+        if name == "logit_scale":
+            _set(params, "logit_scale", v.reshape(()))
+        elif name == "logit_bias":
+            _set(params, "logit_bias", v.reshape(()))
+        elif name.startswith("text_model."):
+            rest = name[len("text_model."):]
+            if rest == "embeddings.token_embedding.weight":
+                _set(params, "text_model.token_embedding.embedding", v)
+            elif rest == "embeddings.position_embedding.weight":
+                _set(params, "text_model.position_embedding", v)
+            elif (m := re.match(r"encoder\.layers\.(\d+)\.(.+?)\.(weight|bias)", rest)):
+                i, mod, leaf = m.groups()
+                if mod in layer_renames:
+                    _set(params, f"text_model.layers_{i}.{layer_renames[mod]}.{leaf}", v)
+            elif rest.startswith("final_layer_norm."):
+                _set(params, "text_model.final_layer_norm." + rest.split(".")[-1], v)
+            elif rest.startswith("head."):
+                _set(params, "text_model.head." + rest.split(".")[-1], v)
+        elif name.startswith("vision_model."):
+            rest = name[len("vision_model."):]
+            if rest == "embeddings.patch_embedding.weight":
+                _set(params, "vision_model.patch_embedding",
+                     v.reshape(v.shape[0], -1))
+            elif rest == "embeddings.patch_embedding.bias":
+                _set(params, "vision_model.patch_bias", v)
+            elif rest == "embeddings.position_embedding.weight":
+                _set(params, "vision_model.position_embedding", v)
+            elif (m := re.match(r"encoder\.layers\.(\d+)\.(.+?)\.(weight|bias)", rest)):
+                i, mod, leaf = m.groups()
+                if mod in layer_renames:
+                    _set(params, f"vision_model.layers_{i}.{layer_renames[mod]}.{leaf}", v)
+            elif rest.startswith("post_layernorm."):
+                _set(params, "vision_model.post_layernorm." + rest.split(".")[-1], v)
+            elif rest == "head.probe":
+                _set(params, "vision_model.probe", v)
+            elif rest == "head.attention.in_proj_weight":
+                _set(params, "vision_model.in_proj_weight", v)
+            elif rest == "head.attention.in_proj_bias":
+                _set(params, "vision_model.in_proj_bias", v)
+            elif rest == "head.attention.out_proj.weight":
+                _set(params, "vision_model.attn_out_proj.weight", v)
+            elif rest == "head.attention.out_proj.bias":
+                _set(params, "vision_model.attn_out_proj.bias", v)
+            elif rest == "head.layernorm.weight":
+                _set(params, "vision_model.map_layernorm.weight", v)
+            elif rest == "head.layernorm.bias":
+                _set(params, "vision_model.map_layernorm.bias", v)
+            elif rest == "head.mlp.fc1.weight":
+                _set(params, "vision_model.map_fc1.weight", v)
+            elif rest == "head.mlp.fc1.bias":
+                _set(params, "vision_model.map_fc1.bias", v)
+            elif rest == "head.mlp.fc2.weight":
+                _set(params, "vision_model.map_fc2.weight", v)
+            elif rest == "head.mlp.fc2.bias":
+                _set(params, "vision_model.map_fc2.bias", v)
+    return params

@@ -75,43 +75,85 @@ class MiniCPMMLP(nn.Module):
 class MiniCPMAttention(nn.Module):
     cfg: MiniCPMConfig
 
-    @nn.compact
-    def __call__(self, x, positions, segment_ids=None, lengths=None):
+    def setup(self):
+        c = self.cfg
+        h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        self.q_proj = Dense(c.hidden_size, h * d, use_bias=False,
+                            dtype=c.dtype, name="q_proj")
+        self.k_proj = Dense(c.hidden_size, hk * d, use_bias=False,
+                            dtype=c.dtype, name="k_proj")
+        self.v_proj = Dense(c.hidden_size, hk * d, use_bias=False,
+                            dtype=c.dtype, name="v_proj")
+        self.o_proj = Dense(h * d, c.hidden_size, use_bias=False,
+                            dtype=c.dtype, name="o_proj")
+
+    def _qkv(self, x, positions):
         c = self.cfg
         b, s, _ = x.shape
         h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        q = Dense(c.hidden_size, h * d, use_bias=False, dtype=c.dtype,
-                  name="q_proj")(x).reshape(b, s, h, d)
-        k = Dense(c.hidden_size, hk * d, use_bias=False, dtype=c.dtype,
-                  name="k_proj")(x).reshape(b, s, hk, d)
-        v = Dense(c.hidden_size, hk * d, use_bias=False, dtype=c.dtype,
-                  name="v_proj")(x).reshape(b, s, hk, d)
+        q = self.q_proj(x).reshape(b, s, h, d)
+        k = self.k_proj(x).reshape(b, s, hk, d)
+        v = self.v_proj(x).reshape(b, s, hk, d)
         inv_freq = jnp.asarray(rope_frequencies(d, c.rope_theta))
         q, k = apply_rope(q, k, positions, inv_freq)
+        return q, k, v
+
+    def __call__(self, x, positions, segment_ids=None, lengths=None,
+                 return_kv=False):
+        c = self.cfg
+        b, s, _ = x.shape
+        q, k, v = self._qkv(x, positions)
         if lengths is not None:
             o = flash_attention(q, k, v, lengths=lengths, causal=c.is_causal)
         else:
             o = flash_attention(q, k, v, segment_ids, segment_ids,
                                 causal=c.is_causal)
-        return Dense(h * d, c.hidden_size, use_bias=False, dtype=c.dtype,
-                     name="o_proj")(o.reshape(b, s, h * d))
+        out = self.o_proj(o.reshape(b, s, -1))
+        return (out, (k, v)) if return_kv else out
+
+    def decode(self, x, positions, k_cache, v_cache, lengths_incl):
+        """One-token step (see qwen25_vl.QwenTextBlock.decode)."""
+        from ..serving.kv_cache import decode_attention
+        b = x.shape[0]
+        q, k, v = self._qkv(x, positions)
+        pos = lengths_incl - 1
+        kc = k_cache.at[jnp.arange(b), pos].set(k[:, 0].astype(k_cache.dtype))
+        vc = v_cache.at[jnp.arange(b), pos].set(v[:, 0].astype(v_cache.dtype))
+        o = decode_attention(q[:, 0], kc, vc, lengths_incl)
+        return self.o_proj(o[:, None].reshape(b, 1, -1)), k[:, 0], v[:, 0]
 
 
 class MiniCPMBlock(nn.Module):
     cfg: MiniCPMConfig
 
-    @nn.compact
-    def __call__(self, x, positions, segment_ids=None, lengths=None):
+    def setup(self):
         c = self.cfg
-        depth_scale = c.scale_depth / (c.num_hidden_layers ** 0.5)
-        a = MiniCPMAttention(c, name="self_attn")(
-            RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
-                    name="input_layernorm")(x), positions, segment_ids, lengths)
-        x = x + a * depth_scale
-        m = MiniCPMMLP(c, name="mlp")(
-            RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
-                    name="post_attention_layernorm")(x))
-        return x + m * depth_scale
+        self.self_attn = MiniCPMAttention(c, name="self_attn")
+        self.input_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,
+                                       name="input_layernorm")
+        self.post_attention_layernorm = RMSNorm(
+            c.hidden_size, c.rms_norm_eps, c.dtype,
+            name="post_attention_layernorm")
+        self.mlp = MiniCPMMLP(c, name="mlp")
+        self.depth_scale = c.scale_depth / (c.num_hidden_layers ** 0.5)
+
+    def __call__(self, x, positions, segment_ids=None, lengths=None,
+                 return_kv=False):
+        a = self.self_attn(self.input_layernorm(x), positions, segment_ids,
+                           lengths, return_kv=return_kv)
+        if return_kv:
+            a, kv = a
+        x = x + a * self.depth_scale
+        m = self.mlp(self.post_attention_layernorm(x))
+        out = x + m * self.depth_scale
+        return (out, kv) if return_kv else out
+
+    def decode(self, x, positions, k_cache, v_cache, lengths_incl):
+        a, kn, vn = self.self_attn.decode(self.input_layernorm(x), positions,
+                                          k_cache, v_cache, lengths_incl)
+        x = x + a * self.depth_scale
+        m = self.mlp(self.post_attention_layernorm(x))
+        return x + m * self.depth_scale, kn, vn
 
 
 class MiniCPMModel(nn.Module):
@@ -131,7 +173,8 @@ class MiniCPMModel(nn.Module):
         self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, name="norm")
 
     def __call__(self, input_ids=None, *, inputs_embeds=None,
-                 attention_mask=None, positions=None, segment_ids=None):
+                 attention_mask=None, positions=None, segment_ids=None,
+                 return_kv=False):
         """attention_mask must be a contiguous right-padded validity mask
         (fast lengths kernel); pass segment_ids instead for packed batches."""
         c = self.cfg
@@ -149,9 +192,26 @@ class MiniCPMModel(nn.Module):
             lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
         x = inputs_embeds.astype(c.dtype)
+        kvs = []
         for layer in self.layers:
-            x = layer(x, positions, seg, lengths)
-        return self.norm(x)
+            if return_kv:
+                x, kv = layer(x, positions, seg, lengths, return_kv=True)
+                kvs.append(kv)
+            else:
+                x = layer(x, positions, seg, lengths)
+        out = self.norm(x)
+        return (out, kvs) if return_kv else out
+
+    def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl):
+        """One decode step; see qwen25_vl.QwenTextModel.decode."""
+        x = inputs_embeds.astype(self.cfg.dtype)
+        k_news, v_news = [], []
+        for i, layer in enumerate(self.layers):
+            x, kn, vn = layer.decode(x, positions, k_cache[i], v_cache[i],
+                                     lengths_incl)
+            k_news.append(kn)
+            v_news.append(vn)
+        return self.norm(x), jnp.stack(k_news), jnp.stack(v_news)
 
     def embed_only(self, input_ids):
         """Token embeddings * scale_emb (for vision scatter composition)."""

@@ -88,3 +88,85 @@ class MiniCPMV(nn.Module):
         hidden = self.llm(inputs_embeds=embeds, attention_mask=attention_mask,
                           positions=positions)
         return hidden
+
+
+@dataclasses.dataclass(frozen=True)
+class MiniCPMVGenConfig:
+    backbone: MiniCPMVConfig = MiniCPMVConfig()
+
+    @property
+    def text(self):
+        """Engine cache-shape contract (serving.engine reads cfg.text)."""
+        return self.backbone.llm
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(backbone=MiniCPMVConfig.tiny())
+        d.update(kw)
+        return cls(**d)
+
+
+class MiniCPMVForGeneration(nn.Module):
+    """MiniCPM-V with lm_head + serving prefill/decode — the VisRAG-Gen
+    generator (reference MiniCPMV.generate/chat, modeling_minicpmv.py:218-398)
+    run on the TPU serving engine instead of HF generate.
+
+    Vision inputs arrive via the same EncodeBatch-style dict as VisRAG-Ret
+    (vision_batch = {patches, patch_mask, pos_matrix, grid_h, grid_w}) with a
+    slot map; mrope-style (3, B, S) positions from the engine collapse to the
+    1-D stream (MiniCPM uses standard RoPE)."""
+    cfg: MiniCPMVGenConfig
+
+    def setup(self):
+        self.backbone = MiniCPMV(self.cfg.backbone, name="backbone")
+        c = self.cfg.backbone.llm
+        from .common import Dense
+        self.lm_head = Dense(c.hidden_size, c.vocab_size, use_bias=False,
+                             dtype=c.dtype, name="lm_head")
+
+    def _logits(self, hidden):
+        c = self.cfg.backbone.llm
+        return self.lm_head(hidden / (c.hidden_size / c.dim_model_base))
+
+    def _embed(self, input_ids, vision_batch, slot_map):
+        tok = self.backbone.llm.embed_only(input_ids)
+        if vision_batch is None:
+            return tok
+        vision = self.backbone.get_vision_embedding(
+            vision_batch["patches"], vision_batch["patch_mask"],
+            vision_batch["pos_matrix"], vision_batch["grid_h"],
+            vision_batch["grid_w"])
+        flat = vision.reshape(-1, vision.shape[-1])
+        safe = jnp.maximum(slot_map, 0)
+        vis = flat[safe.reshape(-1)].reshape(*slot_map.shape, -1)
+        return jnp.where((slot_map >= 0)[..., None], vis.astype(tok.dtype), tok)
+
+    def __call__(self, input_ids, attention_mask=None, positions=None,
+                 vision_batch=None, slot_map=None):
+        embeds = self._embed(input_ids, vision_batch, slot_map)
+        if positions is not None and positions.ndim == 3:
+            positions = positions[0]
+        hidden = self.backbone.llm(inputs_embeds=embeds,
+                                   attention_mask=attention_mask,
+                                   positions=positions)
+        return self._logits(hidden), hidden
+
+    def prefill(self, input_ids, attention_mask=None, positions=None,
+                vision_batch=None, slot_map=None):
+        embeds = self._embed(input_ids, vision_batch, slot_map)
+        if positions is not None and positions.ndim == 3:
+            positions = positions[0]
+        hidden, kvs = self.backbone.llm(inputs_embeds=embeds,
+                                        attention_mask=attention_mask,
+                                        positions=positions, return_kv=True)
+        k = jnp.stack([kv[0] for kv in kvs])
+        v = jnp.stack([kv[1] for kv in kvs])
+        return self._logits(hidden), k, v
+
+    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl):
+        embeds = self.backbone.llm.embed_only(token_ids)
+        if positions.ndim == 3:
+            positions = positions[0]
+        hidden, k_new, v_new = self.backbone.llm.decode(
+            embeds, positions, k_cache, v_cache, lengths_incl)
+        return self._logits(hidden)[:, 0], k_new, v_new
