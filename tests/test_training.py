@@ -120,3 +120,49 @@ def test_checkpoint_roundtrip_and_gc(tmp_path):
     kept = sorted(os.listdir(root))
     # keep latest 2 + best (step 20)
     assert "global_step_20" in kept and "global_step_10" not in kept
+
+
+def test_sft_step():
+    """SFT: loss on response tokens only; vision tower frozen."""
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.training.sft import SFTConfig, make_sft_step, sft_loss
+
+    ref, _ = _hf_tiny()
+    params = convert_qwen25_vl({k: v for k, v in ref.state_dict().items()})
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+
+    def apply(p, ids, **kw):
+        return model.apply({"params": p}, ids, **{k: v for k, v in kw.items()
+                                                  if v is not None})
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 100, size=(2, 12)))
+    rmask = np.zeros((2, 12), np.int32)
+    rmask[:, 6:] = 1
+    batch = {"input_ids": ids, "attention_mask": jnp.ones((2, 12), jnp.int32),
+             "response_mask": jnp.asarray(rmask)}
+    cfg = SFTConfig(lr=1e-3, total_steps=3, freeze_vision_tower=True)
+    tx, step = make_sft_step(apply, cfg)
+    import optax
+    opt_state = tx.init(params)
+    loss0, m0 = sft_loss(apply, params, batch)
+    for _ in range(3):
+        params, opt_state, metrics = step(params, opt_state, batch)
+    loss1, _ = sft_loss(apply, params, batch)
+    assert float(loss1) < float(loss0)   # memorizes the batch
+    # vision tower unchanged under freeze
+    before = convert_qwen25_vl({k: v for k, v in ref.state_dict().items()})
+    for leaf_b, leaf_a in zip(
+            jax.tree_util.tree_leaves(before["visual"]),
+            jax.tree_util.tree_leaves(params["visual"])):
+        np.testing.assert_array_equal(np.asarray(leaf_b), np.asarray(leaf_a))
+
+
+def test_ocr_merge():
+    from visrag_tpu.preprocess.ocr import merge_adjacent
+    dets = [(0, 0, 10, 10, "hello"), (12, 1, 20, 11, "world"),
+            (0, 20, 10, 30, "second"), (11, 21, 25, 31, "line")]
+    lines = merge_adjacent(dets)
+    assert lines == ["hello world", "second line"]
