@@ -248,3 +248,44 @@ def dataclass_replace(cfg):
                                     temperature=1.0),
         trainer=dataclasses.replace(cfg.trainer, total_steps=1,
                                     rollout_batch_size=2))
+
+
+def test_packed_forward_equals_padded():
+    """Packed segment-id forward == per-sequence padded forward (the
+    padding-free training path)."""
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import QwenTextConfig, QwenTextModel
+    from visrag_tpu.rl.packing import pack_sequences, unpack
+
+    ref, _ = _hf_tiny()
+    params = convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})["model"]
+    model = QwenTextModel(QwenTextConfig.tiny())
+
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(0, 100, size=(n,)).astype(np.int32)
+            for n in (9, 5, 7, 3)]
+    packed, _ = pack_sequences(seqs, width=16)
+    hidden_packed = model.apply(
+        {"params": params}, jnp.asarray(packed.input_ids),
+        positions=jnp.asarray(packed.positions),
+        segment_ids=jnp.asarray(packed.segment_ids))
+    outs = unpack(np.asarray(hidden_packed), packed.layout)
+
+    for s, got in zip(seqs, outs):
+        want = np.asarray(model.apply({"params": params},
+                                      jnp.asarray(s[None])))[0]
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_pack_layout_roundtrip():
+    from visrag_tpu.rl.packing import pack_sequences, unpack
+    seqs = [np.arange(1, 6), np.arange(10, 13), np.arange(20, 28)]
+    extra = {"mask": [np.ones_like(s) for s in seqs]}
+    packed, ex = pack_sequences(seqs, width=8, extra=extra)
+    back = unpack(packed.input_ids, packed.layout)
+    for s, b in zip(seqs, back):
+        np.testing.assert_array_equal(s, b)
+    assert (packed.segment_ids > 0).sum() == sum(len(s) for s in seqs)
+    assert ex["mask"].shape == packed.input_ids.shape
