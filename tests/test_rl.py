@@ -289,3 +289,66 @@ def test_pack_layout_roundtrip():
         np.testing.assert_array_equal(s, b)
     assert (packed.segment_ids > 0).sum() == sum(len(s) for s in seqs)
     assert ex["mask"].shape == packed.input_ids.shape
+
+
+def test_reward_channels_fuzz_vs_oracle():
+    """~1000 random tag-soup pairs through all six channels vs the
+    AST-extracted reference (VERDICT weak #2: repeated tokens exercise
+    set-vs-multiset F1; padded evidence strings exercise substring EM)."""
+    import random
+
+    fns = _ref_reward_fns()
+    rng = random.Random(20260816)
+    # repeated + punctuation-heavy tokens to stress normalization & set-F1
+    words = ["42", "42", "chart", "value", "value", "no", "relevant",
+             "information", "the", "a", "an", "blue", "red", "2020", "11%",
+             "x,y", "total:", "...", "N/A", "α-β", "it's"]
+
+    def phrase(lo, hi):
+        return " ".join(rng.choices(words, k=rng.randint(lo, hi)))
+
+    def evidence_body(n_slots, pad):
+        lines = []
+        for i in range(n_slots):
+            gold = rng.choice(["no relevant information",
+                               phrase(1, 4), phrase(5, 9)])
+            suffix = "   " if pad and rng.random() < 0.5 else ""
+            lines.append(f"[{i + 1}]: {gold}{suffix}")
+        return "\n".join(lines)
+
+    def random_response():
+        parts = []
+        if rng.random() < 0.9:
+            obs = phrase(2, 6) + (f" [{rng.randint(1, 5)}] " if
+                                  rng.random() < 0.3 else "")
+            parts.append(f"<observe>{obs}</observe>")
+        if rng.random() < 0.9:
+            parts.append(f"<evidence>{evidence_body(rng.randint(0, 6), True)}"
+                         "</evidence>")
+        think = phrase(1, 8)
+        ans = rng.choice([phrase(1, 3), phrase(5, 8), think])
+        if rng.random() < 0.9:
+            parts.append(f"<think>{think}</think>")
+        if rng.random() < 0.9:
+            parts.append(f"<answer>{ans}</answer>")
+        if rng.random() < 0.15 and parts:  # duplicate a tag block
+            parts.append(rng.choice(parts))
+        if rng.random() < 0.15:  # junk between blocks
+            parts.insert(rng.randint(0, len(parts)), phrase(1, 3))
+        rng.shuffle(parts) if rng.random() < 0.1 else None
+        return rng.choice(["", " ", "\n"]).join(parts)
+
+    for trial in range(1000):
+        gt = (f"<evidence>{evidence_body(rng.randint(1, 5), False)}"
+              f"</evidence><answer>{phrase(1, 6)}</answer>")
+        resp = random_response()
+        rl = rng.randint(0, 1800)
+        assert accuracy_reward(resp, gt) == pytest.approx(
+            fns["accuracy_reward"](resp, gt)), (trial, resp, gt)
+        assert evidence_reward(resp, gt) == pytest.approx(
+            fns["evidence_reward"](resp, gt)), (trial, resp, gt)
+        assert format_reward(resp) == fns["format_reward"](resp, gt), resp
+        assert is_observe_punishment(resp) == fns["isObserve_punishment"](resp)
+        assert is_think_punishment(resp) == fns["isThink_punishment"](resp)
+        assert overlong_punishment(rl) == fns["soft_overlong_punishment"](
+            rl, 1536, 512, 200)

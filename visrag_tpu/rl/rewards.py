@@ -20,10 +20,8 @@ replaced by a vectorized numpy sliding-window match over the whole batch.
 
 from __future__ import annotations
 
-import dataclasses
 import re
 import string
-from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -53,19 +51,25 @@ def _normalize(s: str) -> str:
 
 
 def f1_match(response: str, ground_truth: str) -> float:
-    pred = _normalize(response).split()
-    gold = _normalize(ground_truth).split()
-    common = Counter(pred) & Counter(gold)
-    num_same = sum(common.values())
-    if num_same == 0 or not pred or not gold:
+    """Token-SET F1 (not multiset) — evidencecot.py:89-105 builds set(pred) /
+    set(gt) and counts tp/fp/fn on the sets, so repeated tokens count once."""
+    pred = set(_normalize(response).split())
+    gold = set(_normalize(ground_truth).split())
+    tp = len(pred & gold)
+    fp = len(pred - gold)
+    fn = len(gold - pred)
+    precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+    recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+    if precision + recall == 0:
         return 0.0
-    precision = num_same / len(pred)
-    recall = num_same / len(gold)
     return 2 * precision * recall / (precision + recall)
 
 
 def em_match(response: str, ground_truth: str) -> float:
-    return float(_normalize(response) == _normalize(ground_truth))
+    """Substring containment, not equality — evidencecot.py:107-111 scores 1.0
+    when the normalized ground truth appears anywhere in the normalized
+    response."""
+    return float(_normalize(ground_truth) in _normalize(response))
 
 
 def _tag_body(text: str, tag: str) -> Optional[str]:
@@ -83,6 +87,8 @@ def accuracy_reward(response: str, ground_truth: str) -> float:
         return 0.0
     ga = _tag_body(ground_truth, "answer")
     if ga is None:
+        # Deviation: the reference (evidencecot.py:117) raises IndexError on a
+        # ground truth without <answer> tags; we fall back to the raw string.
         ga = ground_truth
     return f1_match(_normalize(pa), _normalize(ga))
 
