@@ -352,3 +352,158 @@ def test_reward_channels_fuzz_vs_oracle():
         assert is_think_punishment(resp) == fns["isThink_punishment"](resp)
         assert overlong_punishment(rl) == fns["soft_overlong_punishment"](
             rl, 1536, 512, 200)
+
+
+def _synth_train_batch(rng, bs=8, S=24, vocab=100, nch=6):
+    """Synthetic post-rollout batch (pre-old_log_probs)."""
+    ids = rng.integers(1, vocab, size=(bs, S)).astype(np.int32)
+    lens = rng.integers(10, S + 1, size=bs)
+    plens = rng.integers(2, 6, size=bs)
+    att = np.zeros((bs, S), np.int32)
+    resp = np.zeros((bs, S), np.int32)
+    for i in range(bs):
+        att[i, :lens[i]] = 1
+        resp[i, plens[i]:lens[i]] = 1
+        ids[i, lens[i]:] = 0
+    pos = np.broadcast_to(np.arange(S), (3, bs, S)).copy().astype(np.int32)
+    rm = np.repeat(resp[:, None, :], nch, axis=1).copy()
+    # channel scopes: vary starts so channels differ
+    for i in range(bs):
+        for c in range(nch):
+            cut = plens[i] + c % 3
+            rm[i, c, :cut] = 0
+    adv = rng.normal(size=(bs, nch)).astype(np.float32)
+    return dict(input_ids=ids, attention_mask=att,
+                positions=pos, response_mask=resp, reward_masks=rm,
+                advantages=adv,
+                reward_tensor=rng.normal(size=(bs, nch)).astype(np.float32),
+                uid=np.repeat(np.arange(bs // 2), 2))
+
+
+def _tiny_trainer(mesh=None, padding_free=False, **over):
+    import dataclasses as dc
+
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    cfg = RLConfig()
+    cfg = dc.replace(cfg, actor=dc.replace(cfg.actor, lr=1e-3,
+                                           padding_free=padding_free, **over))
+    return RLTrainer(model, params, cfg, tokenizer_decode=lambda x: "",
+                     tag_token_ids={"<think>": [50], "<evidence>": [51],
+                                    "<answer>": [52]}, mesh=mesh)
+
+
+def test_rl_update_sharded_matches_single():
+    """A DP+FSDP-sharded update_policy on the 8-device mesh produces the
+    same params as the single-device step (VERDICT #3 done-criterion)."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+
+    rng = np.random.default_rng(7)
+    batch = _synth_train_batch(rng)
+    t1 = _tiny_trainer(mesh=None)
+    t8 = _tiny_trainer(mesh=build_mesh(MeshConfig(data=8)))
+    for t in (t1, t8):
+        b = dict(batch)
+        b["old_log_probs"] = t.compute_log_probs(t.params, b)
+        t.update_policy(b)
+    p1 = jax.tree_util.tree_leaves(t1.params["params"])
+    p8 = jax.tree_util.tree_leaves(t8.params["params"])
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_rl_packed_update_matches_padded():
+    """padding_free (segment-id packed) update == padded update."""
+    rng = np.random.default_rng(11)
+    batch = _synth_train_batch(rng)
+    tp = _tiny_trainer(padding_free=True)
+    td = _tiny_trainer(padding_free=False)
+    for t in (tp, td):
+        b = dict(batch)
+        b["old_log_probs"] = t.compute_log_probs(t.params, b)
+        t.update_policy(b)
+    for a, b in zip(jax.tree_util.tree_leaves(tp.params["params"]),
+                    jax.tree_util.tree_leaves(td.params["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_make_batch_fresh_prompts():
+    """Online filtering pulls NEW prompt groups per retry with globally
+    unique uids (VERDICT weak #3 / next-step 6)."""
+    import dataclasses as dc
+
+    from visrag_tpu.rl.trainer import RLTrainer, RolloutBatch
+
+    class StubTrainer(RLTrainer):
+        def __init__(self, cfg):
+            # bypass model/optimizer setup; make_batch only needs cfg,
+            # tag ids, uid counter, and rollout()
+            self.cfg = cfg
+            self.tag_token_ids = {"<think>": [50], "<evidence>": [51],
+                                  "<answer>": [52]}
+            self._uid_next = 0
+            self.consumed = []
+
+        def rollout(self, prompts, rng):
+            n = self.cfg.rollout.n
+            self.consumed.append([p["name"] for p in prompts])
+            uids, texts, gts, resp = [], [], [], []
+            for p in prompts:
+                uid = self._uid_next
+                self._uid_next += 1
+                for j in range(n):
+                    uids.append(uid)
+                    texts.append(p["texts"][j])
+                    gts.append(p["ground_truth"])
+                    resp.append([5, 6, 7])
+            bs, S = len(uids), 8
+            ids = np.ones((bs, S), np.int32)
+            att = np.ones((bs, S), np.int32)
+            rm = np.zeros((bs, S), np.int32)
+            rm[:, 5:] = 1
+            pos = np.broadcast_to(np.arange(S), (3, bs, S)).copy()
+            return RolloutBatch(input_ids=ids, attention_mask=att,
+                                positions=pos.astype(np.int32),
+                                response_mask=rm, responses=resp,
+                                response_texts=texts, uid=np.asarray(uids),
+                                ground_truths=gts)
+
+    from visrag_tpu.config import RLConfig
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=2),
+        # the accuracy channel is 3-weighted (sum_all), so a perfect group
+        # means 3.0 and a half-right group 1.5
+        algorithm=dc.replace(cfg.algorithm, online_filtering=True,
+                             filter_key="accuracy", filter_low=0.01,
+                             filter_high=2.9, max_try_make_batch=5),
+        trainer=dc.replace(cfg.trainer, rollout_batch_size=2))
+    tr = StubTrainer(cfg)
+    gt = "<answer>yes maybe sure ok</answer>"
+    perfect = [gt, gt]                           # acc mean 1.0 → filtered
+    mixed = [gt, "<answer>zzz</answer>"]         # acc mean 0.5 → kept
+    batches = iter([
+        [dict(name="a", texts=perfect, ground_truth=gt),
+         dict(name="b", texts=perfect, ground_truth=gt)],
+        [dict(name="c", texts=mixed, ground_truth=gt),
+         dict(name="d", texts=mixed, ground_truth=gt)],
+    ])
+    out = tr.make_batch(batches, jax.random.PRNGKey(0))
+    # regeneration consumed FRESH prompts, not re-rolls of the first batch
+    assert tr.consumed == [["a", "b"], ["c", "d"]]
+    uids, counts = np.unique(out["uid"], return_counts=True)
+    assert (counts == cfg.rollout.n).all()       # whole groups, no dup uids
+    assert set(uids) == {2, 3}                   # uids globally unique: try 2
+    assert out["input_ids"].shape[0] == 4

@@ -249,6 +249,9 @@ class ActorConfig:
     micro_batch_tokens: int = 16384
     freeze_vision_tower: bool = True
     grad_clip: float = 1.0
+    # padding-free packed update path (segment-id attention); micro-batches
+    # carrying vision inputs fall back to the padded layout
+    padding_free: bool = True
 
 
 @dataclass

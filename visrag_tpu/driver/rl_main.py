@@ -66,12 +66,15 @@ def main(argv=None):
     dataset = RLHFDataset(args.data, encode_row,
                           max_prompt_length=cfg.rollout.max_prompt_length)
     tracker = Tracker(args.output_dir)
+    from ..mesh import build_mesh
+    mesh = build_mesh(cfg.mesh) if len(jax.devices()) > 1 else None
     trainer = RLTrainer(
         model, params, cfg, tokenizer_decode=lambda ids: tok.decode(ids),
         tag_token_ids=tags, eos_token_ids=[tok.eos_token_id],
         engine_kwargs=dict(num_slots=8,
                            max_len=cfg.rollout.max_prompt_length +
-                           cfg.rollout.max_response_length))
+                           cfg.rollout.max_response_length),
+        mesh=mesh)
 
     def prompt_batches():
         while True:  # epochs until total_steps

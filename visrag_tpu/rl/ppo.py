@@ -50,11 +50,16 @@ def compute_policy_loss(old_log_probs, log_probs, advantages, response_mask,
                         clip_ratio_high=0.3, clip_ratio_dual=3.0):
     """core_algos.compute_policy_loss (:391-472).
 
-    old_log_probs/log_probs (bs, len); advantages (bs, n_rewards);
+    old_log_probs/log_probs (bs, len); advantages (bs, n_rewards) — or
+    (bs, n_rewards, len) when already scoped per token (the packed
+    padding-free path precomputes advantage·mask before packing);
     reward_masks (bs, n_rewards, len). → (pg_loss (n_rewards,), metrics)."""
     import numpy as np
 
-    adv = advantages[:, :, None] * reward_masks                  # (bs, n, len)
+    if advantages.ndim == 3:
+        adv = advantages                                         # (bs, n, len)
+    else:
+        adv = advantages[:, :, None] * reward_masks              # (bs, n, len)
     neg_kl = jnp.clip(log_probs - old_log_probs, -20.0, 20.0)[:, None, :]
     neg_kl = jnp.broadcast_to(neg_kl, adv.shape)
     ratio = jnp.exp(neg_kl)

@@ -1,39 +1,76 @@
-"""RS-GRPO trainer: the single-controller RL loop.
+"""RS-GRPO trainer: the single-controller, mesh-sharded RL loop.
 
 Replaces the reference's Ray/FSDP/vLLM machinery (verl/trainer/ray_trainer.py
-:560-704, workers/fsdp_workers.py, rollout/vllm_rollout_spmd.py) with one JAX
-process:
+:560-704, workers/fsdp_workers.py, actor/dp_actor.py:219-302,
+rollout/vllm_rollout_spmd.py) with one JAX process:
 
-  rollout (serving.Engine, n samples/prompt)
+  rollout (serving.Engine, n samples/prompt, persistent across steps)
     → rewards (host: 6 scoped channels, rl/rewards.py)
+    → online filtering pulling FRESH prompt groups per retry with globally
+      unique uids (ray_trainer._make_batch_data :467-558)
     → ROUTER/GRPO advantage (rl/advantage.py)
-    → dual-clip PPO with reward-scoped masks (rl/ppo.py) under jit
-    → optax update.
+    → seqlen-balanced reorder across dp shards (ray_trainer._balance_batch
+      :450-465) → minibatch / token-budget micro-batch loops with dual-clip
+      PPO under jit (dp_actor.update_policy :219-302).
 
-The FSDP↔vLLM weight handoff (fsdp_vllm.py:110-138) disappears: the engine
-and the train step share the same param arrays; after each update the engine
-just reads the new pytree. Online filtering + batch regeneration follows
-ray_trainer._make_batch_data (:467-558); seqlen balancing rl/seqlen.py.
+Distribution is GSPMD, not RPC: params are FSDP-sharded over the mesh `data`
+axis (mesh.shard_params_fsdp), batches are sharded on dim 0, and the
+reference's `dist.all_reduce(total_response_tokens)` (dp_actor.py:237-238)
+is simply a jnp.sum over the logically-global minibatch — XLA inserts the
+collectives. The FSDP↔vLLM weight handoff (fsdp_vllm.py:110-138) disappears:
+one Engine persists across steps and reads the updated param pytree.
+
+Token alignment: log-probs live at position t for the token generated at
+t+1 (the label shift), so the update path shifts response/reward masks into
+the same space — ratio, advantage scope, and token counts all refer to the
+same generated token, matching the reference's response-relative layout
+(dp_actor._forward_micro_batch returns per-response-token log-probs).
+
+Padding-free: text micro-batches run packed (segment-id flash attention,
+rl/packing.py) — the TPU equivalent of the reference's flash-attn varlen
+unpad path (dp_actor.py:89-141). Micro-batches carrying vision inputs fall
+back to the padded layout.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from collections import defaultdict
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import RLConfig
+from ..mesh import DATA, REPLICA, shard_params_fsdp
 from ..serving.engine import Engine
 from ..serving.sampling import SamplingParams
 from .advantage import compute_advantage
+from .packing import pack_sequences
 from .ppo import log_probs_from_logits, ppo_loss
 from .rewards import REWARD_CHANNELS, build_reward_masks, compute_rewards
-from .seqlen import reorder_for_dp
+from .seqlen import reorder_for_dp, token_budget_micro_batches
+
+# batch keys indexed by row (dim 0); "positions" is (3, bs, S) → dim 1
+_ROW_KEYS = ("input_ids", "attention_mask", "response_mask", "reward_masks",
+             "advantages", "old_log_probs", "ref_log_probs", "reward_tensor",
+             "uid", "slot_map")
+
+
+def _reindex(batch: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in batch.items():
+        if k == "positions":
+            out[k] = v[:, idx]
+        elif k in _ROW_KEYS:
+            out[k] = v[idx]
+        else:
+            out[k] = v
+    return out
 
 
 @dataclasses.dataclass
@@ -47,7 +84,7 @@ class RolloutBatch:
     response_mask: np.ndarray    # (bs, S) 1 on response tokens
     responses: List[List[int]]
     response_texts: List[str]
-    uid: np.ndarray              # (bs,) prompt group ids
+    uid: np.ndarray              # (bs,) prompt group ids (globally unique)
     ground_truths: List[str]
 
 
@@ -57,9 +94,17 @@ class RLTrainer:
                  tag_token_ids: Dict[str, Sequence[int]],
                  eos_token_ids: Sequence[int] = (),
                  engine_kwargs: Optional[dict] = None,
-                 ref_params=None):
+                 ref_params=None, mesh=None):
         self.model = model
         self.cfg = cfg
+        self.mesh = mesh
+        self.dp = 1 if mesh is None else (mesh.shape[REPLICA] *
+                                          mesh.shape[DATA])
+        if mesh is not None:
+            params = {"params": shard_params_fsdp(params["params"], mesh)}
+            if ref_params is not None:
+                ref_params = {"params": shard_params_fsdp(
+                    ref_params["params"], mesh)}
         self.params = params
         self.ref_params = ref_params
         self.decode = tokenizer_decode
@@ -68,16 +113,45 @@ class RLTrainer:
         self.engine_kwargs = dict(num_slots=8, max_len=4096,
                                   prompt_buckets=(512, 1024, 2048, 4096))
         self.engine_kwargs.update(engine_kwargs or {})
+        self._engine: Optional[Engine] = None
+        self._uid_next = 0
 
-        schedule = cfg.actor.lr
         self.tx = optax.chain(optax.clip_by_global_norm(cfg.actor.grad_clip),
-                              optax.adamw(schedule, weight_decay=1e-2))
+                              optax.adamw(cfg.actor.lr, weight_decay=1e-2))
         self.opt_state = self.tx.init(params["params"])
         self.step = 0
         self._logp_jit = jax.jit(self._logp_fn)
-        self._train_jit = jax.jit(self._train_step)
+        self._grad_jit = jax.jit(self._grad_fn)
+        self._grad_packed_jit = jax.jit(self._grad_packed_fn)
+        self._apply_jit = jax.jit(self._apply_fn, donate_argnums=(0, 1, 2))
+        self._add_jit = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b),
+            donate_argnums=(0, 1))
 
-    # ---- jitted pieces -----------------------------------------------
+    # ---- device placement ---------------------------------------------
+
+    def _put(self, x, batch_dim: Optional[int] = 0):
+        """Shard dim `batch_dim` over (replica, data); None = replicate."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        spec = [None] * x.ndim
+        if batch_dim is not None and x.shape[batch_dim] % self.dp == 0:
+            spec[batch_dim] = (REPLICA, DATA)
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        return {k: self._put(v, 1 if k == "positions" else 0)
+                for k, v in batch.items()}
+
+    def _row_bucket(self, n: int) -> int:
+        """Round a micro-batch row count up to dp·2^k to bound recompiles."""
+        b = max(self.dp, 1)
+        while b < n:
+            b *= 2
+        return b
+
+    # ---- jitted pieces -------------------------------------------------
 
     def _logp_fn(self, params, input_ids, attention_mask, positions,
                  response_mask):
@@ -92,43 +166,81 @@ class RLTrainer:
         shifted = jnp.roll(response_mask, -1, axis=1)
         return logp * shifted
 
-    def _train_step(self, params, opt_state, batch):
-        def loss_fn(p):
-            logp = self._logp_fn({"params": p}, batch["input_ids"],
-                                 batch["attention_mask"], batch["positions"],
-                                 batch["response_mask"])
-            ref_logp = batch.get("ref_log_probs")
-            loss, metrics = ppo_loss(
-                batch["old_log_probs"], logp, batch["advantages"],
-                batch["response_mask"], batch["reward_masks"],
-                ref_log_probs=ref_logp, kl_coef=self.cfg.actor.kl_coef,
-                kl_type=self.cfg.actor.kl_type,
-                clip_ratio_low=self.cfg.actor.clip_ratio_low,
-                clip_ratio_high=self.cfg.actor.clip_ratio_high,
-                clip_ratio_dual=self.cfg.actor.clip_ratio_dual)
-            return loss, metrics
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        gnorm = optax.global_norm(grads)
-        # non-finite grad skip (reference dp_actor.py:163-165)
-        ok = jnp.isfinite(gnorm)
-        updates, new_opt = self.tx.update(
-            jax.tree_util.tree_map(lambda g: jnp.where(ok, g, 0.0), grads),
-            opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(ok, new, old), new_params, params)
-        metrics = dict(metrics, loss=loss, grad_norm=gnorm,
-                       grad_skipped=1.0 - ok.astype(jnp.float32))
-        return params, new_opt, metrics
+    def _ppo_terms(self, logp, batch, total_tokens):
+        """Shared PPO objective; masks in batch are already logp-aligned."""
+        return ppo_loss(
+            batch["old_log_probs"], logp, batch["advantages"],
+            batch["response_mask"], batch["reward_masks"],
+            ref_log_probs=batch.get("ref_log_probs"),
+            kl_coef=self.cfg.actor.kl_coef, kl_type=self.cfg.actor.kl_type,
+            clip_ratio_low=self.cfg.actor.clip_ratio_low,
+            clip_ratio_high=self.cfg.actor.clip_ratio_high,
+            clip_ratio_dual=self.cfg.actor.clip_ratio_dual,
+            total_tokens=total_tokens)
 
-    # ---- rollout → batch ---------------------------------------------
+    def _grad_fn(self, params, batch, total_tokens):
+        def loss_fn(p):
+            logits, _ = self.model.apply(
+                {"params": p}, batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                positions=batch["positions"],
+                **{k: batch[k] for k in ("vision_batch", "slot_map")
+                   if k in batch})
+            labels = jnp.roll(batch["input_ids"], -1, axis=1)
+            logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
+            logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])],
+                                   axis=1)
+            logp = logp * batch["response_mask"]   # already shifted
+            return self._ppo_terms(logp, batch, total_tokens)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return loss, metrics, grads
+
+    def _grad_packed_fn(self, params, batch, total_tokens):
+        """Padding-free micro step: rows pack several sequences; segment-id
+        attention keeps them independent; masks (packed, logp-aligned) zero
+        out cross-segment label positions."""
+        def loss_fn(p):
+            logits, _ = self.model.apply(
+                {"params": p}, batch["input_ids"],
+                positions=batch["positions"],
+                segment_ids=batch["segment_ids"])
+            labels = jnp.roll(batch["input_ids"], -1, axis=1)
+            logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
+            logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])],
+                                   axis=1)
+            logp = logp * batch["response_mask"]
+            return self._ppo_terms(logp, batch, total_tokens)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return loss, metrics, grads
+
+    def _apply_fn(self, params, opt_state, grads):
+        gnorm = optax.global_norm(grads)
+        # non-finite grad skip (reference dp_actor.py:163-169)
+        ok = jnp.isfinite(gnorm)
+        safe = jax.tree_util.tree_map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt = self.tx.update(safe, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params)
+        return new_params, new_opt, {
+            "grad_norm": gnorm, "grad_skipped": 1.0 - ok.astype(jnp.float32)}
+
+    # ---- rollout → batch ------------------------------------------------
 
     def rollout(self, prompts: List[dict], rng) -> RolloutBatch:
         """prompts: dicts with input_ids (+positions, vision_batch, slot_map,
-        ground_truth). Each prompt sampled cfg.rollout.n times."""
+        ground_truth). Each prompt sampled cfg.rollout.n times. The engine is
+        built once and reused across steps (params swap, not re-init —
+        obsoletes fsdp_vllm sleep/wake, :140-158)."""
         n = self.cfg.rollout.n
-        eng = Engine(self.model, self.params, eos_token_ids=self.eos,
-                     **self.engine_kwargs)
+        if self._engine is None:
+            self._engine = Engine(self.model, self.params,
+                                  eos_token_ids=self.eos,
+                                  **self.engine_kwargs)
+        else:
+            self._engine.params = self.params
         sampling = SamplingParams(
             temperature=self.cfg.rollout.temperature,
             top_p=self.cfg.rollout.top_p,
@@ -136,13 +248,15 @@ class RLTrainer:
         expanded = []
         uids = []
         gts = []
-        for ui, p in enumerate(prompts):
+        for p in prompts:
+            uid = self._uid_next
+            self._uid_next += 1
             for _ in range(n):
                 expanded.append({k: v for k, v in p.items()
                                  if k != "ground_truth"})
-                uids.append(ui)
+                uids.append(uid)
                 gts.append(p.get("ground_truth", ""))
-        outs = eng.generate(expanded, sampling=sampling, rng=rng)
+        outs = self._engine.generate(expanded, sampling=sampling, rng=rng)
 
         max_len = max(len(p["input_ids"]) + len(o)
                       for p, o in zip(expanded, outs))
@@ -171,18 +285,28 @@ class RLTrainer:
                             responses=outs, response_texts=texts,
                             uid=np.asarray(uids), ground_truths=gts)
 
-    def make_batch(self, prompts: List[dict], rng) -> Optional[dict]:
-        """Rollout + rewards + advantage (+ online filtering with
-        regeneration, ray_trainer._make_batch_data :467-558)."""
+    def make_batch(self, prompt_iter: Iterator[List[dict]], rng
+                   ) -> Optional[dict]:
+        """Rollout + rewards + advantage with online filtering that pulls
+        FRESH prompt groups per retry (ray_trainer._make_batch_data :467-558:
+        each try draws a new dataloader batch; uids are unique across tries).
+        prompt_iter yields lists of prompt dicts; exhausting it returns what
+        was collected (None if nothing) — pass itertools.cycle(...) for the
+        reference's restart-on-StopIteration behavior."""
         alg = self.cfg.algorithm
+        n = self.cfg.rollout.n
+        target_rows = self.cfg.trainer.rollout_batch_size * n
         collected: List[dict] = []
         tries = 0
-        pool = list(prompts)
         while True:
             tries += 1
+            try:
+                prompts = next(prompt_iter)
+            except StopIteration:
+                break
             rng, r1 = jax.random.split(rng)
-            rb = self.rollout(pool, r1)
-            reward_tensor, metrics = compute_rewards(
+            rb = self.rollout(prompts, r1)
+            reward_tensor, _metrics = compute_rewards(
                 rb.response_texts, rb.ground_truths,
                 [len(r) for r in rb.responses],
                 max_response_length=self.cfg.rollout.max_response_length)
@@ -195,41 +319,42 @@ class RLTrainer:
                     m = reward_tensor[sel, ch].mean()
                     if alg.filter_low < m < alg.filter_high:
                         keep_uids.add(int(uid))
-            collected.append(self._finalize(rb, reward_tensor, keep_uids))
-            total = sum(c["input_ids"].shape[0] for c in collected if c)
-            if total >= self.cfg.trainer.rollout_batch_size * self.cfg.rollout.n \
-                    or not alg.online_filtering or tries >= alg.max_try_make_batch:
+            part = self._finalize(rb, reward_tensor, keep_uids)
+            if part is not None:
+                collected.append(part)
+            total = sum(c["input_ids"].shape[0] for c in collected)
+            if total >= target_rows or not alg.online_filtering \
+                    or tries >= alg.max_try_make_batch:
                 break
-        parts = [c for c in collected if c is not None]
-        if not parts:
+        if not collected:
             return None
         # pad every part to the max sequence length before concatenating
-        S = max(p["input_ids"].shape[1] for p in parts)
+        S = max(p["input_ids"].shape[1] for p in collected)
 
         def pad_part(p):
             out = {}
             for k, v in p.items():
                 if k in ("input_ids", "attention_mask", "response_mask"):
                     out[k] = np.pad(v, ((0, 0), (0, S - v.shape[1])))
-                elif k == "positions":
-                    out[k] = np.pad(v, ((0, 0), (0, 0), (0, S - v.shape[2])))
-                elif k == "reward_masks":
-                    out[k] = np.pad(v, ((0, 0), (0, 0), (0, S - v.shape[2])))
+                elif k in ("positions", "reward_masks"):
+                    out[k] = np.pad(v, ((0, 0), (0, 0), (0, S - v.shape[-1])))
                 else:
                     out[k] = v
             return out
 
-        parts = [pad_part(p) for p in parts]
-        return {k: np.concatenate([p[k] for p in parts],
-                                  axis=1 if k == "positions" else 0)
-                for k in parts[0]}
+        parts = [pad_part(p) for p in collected]
+        batch = {k: np.concatenate([p[k] for p in parts],
+                                   axis=1 if k == "positions" else 0)
+                 for k in parts[0]}
+        # keep whole uid groups: every part contributes multiples of n rows
+        return _reindex(batch, slice(0, target_rows)) \
+            if batch["input_ids"].shape[0] > target_rows else batch
 
     def _finalize(self, rb: RolloutBatch, reward_tensor, keep_uids):
         keep = np.asarray([u in keep_uids for u in rb.uid])
         if not keep.any():
             return None
         sel = np.nonzero(keep)[0]
-        resp_ids = []
         max_resp = max(len(rb.responses[i]) for i in sel)
         resp_arr = np.zeros((len(sel), max_resp), np.int32)
         resp_m = np.zeros((len(sel), max_resp), np.int32)
@@ -243,9 +368,10 @@ class RLTrainer:
         bs, S = rb.input_ids[sel].shape
         reward_masks = np.zeros((bs, len(REWARD_CHANNELS), S), np.int32)
         for j, i in enumerate(sel):
-            pl = int(np.sum(rb.attention_mask[i]) - np.sum(rb.response_mask[i]))
-            n = int(resp_m[j].sum())
-            reward_masks[j, :, pl:pl + n] = reward_masks_resp[j, :, :n]
+            pl = int(np.sum(rb.attention_mask[i]) -
+                     np.sum(rb.response_mask[i]))
+            nr = int(resp_m[j].sum())
+            reward_masks[j, :, pl:pl + nr] = reward_masks_resp[j, :, :nr]
 
         adv, _ = compute_advantage(
             self.cfg.algorithm.adv_estimator,
@@ -260,46 +386,163 @@ class RLTrainer:
                     reward_tensor=reward_tensor[sel],
                     advantages=adv, uid=rb.uid[sel])
 
-    # ---- outer loop --------------------------------------------------
+    # ---- log-prob inference (micro-batched) ------------------------------
 
-    def fit(self, prompt_iter, rng=None,
-            logger: Optional[Callable[[int, dict], None]] = None):
-        """prompt_iter yields lists of prompt dicts (one rollout batch)."""
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        history = []
-        for prompts in prompt_iter:
-            t0 = time.time()
-            rng, r1, r2 = jax.random.split(rng, 3)
-            batch = self.make_batch(prompts, r1)
-            if batch is None:
-                continue
-            # old log probs under the current (pre-update) policy
-            old_logp = np.asarray(self._logp_jit(
-                self.params, jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]),
-                jnp.asarray(batch["positions"]),
-                jnp.asarray(batch["response_mask"])))
-            train_batch = {
-                "input_ids": jnp.asarray(batch["input_ids"]),
-                "attention_mask": jnp.asarray(batch["attention_mask"]),
-                "positions": jnp.asarray(batch["positions"]),
-                "response_mask": jnp.asarray(batch["response_mask"]),
-                "reward_masks": jnp.asarray(batch["reward_masks"]),
-                "advantages": jnp.asarray(batch["advantages"]),
-                "old_log_probs": jnp.asarray(old_logp),
-            }
-            if self.ref_params is not None and self.cfg.actor.kl_coef > 0:
-                train_batch["ref_log_probs"] = self._logp_jit(
-                    self.ref_params, train_batch["input_ids"],
-                    train_batch["attention_mask"], train_batch["positions"],
-                    train_batch["response_mask"])
-            for _ in range(self.cfg.actor.ppo_epochs):
-                self.params["params"], self.opt_state, metrics = \
-                    self._train_jit(self.params["params"], self.opt_state,
-                                    train_batch)
+    def compute_log_probs(self, params, batch: Dict[str, np.ndarray]
+                          ) -> np.ndarray:
+        """(bs, S) log-probs at shifted positions, micro-batched under the
+        actor token budget (dp_actor.compute_log_probs role)."""
+        bs, S = batch["input_ids"].shape
+        seqlens = batch["attention_mask"].sum(1)
+        groups, _ = token_budget_micro_batches(
+            seqlens, max(self.cfg.actor.micro_batch_tokens, int(S)))
+        out = np.zeros((bs, S), np.float32)
+        for g in groups:
+            rows = self._row_bucket(len(g))
+            idx = list(g) + [g[0]] * (rows - len(g))
+            micro = _reindex(batch, idx)
+            lp = self._logp_jit(
+                params, self._put(micro["input_ids"]),
+                self._put(micro["attention_mask"]),
+                self._put(micro["positions"], 1),
+                self._put(micro["response_mask"]))
+            out[list(g)] = np.asarray(lp)[:len(g)]
+        return out
+
+    # ---- policy update ---------------------------------------------------
+
+    def _pack_micro(self, mini: Dict[str, np.ndarray], g: Sequence[int],
+                    seqlens, width: int) -> Dict[str, jax.Array]:
+        """Build the packed (padding-free) micro-batch: trim each sequence to
+        its true length, pack with segment ids, pad rows to a dp-multiple."""
+        nch = len(REWARD_CHANNELS)
+        seqs, extra = [], defaultdict(list)
+        for i in g:
+            L = int(seqlens[i])
+            seqs.append(mini["input_ids"][i, :L])
+            extra["response_mask"].append(mini["response_mask"][i, :L])
+            extra["old_log_probs"].append(mini["old_log_probs"][i, :L])
+            if "ref_log_probs" in mini:
+                extra["ref_log_probs"].append(mini["ref_log_probs"][i, :L])
+            for a in range(3):
+                extra[f"pos{a}"].append(mini["positions"][a, i, :L])
+            for c in range(nch):
+                rm = mini["reward_masks"][i, c, :L]
+                extra[f"rm{c}"].append(rm)
+                extra[f"adv{c}"].append(
+                    (mini["advantages"][i, c] * rm).astype(np.float32))
+        packed, ex = pack_sequences(seqs, width, extra=dict(extra))
+        rows = self._row_bucket(packed.input_ids.shape[0])
+
+        def padrows(x, r=rows):
+            return np.pad(x, ((0, r - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+        batch = {
+            "input_ids": padrows(packed.input_ids),
+            "segment_ids": padrows(packed.segment_ids),
+            "positions": np.stack([padrows(ex[f"pos{a}"])
+                                   for a in range(3)]),
+            "response_mask": padrows(ex["response_mask"]),
+            "old_log_probs": padrows(ex["old_log_probs"]),
+            "reward_masks": np.stack([padrows(ex[f"rm{c}"])
+                                      for c in range(nch)], axis=1),
+            "advantages": np.stack([padrows(ex[f"adv{c}"])
+                                    for c in range(nch)], axis=1),
+        }
+        if "ref_log_probs" in ex:
+            batch["ref_log_probs"] = padrows(ex["ref_log_probs"])
+        return self._put_batch(batch)
+
+    def update_policy(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """Seqlen-balanced minibatch/micro-batch PPO update
+        (dp_actor.update_policy :219-302 under GSPMD).
+
+        Expects logp-space keys: old_log_probs (+ ref_log_probs) from
+        compute_log_probs. Shifts response/reward masks into logp space here.
+        """
+        cfg = self.cfg
+        batch = dict(batch)
+        # shift masks into logp space: position t ↔ generated token t+1.
+        # (np.roll wraparound is harmless: position 0 is always a prompt
+        # token, so mask[..., 0] == 0.)
+        batch["response_mask"] = np.roll(batch["response_mask"], -1, axis=1)
+        batch["reward_masks"] = np.roll(batch["reward_masks"], -1, axis=2)
+
+        bs, S = batch["input_ids"].shape
+        seqlens = batch["attention_mask"].sum(1)
+        if self.dp > 1 and bs % self.dp == 0:
+            perm = reorder_for_dp(seqlens, self.dp)
+            batch = _reindex(batch, perm)
+            seqlens = seqlens[perm]
+
+        packed_ok = cfg.actor.padding_free and "vision_batch" not in batch
+        mini_size = min(cfg.trainer.global_batch_size, bs)
+        agg = defaultdict(list)
+        for _ in range(cfg.actor.ppo_epochs):
+            for lo in range(0, bs, mini_size):
+                idx = np.arange(lo, min(lo + mini_size, bs))
+                mini = _reindex(batch, idx)
+                mlens = seqlens[idx]
+                # global per-channel token totals (the reference's
+                # all-reduced total_response_tokens, dp_actor.py:237-238 —
+                # a plain sum here because the minibatch is logically global)
+                total = self._put(mini["reward_masks"]
+                                  .sum((0, 2)).astype(np.float32), None)
+                groups, _ = token_budget_micro_batches(
+                    mlens, max(cfg.actor.micro_batch_tokens, int(S)))
+                grads = None
+                for g in groups:
+                    if packed_ok:
+                        micro = self._pack_micro(mini, g, mlens, S)
+                        loss, m, gr = self._grad_packed_jit(
+                            self.params["params"], micro, total)
+                    else:
+                        rows = self._row_bucket(len(g))
+                        # pad with duplicates of a real row (an all-zero
+                        # attention row would NaN the softmax) and zero
+                        # their response/reward masks → zero contribution
+                        gi = list(g) + [g[0]] * (rows - len(g))
+                        micro = _reindex(mini, gi)
+                        for k in ("response_mask", "reward_masks"):
+                            micro[k][len(g):] = 0
+                        loss, m, gr = self._grad_jit(
+                            self.params["params"], self._put_batch(micro),
+                            total)
+                    grads = gr if grads is None else self._add_jit(grads, gr)
+                    agg["loss"].append(loss)
+                    for k, v in m.items():
+                        agg[k].append(v)
+                self.params["params"], self.opt_state, am = self._apply_jit(
+                    self.params["params"], self.opt_state, grads)
                 self.params = {"params": self.params["params"]}
+                for k, v in am.items():
+                    agg[k].append(v)
+        return {k: float(np.mean([np.asarray(x) for x in v]))
+                for k, v in agg.items()}
+
+    # ---- outer loop ------------------------------------------------------
+
+    def fit(self, prompt_iter: Iterable[List[dict]], rng=None,
+            logger: Optional[Callable[[int, dict], None]] = None):
+        """prompt_iter yields lists of prompt dicts (one rollout batch per
+        step; with online filtering each step may consume several)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        it = iter(prompt_iter)
+        history = []
+        while True:
+            t0 = time.time()
+            rng, r1 = jax.random.split(rng)
+            batch = self.make_batch(it, r1)
+            if batch is None:
+                break
+            # old log probs under the current (pre-update) policy
+            batch["old_log_probs"] = self.compute_log_probs(self.params,
+                                                            batch)
+            if self.ref_params is not None and self.cfg.actor.kl_coef > 0:
+                batch["ref_log_probs"] = self.compute_log_probs(
+                    self.ref_params, batch)
+            m = self.update_policy(batch)
             self.step += 1
-            m = {k: float(v) for k, v in metrics.items()}
             m["reward_mean"] = float(batch["reward_tensor"].sum(-1).mean())
             m["step_time_s"] = time.time() - t0
             history.append((self.step, m))
