@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention
+from ..ops.attention import flash_attention, xla_lengths_attention
 from .common import Dense, LayerNorm
 
 
@@ -41,6 +41,10 @@ class SiglipViTConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    # "auto": XLA fused attention for inference (beats the flash kernel at
+    # ViT slice shapes, see ops.attention.xla_lengths_attention), flash
+    # kernel when remat (training) for O(S) memory. "xla"/"flash" force.
+    attn_impl: str = "auto"
 
     @property
     def patch_dim(self) -> int:
@@ -66,7 +70,12 @@ class ViTBlock(nn.Module):
         qkv = Dense(e, 3 * e, use_bias=True, dtype=c.dtype, name="attn_qkv")(y)
         q, k, v = jnp.split(qkv.reshape(n, p, 3, h, d), 3, axis=2)
         q, k, v = (t[:, :, 0] for t in (q, k, v))
-        o = flash_attention(q, k, v, lengths=lengths, causal=False)
+        use_xla = c.attn_impl == "xla" or (c.attn_impl == "auto" and
+                                           not c.remat)
+        if use_xla:
+            o = xla_lengths_attention(q, k, v, lengths, causal=False)
+        else:
+            o = flash_attention(q, k, v, lengths=lengths, causal=False)
         o = Dense(e, e, use_bias=True, dtype=c.dtype,
                   name="attn_proj")(o.reshape(n, p, e))
         x = x + o

@@ -36,6 +36,85 @@ def _col_ids(bq, bk, j):
     return j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
 
 
+def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                     acc_ref, m_ref, l_ref, *, sm_scale: float, causal: bool,
+                     block_q: int, block_k: int):
+    """Forward kernel with the kv loop as a GRID dimension.
+
+    The original kernel looped kv blocks with an in-kernel fori_loop over
+    pl.ds loads, which Mosaic cannot double-buffer — measured 19.7 ms at the
+    ViT encode shape (64,16,1152,72→128) vs 13.5 ms for the same math with
+    grid-level kv iteration (DMA of block j+1 overlaps compute of block j).
+    Running softmax state lives in VMEM scratch across the kv grid steps;
+    bf16 operands feed the MXU directly with fp32 accumulation.
+    """
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+    length = len_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    needs_work = j * block_k < length
+    if causal:
+        needs_work = jnp.logical_and(needs_work,
+                                     j * block_k <= (i + 1) * bq - 1)
+
+    @pl.when(needs_work)
+    def _step():
+        q = q_ref[0, 0, :, :]                      # bf16 → MXU native
+        kb = k_ref[0, 0, :, :]
+        vb = v_ref[0, 0, :, :]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
+
+        boundary = (j + 1) * block_k > length
+        if causal:
+            crosses = (j + 1) * block_k - 1 > i * bq
+            needs_mask = jnp.logical_or(boundary, crosses)
+        else:
+            needs_mask = boundary
+
+        def masked(s):
+            allow = _col_ids(bq, block_k, j) < length
+            if causal:
+                allow = jnp.logical_and(
+                    allow,
+                    _row_ids(bq, block_k, i) >= _col_ids(bq, block_k, j))
+            return jnp.where(allow, s, DEFAULT_MASK_VALUE)
+
+        s = jax.lax.cond(needs_mask, masked, lambda s: s, s)
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_blk = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _epilogue():
+        m = m_ref[:, 0:1]
+        l = l_ref[:, 0:1]
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[0, 0, :, :] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        # padded-row sentinel: see _fwd_kernel's comment
+        lse = jnp.where(l > 0.0, m + jnp.log(l_safe), -DEFAULT_MASK_VALUE)
+        lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
+
+
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 sm_scale: float, causal: bool, block_k: int, seq_k: int):
     bq, d = q_ref.shape[2], q_ref.shape[3]
@@ -213,24 +292,38 @@ def flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q, block_k,
     sk = k.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, sq // block_q),
-        in_specs=_specs_qkv(block_q, sk, d),
+        grid=(b, h, sq // block_q, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
+        ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, *_: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b_, h_, i, *_: (b_, h_, i, 0)),
+                         lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
         ],
     )
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
-                          block_k=block_k, seq_k=sk),
+        functools.partial(_fwd_kernel_grid, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(lengths, q, k, v)
     return o, lse
