@@ -47,19 +47,18 @@ def test_decode_matches_full_forward(tiny_model):
     vc = np.zeros_like(kc)
     kc[:, :, :5] = np.asarray(k)
     vc[:, :, :5] = np.asarray(v)
+    kc, vc = jnp.asarray(kc), jnp.asarray(vc)
     length = 5
     for t in range(5, 8):
         tok = ids[:, t:t + 1]
         pos_t = np.full((3, 1, 1), t, np.int32)
-        lg, kn, vn = model.apply(params, jnp.asarray(tok),
-                                 jnp.asarray(pos_t), jnp.asarray(kc),
-                                 jnp.asarray(vc),
+        # decode writes this token's K/V into the full cache stack itself
+        lg, kc, vc = model.apply(params, jnp.asarray(tok),
+                                 jnp.asarray(pos_t), kc, vc,
                                  jnp.asarray([length + 1], jnp.int32),
                                  method=model.decode)
         np.testing.assert_allclose(np.asarray(lg)[0], full_logits[0, t],
                                    rtol=3e-4, atol=3e-4)
-        kc[:, 0, length] = np.asarray(kn)[:, 0]
-        vc[:, 0, length] = np.asarray(vn)[:, 0]
         length += 1
 
 
@@ -156,3 +155,26 @@ def test_minicpmv_generation_engine():
     assert len(outs[0]) == 4
     # first generated token must equal argmax of the full-forward last logits
     assert outs[0][0] == int(np.argmax(np.asarray(full_logits)[0, prompt_len - 1]))
+
+
+def test_engine_per_request_sampling(tiny_model):
+    """Per-request sampling params: a greedy request in the same batch as a
+    hot-temperature request still matches HF greedy (the old engine applied
+    one batch-level SamplingParams)."""
+    import torch
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 100, size=(6,)).astype(np.int32)
+    with torch.no_grad():
+        out = ref.generate(torch.tensor(prompt[None].astype(np.int64)),
+                           max_new_tokens=6, do_sample=False)
+    want = out[0, 6:].numpy().tolist()
+
+    eng = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    eng.add_request(prompt, sampling=SamplingParams(temperature=0.0,
+                                                    max_tokens=6))
+    eng.add_request(prompt, sampling=SamplingParams(temperature=3.0,
+                                                    max_tokens=6))
+    results = eng.run(jax.random.PRNGKey(5))
+    assert results[0] == want
+    assert len(results[1]) == 6

@@ -111,16 +111,21 @@ class MiniCPMAttention(nn.Module):
         out = self.o_proj(o.reshape(b, s, -1))
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, positions, k_cache, v_cache, lengths_incl):
-        """One-token step (see qwen25_vl.QwenTextBlock.decode)."""
+    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl):
+        """One-token step writing THROUGH the full (layers, B, L, kvh, d)
+        cache stack — an in-place scatter on the donated buffer under jit,
+        not a per-layer cache copy (see qwen25_vl.QwenAttention.decode)."""
         from ..serving.kv_cache import decode_attention
         b = x.shape[0]
         q, k, v = self._qkv(x, positions)
         pos = lengths_incl - 1
-        kc = k_cache.at[jnp.arange(b), pos].set(k[:, 0].astype(k_cache.dtype))
-        vc = v_cache.at[jnp.arange(b), pos].set(v[:, 0].astype(v_cache.dtype))
-        o = decode_attention(q[:, 0], kc, vc, lengths_incl)
-        return self.o_proj(o[:, None].reshape(b, 1, -1)), k[:, 0], v[:, 0]
+        k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
+            k[:, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
+            v[:, 0].astype(v_cache.dtype))
+        o = decode_attention(q[:, 0], k_cache[layer_idx], v_cache[layer_idx],
+                             lengths_incl)
+        return (self.o_proj(o[:, None].reshape(b, 1, -1)), k_cache, v_cache)
 
 
 class MiniCPMBlock(nn.Module):
@@ -148,12 +153,13 @@ class MiniCPMBlock(nn.Module):
         out = x + m * self.depth_scale
         return (out, kv) if return_kv else out
 
-    def decode(self, x, positions, k_cache, v_cache, lengths_incl):
-        a, kn, vn = self.self_attn.decode(self.input_layernorm(x), positions,
-                                          k_cache, v_cache, lengths_incl)
+    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl):
+        a, k_cache, v_cache = self.self_attn.decode(
+            self.input_layernorm(x), positions, k_cache, v_cache, layer_idx,
+            lengths_incl)
         x = x + a * self.depth_scale
         m = self.mlp(self.post_attention_layernorm(x))
-        return x + m * self.depth_scale, kn, vn
+        return x + m * self.depth_scale, k_cache, v_cache
 
 
 class MiniCPMModel(nn.Module):
@@ -203,15 +209,13 @@ class MiniCPMModel(nn.Module):
         return (out, kvs) if return_kv else out
 
     def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl):
-        """One decode step; see qwen25_vl.QwenTextModel.decode."""
+        """One decode step; returns (hidden, k_cache, v_cache) with this
+        token's K/V written at lengths_incl-1 (donate the caches)."""
         x = inputs_embeds.astype(self.cfg.dtype)
-        k_news, v_news = [], []
         for i, layer in enumerate(self.layers):
-            x, kn, vn = layer.decode(x, positions, k_cache[i], v_cache[i],
-                                     lengths_incl)
-            k_news.append(kn)
-            v_news.append(vn)
-        return self.norm(x), jnp.stack(k_news), jnp.stack(v_news)
+            x, k_cache, v_cache = layer.decode(x, positions, k_cache,
+                                               v_cache, i, lengths_incl)
+        return self.norm(x), k_cache, v_cache
 
     def embed_only(self, input_ids):
         """Token embeddings * scale_emb (for vision scatter composition)."""

@@ -167,6 +167,6 @@ class MiniCPMVForGeneration(nn.Module):
         embeds = self.backbone.llm.embed_only(token_ids)
         if positions.ndim == 3:
             positions = positions[0]
-        hidden, k_new, v_new = self.backbone.llm.decode(
+        hidden, k_cache, v_cache = self.backbone.llm.decode(
             embeds, positions, k_cache, v_cache, lengths_incl)
-        return self._logits(hidden)[:, 0], k_new, v_new
+        return self._logits(hidden)[:, 0], k_cache, v_cache

@@ -255,20 +255,23 @@ class QwenTextBlock(nn.Module):
         out = self._mlp_residual(x, o)
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, cos, sin, k_cache, v_cache, lengths_incl):
-        """x (B, 1, E); k_cache/v_cache (B, L_max, kvh, d); lengths_incl
-        counts INCLUDING this step's token. Returns (out, k_new, v_new) with
-        k_new/v_new (B, kvh, d) for the engine to write into the cache."""
+    def decode(self, x, cos, sin, k_cache, v_cache, layer_idx, lengths_incl):
+        """x (B, 1, E); k_cache/v_cache: FULL (layers, B, L_max, kvh, d)
+        stacks; lengths_incl counts INCLUDING this step's token. Writes this
+        token's K/V at lengths_incl-1 (in-place scatter on a donated buffer
+        under jit) and returns (out, k_cache, v_cache)."""
         from ..serving.kv_cache import decode_attention
         q, k, v = self._qkv(x, cos, sin)
-        # attention against cache + the current token (not yet written)
         b = x.shape[0]
         pos = lengths_incl - 1
-        kc = k_cache.at[jnp.arange(b), pos].set(k[:, 0].astype(k_cache.dtype))
-        vc = v_cache.at[jnp.arange(b), pos].set(v[:, 0].astype(v_cache.dtype))
-        o = decode_attention(q[:, 0], kc, vc, lengths_incl)
+        k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
+            k[:, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
+            v[:, 0].astype(v_cache.dtype))
+        o = decode_attention(q[:, 0], k_cache[layer_idx], v_cache[layer_idx],
+                             lengths_incl)
         out = self._mlp_residual(x, o[:, None])
-        return out, k[:, 0], v[:, 0]
+        return out, k_cache, v_cache
 
 
 class QwenTextModel(nn.Module):
@@ -327,18 +330,15 @@ class QwenTextModel(nn.Module):
 
     def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl):
         """One decode step. inputs_embeds (B, 1, E); positions (3, B, 1);
-        k_cache/v_cache (layers, B, L_max, kvh, d). Returns
-        (hidden (B,1,E), k_new (layers,B,kvh,d), v_new (layers,B,kvh,d))."""
+        k_cache/v_cache (layers, B, L_max, kvh, d), donated. Returns
+        (hidden (B,1,E), k_cache, v_cache) with this token's K/V written."""
         b = inputs_embeds.shape[0]
         cos, sin = self._cos_sin(positions, b, 1)
         x = inputs_embeds.astype(self.cfg.dtype)
-        k_news, v_news = [], []
         for i, layer in enumerate(self.layers):
-            x, kn, vn = layer.decode(x, cos, sin, k_cache[i], v_cache[i],
-                                     lengths_incl)
-            k_news.append(kn)
-            v_news.append(vn)
-        return self.norm(x), jnp.stack(k_news), jnp.stack(v_news)
+            x, k_cache, v_cache = layer.decode(x, cos, sin, k_cache, v_cache,
+                                               i, lengths_incl)
+        return self.norm(x), k_cache, v_cache
 
 
 class Qwen25VL(nn.Module):
@@ -398,8 +398,8 @@ class Qwen25VL(nn.Module):
         return self.compute_logits(hidden), k, v
 
     def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl):
-        """token_ids (B, 1); → (logits (B, V), k_new, v_new)."""
+        """token_ids (B, 1); → (logits (B, V), k_cache, v_cache)."""
         embeds = self.model.embed_tokens(token_ids)
-        hidden, k_new, v_new = self.model.decode(
+        hidden, k_cache, v_cache = self.model.decode(
             embeds, positions, k_cache, v_cache, lengths_incl)
-        return self.compute_logits(hidden)[:, 0], k_new, v_new
+        return self.compute_logits(hidden)[:, 0], k_cache, v_cache

@@ -1,29 +1,38 @@
-"""TPU inference engine: prefill + batched decode with continuous batching.
+"""TPU inference engine: prefill + multi-token jitted decode with continuous
+batching.
 
 Replaces vLLM's role in the reference (EVisRAG predict.py:112-117, RS-GRPO
 rollout vllm_rollout_spmd.py): a single-controller JAX engine where
 
   * prefill runs the full model once per request (bucketed prompt lengths →
-    a handful of compiled programs) and writes K/V into the slot cache;
-  * decode runs ONE jitted step for all active slots (continuous batching:
-    finished slots are refilled from the queue between steps);
+    a handful of compiled programs) and writes K/V into the slot cache
+    INSIDE the jit on donated buffers, sampling the first token on device;
+  * decode runs `decode_chunk` tokens per dispatch as ONE jitted lax.scan
+    over all slots: cache writes are in-place scatters on donated buffers
+    (O(token), not O(cache)), sampling is per-REQUEST (temperature/top_p/
+    repetition penalty arrays), the repetition-penalty seen-mask is
+    device-resident state, and the host fetches one small packed array per
+    chunk (amortizing dispatch/relay latency over `decode_chunk` tokens);
   * weights are the same arrays the trainer uses — the reference's
-    FSDP→vLLM weight-sync protocol (fsdp_vllm.py:110-138) becomes a no-op.
+    FSDP→vLLM weight-sync protocol (fsdp_vllm.py:110-138) becomes a no-op
+    (the RL trainer swaps `engine.params` between steps).
 
 The engine is model-agnostic over a small protocol: model.prefill(...) and
-model.decode(...) as implemented by models.qwen25_vl.Qwen25VL.
+model.decode(...) — decode takes and returns the full donated cache stacks —
+as implemented by models.qwen25_vl.Qwen25VL and models.minicpmv.
+MiniCPMVForGeneration.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import SamplingParams, sample
+from .sampling import SamplingParams, sample_vec
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -51,32 +60,43 @@ class Engine:
     """Continuous-batching engine over a fixed number of decode slots."""
 
     def __init__(self, model, params, *, num_slots: int = 8,
-                 max_len: int = 4096, prompt_buckets: Sequence[int] = (512, 1024, 2048, 4096),
+                 max_len: int = 4096,
+                 prompt_buckets: Sequence[int] = (512, 1024, 2048, 4096),
                  eos_token_ids: Sequence[int] = (),
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, decode_chunk: int = 16):
         self.model = model
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_len]
         self.eos = set(int(e) for e in eos_token_ids)
+        self.chunk = decode_chunk
         tc = model.cfg.text
+        self.vocab = tc.vocab_size
         self.k_cache = jnp.zeros((tc.num_hidden_layers, num_slots, max_len,
                                   tc.num_key_value_heads, tc.head_dim),
                                  cache_dtype)
         self.v_cache = jnp.zeros_like(self.k_cache)
+        self.seen = jnp.zeros((num_slots, self.vocab), jnp.bool_)
+        self._eos_arr = jnp.asarray(sorted(self.eos) or [-1], jnp.int32)
+        # host mirrors of per-slot decode state
         self.lengths = np.zeros((num_slots,), np.int32)
+        self.cur_pos = np.zeros((num_slots,), np.int32)
+        self.gen_left = np.zeros((num_slots,), np.int32)
+        self.last_tok = np.zeros((num_slots,), np.int32)
+        self.active = np.zeros((num_slots,), bool)
+        self.temp = np.ones((num_slots,), np.float32)
+        self.top_p = np.ones((num_slots,), np.float32)
+        self.rep_pen = np.ones((num_slots,), np.float32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.queue: List[Request] = []
         self._next_id = 0
 
-        self._prefill_jit = jax.jit(
-            lambda p, ids, pos, mask, vb, sm: model.apply(
-                p, ids, attention_mask=mask, positions=pos, vision_batch=vb,
-                slot_map=sm, method=model.prefill))
-        self._decode_jit = jax.jit(
-            lambda p, tok, pos, kc, vc, ln: model.apply(
-                p, tok, pos, kc, vc, ln, method=model.decode))
+        self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(6, 7, 8),
+                                    static_argnums=(10,))
+        self._chunk_jit = jax.jit(self._decode_chunk_fn,
+                                  donate_argnums=(1, 2, 3),
+                                  static_argnums=(13,))
 
     # ---- request management ------------------------------------------
 
@@ -98,7 +118,32 @@ class Engine:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
-    # ---- prefill -----------------------------------------------------
+    # ---- prefill -------------------------------------------------------
+
+    def _prefill_fn(self, params, ids, pos, mask, vb, sm, k_cache, v_cache,
+                    seen, state, bucket, rng):
+        """Full-model prompt pass for ONE request: write prompt K/V into the
+        slot, rebuild the slot's seen row, sample the first token on device.
+        state = (slot, length, temp, top_p, rep_pen) as traced scalars."""
+        slot, length, temp, top_p, rep_pen = state
+        logits, k, v = self.model.apply(params, ids, attention_mask=mask,
+                                        positions=pos, vision_batch=vb,
+                                        slot_map=sm, method=self.model.prefill)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[:, :, :bucket].astype(k_cache.dtype),
+            (0, slot, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[:, :, :bucket].astype(v_cache.dtype),
+            (0, slot, 0, 0, 0))
+        row = jnp.zeros((self.vocab,), jnp.bool_)
+        row = row.at[ids[0]].max(mask[0] > 0)
+        last = jax.lax.dynamic_slice(logits, (0, length - 1, 0),
+                                     (1, 1, self.vocab))[:, 0]
+        tok, logp = sample_vec(last, rng, temp[None], top_p[None],
+                               rep_pen[None], row[None])
+        row = row.at[tok[0]].set(True)
+        seen = jax.lax.dynamic_update_slice(seen, row[None], (slot, 0))
+        return tok[0], logp[0], k_cache, v_cache, seen
 
     def _prefill_one(self, req: Request, slot: int, rng) -> int:
         s = len(req.input_ids)
@@ -116,91 +161,109 @@ class Engine:
             sm = np.full((1, bucket), -1, np.int32)
             sm[0, :s] = req.slot_map
             sm = jnp.asarray(sm)
-        logits, k, v = self._prefill_jit(self.params, jnp.asarray(ids),
-                                         jnp.asarray(pos), jnp.asarray(mask),
-                                         vb, sm)
-        # write prompt K/V into the slot
-        self.k_cache = jax.lax.dynamic_update_slice(
-            self.k_cache, k[:, 0][:, None, :bucket].astype(self.k_cache.dtype),
-            (0, slot, 0, 0, 0))
-        self.v_cache = jax.lax.dynamic_update_slice(
-            self.v_cache, v[:, 0][:, None, :bucket].astype(self.v_cache.dtype),
-            (0, slot, 0, 0, 0))
-        self.lengths[slot] = s
+        sp = req.sampling
+        state = (jnp.int32(slot), jnp.int32(s), jnp.float32(sp.temperature),
+                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
+        tok, logp, self.k_cache, self.v_cache, self.seen = self._prefill_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(mask), vb, sm, self.k_cache, self.v_cache, self.seen,
+            state, bucket, rng)
+        tok = int(tok)
+        req.cum_logprob += float(logp)
+        req.output_ids.append(tok)
         self.slot_req[slot] = req
-
-        # first generated token from the last prompt position
-        last_logits = logits[0, s - 1][None]
-        seen = self._seen_mask([req])
-        tok = int(np.asarray(sample(last_logits, rng, req.sampling, seen))[0])
-        self._accumulate_logprob([req], np.asarray(last_logits), [tok])
-        self._append_token(req, slot, tok)
+        self.lengths[slot] = s
+        self.cur_pos[slot] = int(req.positions.max()) + 1
+        self.gen_left[slot] = sp.max_tokens - 1
+        self.last_tok[slot] = tok
+        self.temp[slot] = sp.temperature
+        self.top_p[slot] = sp.top_p
+        self.rep_pen[slot] = sp.repetition_penalty
+        done = (tok in self.eos or sp.max_tokens <= 1
+                or s + 1 >= self.max_len)
+        self.active[slot] = not done
+        if done:
+            req.done = True
+            self.slot_req[slot] = None
         return tok
 
-    def _seen_mask(self, reqs: Sequence[Request]):
-        vocab = (self.model.cfg.text.vocab_size)
-        m = np.zeros((len(reqs), vocab), bool)
-        for i, r in enumerate(reqs):
-            m[i, np.asarray(r.input_ids) % vocab] = True
-            if r.output_ids:
-                m[i, np.asarray(r.output_ids, np.int64) % vocab] = True
-        return jnp.asarray(m)
+    # ---- decode --------------------------------------------------------
 
-    def _accumulate_logprob(self, reqs, logits, toks):
-        """Track Σ log p(token) per request (sequence scores for the
-        weighted-selection strategy, reference weighted_selection/...:394-424)."""
-        logits = np.asarray(logits, np.float64)
-        mx = logits.max(-1)
-        logz = np.log(np.sum(np.exp(logits - mx[:, None]), axis=-1)) + mx
-        for j, (r, t) in enumerate(zip(reqs, toks)):
-            r.cum_logprob += float(logits[j, int(t)] - logz[j])
+    def _decode_chunk_fn(self, params, k_cache, v_cache, seen, lengths,
+                         last_tok, cur_pos, active, gen_left, temp, top_p,
+                         rep_pen, rng, n_steps):
+        """lax.scan over n_steps decode steps for ALL slots. Inactive slots
+        run but write past their valid region and record nothing. Returns
+        donated caches/seen + one packed int32 array for a single host fetch:
+        [tokens (T·B) | lengths | cur_pos | gen_left | active | logp_bits]."""
+        B = self.num_slots
 
-    def _append_token(self, req: Request, slot: int, tok: int):
-        req.output_ids.append(tok)
-        if tok in self.eos or len(req.output_ids) >= req.sampling.max_tokens \
-                or self.lengths[slot] + 1 >= self.max_len:
-            req.done = True
+        def step(carry, rng_t):
+            (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
+             gen_left, logp_acc) = carry
+            lengths_incl = jnp.minimum(lengths + 1, self.max_len)
+            pos3 = jnp.broadcast_to(cur_pos[None, :, None], (3, B, 1))
+            logits, k_cache, v_cache = self.model.apply(
+                params, last_tok[:, None], pos3, k_cache, v_cache,
+                lengths_incl, method=self.model.decode)
+            tok, logp = sample_vec(logits, rng_t, temp, top_p, rep_pen, seen)
+            tok = jnp.where(active, tok, last_tok)
+            seen = seen.at[jnp.arange(B), tok].max(active)
+            out_tok = jnp.where(active, tok, -1)
+            is_eos = (tok[:, None] == self._eos_arr[None, :]).any(-1)
+            lengths = lengths + active
+            cur_pos = cur_pos + active
+            gen_left = gen_left - active
+            logp_acc = logp_acc + jnp.where(active, logp, 0.0)
+            active = active & ~is_eos & (gen_left > 0) & \
+                (lengths + 1 < self.max_len)
+            carry = (k_cache, v_cache, seen, lengths, tok, cur_pos, active,
+                     gen_left, logp_acc)
+            return carry, out_tok
 
-    # ---- decode ------------------------------------------------------
+        init = (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
+                gen_left, jnp.zeros((B,), jnp.float32))
+        rngs = jax.random.split(rng, n_steps)
+        carry, toks = jax.lax.scan(step, init, rngs)
+        (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
+         gen_left, logp_acc) = carry
+        packed = jnp.concatenate([
+            toks.reshape(-1), lengths, cur_pos, gen_left,
+            active.astype(jnp.int32), last_tok,
+            jax.lax.bitcast_convert_type(logp_acc, jnp.int32),
+        ])
+        return k_cache, v_cache, seen, packed
 
-    def _decode_step(self, rng):
-        active = [i for i, r in enumerate(self.slot_req) if r is not None]
-        if not active:
-            return
-        toks = np.zeros((self.num_slots, 1), np.int32)
-        pos = np.zeros((3, self.num_slots, 1), np.int32)
-        for i in active:
-            r = self.slot_req[i]
-            toks[i, 0] = r.output_ids[-1]
-            # text positions advance uniformly past the prompt's max position
-            base = int(r.positions.max()) + len(r.output_ids)
-            pos[:, i, 0] = base
-        lengths_incl = jnp.asarray(self.lengths + 1)
-        logits, k_new, v_new = self._decode_jit(
-            self.params, jnp.asarray(toks), jnp.asarray(pos),
-            self.k_cache, self.v_cache, lengths_incl)
-        # write new K/V at each slot's current length
-        idx = jnp.arange(self.num_slots)
-        self.k_cache = self.k_cache.at[:, idx, jnp.asarray(self.lengths)].set(
-            k_new.astype(self.k_cache.dtype))
-        self.v_cache = self.v_cache.at[:, idx, jnp.asarray(self.lengths)].set(
-            v_new.astype(self.v_cache.dtype))
-
-        reqs = [self.slot_req[i] for i in active]
-        seen = self._seen_mask(reqs)
-        sampling = reqs[0].sampling  # per-batch params (engine-level contract)
-        active_logits = np.asarray(logits)[active]
-        toks_new = np.asarray(sample(jnp.asarray(active_logits),
-                                     rng, sampling, seen))
-        self._accumulate_logprob(reqs, active_logits, toks_new.tolist())
-        for j, i in enumerate(active):
-            self.lengths[i] += 1
-            self._append_token(self.slot_req[i], i, int(toks_new[j]))
-        # retire finished
-        for i in active:
-            if self.slot_req[i] is not None and self.slot_req[i].done:
-                self.lengths[i] = 0
+    def _decode_chunk(self, rng):
+        B = self.num_slots
+        self.k_cache, self.v_cache, self.seen, packed = self._chunk_jit(
+            self.params, self.k_cache, self.v_cache, self.seen,
+            jnp.asarray(self.lengths), jnp.asarray(self.last_tok),
+            jnp.asarray(self.cur_pos), jnp.asarray(self.active),
+            jnp.asarray(self.gen_left), jnp.asarray(self.temp),
+            jnp.asarray(self.top_p), jnp.asarray(self.rep_pen), rng,
+            self.chunk)
+        packed = np.asarray(packed)          # ONE host fetch per chunk
+        T = self.chunk
+        toks = packed[:T * B].reshape(T, B)
+        off = T * B
+        self.lengths = packed[off:off + B].astype(np.int32)
+        self.cur_pos = packed[off + B:off + 2 * B].astype(np.int32)
+        self.gen_left = packed[off + 2 * B:off + 3 * B].astype(np.int32)
+        new_active = packed[off + 3 * B:off + 4 * B].astype(bool)
+        self.last_tok = packed[off + 4 * B:off + 5 * B].astype(np.int32)
+        logp_acc = packed[off + 5 * B:off + 6 * B].view(np.float32)
+        for i in range(B):
+            req = self.slot_req[i]
+            if req is None:
+                continue
+            req.output_ids.extend(int(t) for t in toks[:, i] if t >= 0)
+            req.cum_logprob += float(logp_acc[i])
+            if not new_active[i]:
+                req.done = True
                 self.slot_req[i] = None
+        self.active = new_active & np.asarray(
+            [r is not None for r in self.slot_req])
 
     # ---- main loop ---------------------------------------------------
 
@@ -210,13 +273,13 @@ class Engine:
         results: Dict[int, List[int]] = {}
         pending = {r.request_id: r for r in self.queue}
         while self.queue or any(r is not None for r in self.slot_req):
-            # fill free slots
             while self.queue and self._free_slots():
                 rng, r1 = jax.random.split(rng)
                 req = self.queue.pop(0)
                 self._prefill_one(req, self._free_slots()[0], r1)
-            rng, r2 = jax.random.split(rng)
-            self._decode_step(r2)
+            if any(r is not None for r in self.slot_req):
+                rng, r2 = jax.random.split(rng)
+                self._decode_chunk(r2)
             for rid, r in list(pending.items()):
                 if r.done:
                     results[rid] = r.output_ids

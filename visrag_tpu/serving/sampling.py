@@ -55,3 +55,38 @@ def sample(logits, rng, params: SamplingParams, seen_mask=None):
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_vec(logits, rng, temperature, top_p, repetition_penalty,
+               seen_mask):
+    """Per-REQUEST vectorized sampling, jit/scan-safe (all params are (B,)
+    traced arrays — the engine's device-resident decode loop uses this so
+    every request keeps its own temperature/top_p/penalty, matching vLLM's
+    per-request SamplingParams rather than one per batch).
+
+    Returns (tokens (B,) int32, logp (B,) float32) where logp is the chosen
+    token's log-probability under the RAW logits (sequence-score semantics
+    of the weighted-selection strategy). top_k is not supported here (the
+    scalar `sample` handles it); temperature == 0 rows decode greedily.
+    """
+    raw = logits.astype(jnp.float32)
+    rp = repetition_penalty[:, None]
+    scaled = jnp.where(raw > 0, raw / rp, raw * rp)
+    l = jnp.where(seen_mask, scaled, raw)
+    greedy = jnp.argmax(l, axis=-1).astype(jnp.int32)
+    lt = l / jnp.maximum(temperature, 1e-6)[:, None]
+
+    def with_top_p(lt):
+        sorted_l = jnp.sort(lt, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)
+        cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None], axis=-1)
+        return jnp.where(lt < cutoff, -jnp.inf, lt)
+
+    lt = jax.lax.cond(jnp.any(top_p < 1.0), with_top_p, lambda x: x, lt)
+    sampled = jax.random.categorical(rng, lt, axis=-1).astype(jnp.int32)
+    tok = jnp.where(temperature == 0.0, greedy, sampled)
+    logz = jax.nn.logsumexp(raw, axis=-1)
+    logp = jnp.take_along_axis(raw, tok[:, None], axis=-1)[:, 0] - logz
+    return tok, logp
