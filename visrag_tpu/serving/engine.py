@@ -294,3 +294,14 @@ class Engine:
         ids = [self.add_request(sampling=sampling, **p) for p in prompts]
         results = self.run(rng)
         return [results[i] for i in ids]
+
+    def generate_detailed(self, prompts: Sequence[dict],
+                          sampling: Optional[SamplingParams] = None,
+                          rng=None) -> List[Request]:
+        """Like generate() but returns the Request objects (output_ids +
+        cum_logprob — the sequences_scores the weighted-selection strategy
+        needs, reference weighted_selection/...:394-424)."""
+        ids = [self.add_request(sampling=sampling, **p) for p in prompts]
+        by_id = {r.request_id: r for r in self.queue}
+        self.run(rng)
+        return [by_id[i] for i in ids]
