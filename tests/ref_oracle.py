@@ -20,7 +20,8 @@ def load_functions(relpath: str, names, extra_ns=None):
     with open(path) as f:
         tree = ast.parse(f.read())
     wanted = [n for n in tree.body
-              if isinstance(n, (ast.FunctionDef,)) and n.name in names]
+              if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+              and n.name in names]
     missing = set(names) - {n.name for n in wanted}
     if missing:
         raise KeyError(f"{missing} not found in {relpath}")

@@ -507,3 +507,109 @@ def test_make_batch_fresh_prompts():
     assert (counts == cfg.rollout.n).all()       # whole groups, no dup uids
     assert set(uids) == {2, 3}                   # uids globally unique: try 2
     assert out["input_ids"].shape[0] == 4
+
+
+def test_value_loss_matches_reference():
+    import torch
+    from visrag_tpu.rl.ppo import compute_value_loss
+
+    class _VF:
+        @staticmethod
+        def masked_mean(x, mask, dim=None, eps=1e-8):
+            return (x * mask).sum(dim) / (mask.sum(dim) + eps)
+
+    from ref_oracle import load_functions
+    fns = load_functions(
+        "src/rsgrpo/verl/trainer/core_algos.py",
+        ["average_loss", "compute_value_loss"],
+        extra_ns={"torch": torch, "VF": _VF, "Tuple": tuple, "Dict": dict,
+                  "Literal": __import__("typing").Literal})
+    rng = np.random.default_rng(5)
+    vp = rng.normal(size=(4, 12)).astype(np.float32)
+    ret = rng.normal(size=(4, 12)).astype(np.float32)
+    val = vp + rng.normal(scale=0.7, size=(4, 12)).astype(np.float32)
+    mask = (rng.random((4, 12)) > 0.3).astype(np.float32)
+    want, wm = fns["compute_value_loss"](
+        torch.tensor(vp), torch.tensor(ret), torch.tensor(val),
+        torch.tensor(mask), 0.5, "token")
+    got, gm = compute_value_loss(jnp.asarray(vp), jnp.asarray(ret),
+                                 jnp.asarray(val), jnp.asarray(mask),
+                                 cliprange_value=0.5)
+    assert float(got) == pytest.approx(float(want), rel=1e-5)
+    assert float(gm["vf_clipfrac"]) == pytest.approx(
+        float(wm["vf_clipfrac"]), rel=1e-5)
+
+
+def test_adaptive_kl_controller_matches_reference():
+    import abc
+    from ref_oracle import load_functions
+    from visrag_tpu.rl.ppo import AdaptiveKLController, get_kl_controller
+    fns = load_functions(
+        "src/rsgrpo/verl/trainer/core_algos.py",
+        ["KLController", "AdaptiveKLController"],
+        extra_ns={"ABC": abc.ABC, "abstractmethod": abc.abstractmethod,
+                  "np": np})
+    ref = fns["AdaptiveKLController"](0.2, 0.1, 1000.0)
+    ours = AdaptiveKLController(0.2, 0.1, 1000.0)
+    for kl, n in ((0.05, 16), (0.4, 8), (0.1, 32), (0.0, 4)):
+        ref.update(kl, n)
+        ours.update(kl, n)
+        assert ours.kl_coef == pytest.approx(ref.kl_coef, rel=1e-6)
+    assert get_kl_controller("fixed", 0.3).kl_coef == 0.3
+
+
+def test_rl_gae_critic_path():
+    """GAE estimator end-to-end: critic values → advantages/returns →
+    actor + clipped critic updates, with the adaptive reward-KL penalty."""
+    import dataclasses as dc
+
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import (Qwen25VL, Qwen25VLConfig,
+                                             QwenForValue, QwenTextConfig)
+    from visrag_tpu.rl.critic import CriticTrainer
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+
+    vcfg = QwenTextConfig.tiny()
+    vmodel = QwenForValue(vcfg)
+    vparams = vmodel.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8), jnp.int32),
+                          positions=jnp.zeros((3, 1, 8), jnp.int32))
+
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=4, max_response_length=8),
+        algorithm=dc.replace(cfg.algorithm, adv_estimator="gae",
+                             use_kl_loss=False, kl_type="adaptive",
+                             kl_coef=0.1, kl_target=0.1, kl_horizon=100.0),
+        trainer=dc.replace(cfg.trainer, total_steps=1, rollout_batch_size=2))
+    critic = CriticTrainer(vmodel, vparams, cfg.critic,
+                           global_batch_size=cfg.trainer.global_batch_size)
+    trainer = RLTrainer(
+        model, params, cfg,
+        tokenizer_decode=lambda ids: ("<answer>x</answer>"
+                                      if sum(ids) % 2 == 0 else "wrong"),
+        tag_token_ids={"<think>": [50], "<evidence>": [51], "<answer>": [52]},
+        engine_kwargs=dict(num_slots=4, max_len=64, prompt_buckets=(16,)),
+        ref_params=jax.tree_util.tree_map(lambda x: x, params),
+        critic=critic)
+    rng = np.random.default_rng(4)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,)).astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(critic.params["params"])]
+    hist = trainer.fit([prompts])
+    assert len(hist) == 1
+    m = hist[0][1]
+    assert np.isfinite(m["loss"]) and np.isfinite(m["critic/vf_loss"])
+    assert "critic/kl" in m
+    after = [np.asarray(x)
+             for x in jax.tree_util.tree_leaves(critic.params["params"])]
+    assert any((a != b).any() for a, b in zip(before, after))

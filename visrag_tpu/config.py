@@ -265,6 +265,23 @@ class AlgorithmConfig:
     filter_low: float = 0.01
     filter_high: float = 0.99
     max_try_make_batch: int = 10
+    # reward-side KL penalty (applied when a reference policy exists and the
+    # actor does NOT carry the KL in its loss — ray_trainer.py:636-638)
+    use_kl_loss: bool = True
+    kl_penalty: str = "kl"         # kl|abs|mse|low_var_kl
+    kl_type: str = "fixed"         # fixed|adaptive controller
+    kl_coef: float = 0.0
+    kl_target: float = 0.1
+    kl_horizon: float = 10000.0
+
+
+@dataclass
+class CriticConfig:
+    lr: float = 1e-5
+    ppo_epochs: int = 1
+    cliprange_value: float = 0.5
+    grad_clip: float = 1.0
+    micro_batch_tokens: int = 16384
 
 
 @dataclass
@@ -275,6 +292,7 @@ class RLTrainerConfig:
     save_freq: int = 50
     val_freq: int = -1
     save_limit: int = 3
+    critic_warmup: int = 0   # steps training only the critic (GAE path)
     output_dir: str = "rl_output"
 
 
@@ -285,5 +303,6 @@ class RLConfig:
     data: DataConfig = field(default_factory=DataConfig)
     rollout: RolloutConfig = field(default_factory=RolloutConfig)
     actor: ActorConfig = field(default_factory=ActorConfig)
+    critic: CriticConfig = field(default_factory=CriticConfig)
     algorithm: AlgorithmConfig = field(default_factory=AlgorithmConfig)
     trainer: RLTrainerConfig = field(default_factory=RLTrainerConfig)

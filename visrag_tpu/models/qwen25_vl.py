@@ -341,6 +341,26 @@ class QwenTextModel(nn.Module):
         return self.norm(x), k_cache, v_cache
 
 
+class QwenForValue(nn.Module):
+    """Token-level value head over the Qwen text stack — the critic model
+    (reference dp_critic.py loads AutoModelForTokenClassification with one
+    label). Text-only: the RS-GRPO critic scores response tokens, which are
+    always text. Returns (B, S) fp32 values."""
+    cfg: QwenTextConfig
+
+    def setup(self):
+        self.model = QwenTextModel(self.cfg, name="model")
+        self.score = Dense(self.cfg.hidden_size, 1, use_bias=False,
+                           dtype=jnp.float32, name="score")
+
+    def __call__(self, input_ids, attention_mask=None, positions=None,
+                 segment_ids=None):
+        hidden = self.model(input_ids, positions=positions,
+                            attention_mask=attention_mask,
+                            segment_ids=segment_ids)
+        return self.score(hidden.astype(jnp.float32))[..., 0]
+
+
 class Qwen25VL(nn.Module):
     """Full conditional-generation model: vision tokens scattered into the
     text stream by slot map (same contract as MiniCPMV), then lm_head."""

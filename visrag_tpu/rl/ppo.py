@@ -124,6 +124,81 @@ def combine_channel_losses(pg_loss, reward_masks, *,
         jnp.maximum(nz, 1.0)
 
 
+def compute_value_loss(vpreds, returns, values, response_mask, *,
+                       cliprange_value: float = 0.5,
+                       loss_avg_mode: str = "token"):
+    """Clipped critic loss (core_algos.compute_value_loss :475-521).
+    All args (bs, len) in the same (logp-shifted) alignment."""
+    vpredclipped = jnp.clip(vpreds, values - cliprange_value,
+                            values + cliprange_value)
+    l1 = jnp.square(vpreds - returns)
+    l2 = jnp.square(vpredclipped - returns)
+    clipped = jnp.maximum(l1, l2)
+    vf_loss = 0.5 * average_loss(clipped, response_mask, mode=loss_avg_mode)
+    metrics = {
+        "vf_clipfrac": masked_mean((l1 < l2).astype(jnp.float32),
+                                   response_mask),
+        "vpred_mean": masked_mean(vpreds, response_mask),
+    }
+    return vf_loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# KL controllers + reward-side KL penalty (core_algos.py:38-103,
+# ray_trainer.apply_kl_penalty :110-127)
+# ---------------------------------------------------------------------------
+
+
+class FixedKLController:
+    def __init__(self, init_kl_coef: float):
+        self.kl_coef = init_kl_coef
+
+    def update(self, current_kl: float, n_steps: int):
+        pass
+
+
+class AdaptiveKLController:
+    """Adaptive controller from arXiv:1909.08593 (core_algos.py:48-62)."""
+
+    def __init__(self, init_kl_coef: float, target_kl: float, horizon: float):
+        self.kl_coef = init_kl_coef
+        self.target = target_kl
+        self.horizon = horizon
+
+    def update(self, current_kl: float, n_steps: int):
+        proportional_error = float(
+            jnp.clip(current_kl / self.target - 1, -0.2, 0.2))
+        self.kl_coef *= 1 + proportional_error * n_steps / self.horizon
+
+
+def get_kl_controller(kl_type: str, kl_coef: float, kl_target: float = 0.1,
+                      kl_horizon: float = 10000.0):
+    if kl_type == "fixed":
+        return FixedKLController(kl_coef)
+    if kl_type == "adaptive":
+        assert kl_horizon > 0, "horizon must be larger than 0"
+        return AdaptiveKLController(kl_coef, kl_target, kl_horizon)
+    raise ValueError(f"Unknown kl type: {kl_type}")
+
+
+def apply_kl_penalty(token_scores, old_log_probs, ref_log_probs,
+                     response_mask, kl_ctrl, kind: str = "kl"):
+    """token_level_rewards = scores − kl_coef·KL(π, π_ref); updates the
+    controller with the batch-mean sequence KL (ray_trainer.py:110-127).
+    All arrays (bs, len), numpy, in the same alignment."""
+    import numpy as np
+
+    kld = np.asarray(compute_kl(jnp.asarray(old_log_probs),
+                                jnp.asarray(ref_log_probs), kind))
+    kld = kld * response_mask
+    rewards = token_scores - kl_ctrl.kl_coef * kld
+    seq_kl = kld.sum(-1) / np.maximum(response_mask.sum(-1), 1)
+    current_kl = float(seq_kl.mean())
+    metrics = {"critic/kl": current_kl, "critic/kl_coef": kl_ctrl.kl_coef}
+    kl_ctrl.update(current_kl, token_scores.shape[0])
+    return rewards.astype(np.float32), metrics
+
+
 def ppo_loss(old_log_probs, log_probs, advantages, response_mask,
              reward_masks, *, ref_log_probs=None, kl_coef: float = 0.0,
              kl_type: str = "low_var_kl", clip_ratio_low=0.2,

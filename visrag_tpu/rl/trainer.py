@@ -58,7 +58,7 @@ from .seqlen import reorder_for_dp, token_budget_micro_batches
 # batch keys indexed by row (dim 0); "positions" is (3, bs, S) → dim 1
 _ROW_KEYS = ("input_ids", "attention_mask", "response_mask", "reward_masks",
              "advantages", "old_log_probs", "ref_log_probs", "reward_tensor",
-             "uid", "slot_map")
+             "uid", "slot_map", "values", "returns")
 
 
 def _reindex(batch: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
@@ -94,10 +94,18 @@ class RLTrainer:
                  tag_token_ids: Dict[str, Sequence[int]],
                  eos_token_ids: Sequence[int] = (),
                  engine_kwargs: Optional[dict] = None,
-                 ref_params=None, mesh=None):
+                 ref_params=None, mesh=None, critic=None):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        # critic: rl.critic.CriticTrainer, required for adv_estimator "gae"
+        self.critic = critic
+        alg = cfg.algorithm
+        self.kl_ctrl = None
+        if ref_params is not None and not alg.use_kl_loss:
+            from .ppo import get_kl_controller
+            self.kl_ctrl = get_kl_controller(alg.kl_type, alg.kl_coef,
+                                             alg.kl_target, alg.kl_horizon)
         self.dp = 1 if mesh is None else (mesh.shape[REPLICA] *
                                           mesh.shape[DATA])
         if mesh is not None:
@@ -373,11 +381,16 @@ class RLTrainer:
             nr = int(resp_m[j].sum())
             reward_masks[j, :, pl:pl + nr] = reward_masks_resp[j, :, :nr]
 
-        adv, _ = compute_advantage(
-            self.cfg.algorithm.adv_estimator,
-            reward_tensor=reward_tensor[sel],
-            token_rewards=None, response_mask=rb.response_mask[sel],
-            index=rb.uid[sel])
+        if self.cfg.algorithm.adv_estimator == "gae":
+            # GAE needs critic values over the FULL assembled batch —
+            # fit() fills advantages/returns after compute_values
+            adv = np.zeros((bs, len(REWARD_CHANNELS)), np.float32)
+        else:
+            adv, _ = compute_advantage(
+                self.cfg.algorithm.adv_estimator,
+                reward_tensor=reward_tensor[sel],
+                token_rewards=None, response_mask=rb.response_mask[sel],
+                index=rb.uid[sel])
         return dict(input_ids=rb.input_ids[sel],
                     attention_mask=rb.attention_mask[sel],
                     positions=rb.positions[:, sel],
@@ -467,6 +480,8 @@ class RLTrainer:
         # token, so mask[..., 0] == 0.)
         batch["response_mask"] = np.roll(batch["response_mask"], -1, axis=1)
         batch["reward_masks"] = np.roll(batch["reward_masks"], -1, axis=2)
+        if batch["advantages"].ndim == 3:   # per-token (GAE) → logp space too
+            batch["advantages"] = np.roll(batch["advantages"], -1, axis=2)
 
         bs, S = batch["input_ids"].shape
         seqlens = batch["attention_mask"].sum(1)
@@ -475,7 +490,8 @@ class RLTrainer:
             batch = _reindex(batch, perm)
             seqlens = seqlens[perm]
 
-        packed_ok = cfg.actor.padding_free and "vision_batch" not in batch
+        packed_ok = (cfg.actor.padding_free and "vision_batch" not in batch
+                     and batch["advantages"].ndim == 2)
         mini_size = min(cfg.trainer.global_batch_size, bs)
         agg = defaultdict(list)
         for _ in range(cfg.actor.ppo_epochs):
@@ -520,6 +536,43 @@ class RLTrainer:
         return {k: float(np.mean([np.asarray(x) for x in v]))
                 for k, v in agg.items()}
 
+    def _prepare_gae(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """GAE advantages/returns from critic values, with the optional
+        reward-side KL penalty (ray_trainer.py:110-127, :622-649).
+
+        Space bookkeeping: critic values and log-probs live at position t
+        for token t+1 (logp space); GAE runs at token positions, so values
+        and KL roll +1 into token space and advantages/returns roll -1 back.
+        """
+        assert self.critic is not None, "adv_estimator 'gae' needs a critic"
+        alg = self.cfg.algorithm
+        values = self.critic.compute_values(batch)      # (bs, S), logp space
+        batch["values"] = values
+        bs, S = batch["input_ids"].shape
+        # sequential reward manager role: scalar score at the last response
+        # token (reward/function.py:80-105)
+        tok_scores = np.zeros((bs, S), np.float32)
+        last = batch["attention_mask"].sum(1) - 1
+        tok_scores[np.arange(bs), last] = batch["reward_tensor"].sum(-1)
+        metrics = {}
+        if self.kl_ctrl is not None and "ref_log_probs" in batch:
+            from .ppo import apply_kl_penalty
+            old_tok = np.roll(batch["old_log_probs"], 1, axis=1)
+            ref_tok = np.roll(batch["ref_log_probs"], 1, axis=1)
+            tok_scores, metrics = apply_kl_penalty(
+                tok_scores, old_tok, ref_tok, batch["response_mask"],
+                self.kl_ctrl, alg.kl_penalty)
+        values_tok = np.roll(values, 1, axis=1) * batch["response_mask"]
+        adv_tok, ret_tok = compute_advantage(
+            "gae", token_rewards=tok_scores, values=values_tok,
+            response_mask=batch["response_mask"], gamma=alg.gamma,
+            lam=alg.lam)
+        batch["advantages"] = adv_tok[:, None, :]
+        batch["reward_masks"] = \
+            batch["response_mask"][:, None, :].astype(np.int32)
+        batch["returns"] = np.roll(ret_tok, -1, axis=1)   # logp space
+        return metrics
+
     # ---- outer loop ------------------------------------------------------
 
     def fit(self, prompt_iter: Iterable[List[dict]], rng=None,
@@ -538,10 +591,20 @@ class RLTrainer:
             # old log probs under the current (pre-update) policy
             batch["old_log_probs"] = self.compute_log_probs(self.params,
                                                             batch)
-            if self.ref_params is not None and self.cfg.actor.kl_coef > 0:
+            if self.ref_params is not None and \
+                    (self.cfg.actor.kl_coef > 0 or self.kl_ctrl is not None):
                 batch["ref_log_probs"] = self.compute_log_probs(
                     self.ref_params, batch)
-            m = self.update_policy(batch)
+            extra_metrics = {}
+            if self.cfg.algorithm.adv_estimator == "gae":
+                extra_metrics = self._prepare_gae(batch)
+            if self.step >= self.cfg.trainer.critic_warmup:
+                m = self.update_policy(batch)
+            else:
+                m = {}
+            if self.critic is not None and "returns" in batch:
+                m.update(self.critic.update(batch))
+            m.update(extra_metrics)
             self.step += 1
             m["reward_mean"] = float(batch["reward_tensor"].sum(-1).mean())
             m["step_time_s"] = time.time() - t0
