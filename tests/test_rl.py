@@ -613,3 +613,44 @@ def test_rl_gae_critic_path():
     after = [np.asarray(x)
              for x in jax.tree_util.tree_leaves(critic.params["params"])]
     assert any((a != b).any() for a, b in zip(before, after))
+
+
+def test_rl_validate_save_resume(tmp_path):
+    """Validation metrics + gen-sample table + kill-and-resume mid-training
+    (ray_trainer._validate :375-448, _save/_load_checkpoint :312-373)."""
+    import dataclasses as dc
+    from visrag_tpu.utils.tracker import Tracker
+
+    t1 = _tiny_trainer()
+    t1.cfg = dc.replace(
+        t1.cfg,
+        rollout=dc.replace(t1.cfg.rollout, n=2, max_response_length=8),
+        trainer=dc.replace(t1.cfg.trainer, total_steps=1,
+                           rollout_batch_size=2, save_freq=1, val_freq=1,
+                           val_n=1, val_generations_to_log=2,
+                           output_dir=str(tmp_path / "ckpts")))
+    t1.engine_kwargs = dict(num_slots=4, max_len=64, prompt_buckets=(16,))
+    t1.decode = lambda ids: ("<answer>x</answer>" if sum(ids) % 2 == 0
+                             else "wrong")
+    rng = np.random.default_rng(4)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,)).astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    tracker = Tracker(str(tmp_path / "logs"))
+    hist = t1.fit([prompts], val_prompts=prompts, tracker=tracker)
+    tracker.close()
+    m = hist[0][1]
+    assert "val/reward_score" in m and np.isfinite(m["val/reward_score"])
+    gen_log = (tmp_path / "logs" / "generations_1.jsonl")
+    assert gen_log.exists() and len(gen_log.read_text().strip().split("\n")) >= 1
+
+    # fresh trainer with DIFFERENT params resumes to t1's state
+    t2 = _tiny_trainer()
+    t2.cfg = dc.replace(t2.cfg, trainer=dc.replace(
+        t2.cfg.trainer, output_dir=str(tmp_path / "ckpts")))
+    t2.params = {"params": jax.tree_util.tree_map(
+        lambda x: x * 0, t2.params["params"])}
+    assert t2.maybe_resume()
+    assert t2.step == 1 and t2._uid_next == t1._uid_next
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params["params"]),
+                    jax.tree_util.tree_leaves(t2.params["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -293,6 +293,11 @@ class RLTrainerConfig:
     val_freq: int = -1
     save_limit: int = 3
     critic_warmup: int = 0   # steps training only the critic (GAE path)
+    # validation rollout overrides + gen-sample table size
+    # (rollout.val_override_config / trainer.val_generations_to_log roles)
+    val_n: int = 1
+    val_temperature: float = 0.0
+    val_generations_to_log: int = 3
     output_dir: str = "rl_output"
 
 

@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--config", default=None)
     ap.add_argument("--data", required=True,
                     help="jsonl rows {problem, answer, images?}")
+    ap.add_argument("--val-data", default=None,
+                    help="optional validation jsonl (same schema)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--set", action="append", default=[])
@@ -37,7 +39,6 @@ def main(argv=None):
     from ..models.hf_loader import convert_qwen25_vl, load_safetensors_dir
     from ..models.qwen25_vl import Qwen25VL, Qwen25VLConfig
     from ..rl.trainer import RLTrainer
-    from ..training.checkpoint import save_checkpoint
     from ..utils.tracker import Tracker
 
     cfg = load_config(RLConfig, yaml_path=args.config, dotlist=args.set)
@@ -76,12 +77,22 @@ def main(argv=None):
                            cfg.rollout.max_response_length),
         mesh=mesh)
 
+    if trainer.maybe_resume():  # auto-resume (ray_trainer.py:346-373)
+        print(f"resumed from step {trainer.step}", file=sys.stderr)
+
+    val_prompts = None
+    if args.val_data:
+        val_ds = RLHFDataset(args.val_data, encode_row,
+                             max_prompt_length=cfg.rollout.max_prompt_length)
+        val_prompts = list(val_ds)
+
     def prompt_batches():
         while True:  # epochs until total_steps
             yield from batched(iter(dataset), cfg.trainer.rollout_batch_size)
 
-    trainer.fit(prompt_batches(), logger=lambda s, m: tracker.log(m, s))
-    save_checkpoint(args.output_dir, trainer.step, trainer.params)
+    trainer.fit(prompt_batches(), logger=lambda s, m: tracker.log(m, s),
+                val_prompts=val_prompts, tracker=tracker)
+    trainer.save()
     tracker.close()
     return 0
 

@@ -237,12 +237,14 @@ class RLTrainer:
 
     # ---- rollout → batch ------------------------------------------------
 
-    def rollout(self, prompts: List[dict], rng) -> RolloutBatch:
+    def rollout(self, prompts: List[dict], rng, *, n: Optional[int] = None,
+                temperature: Optional[float] = None) -> RolloutBatch:
         """prompts: dicts with input_ids (+positions, vision_batch, slot_map,
-        ground_truth). Each prompt sampled cfg.rollout.n times. The engine is
-        built once and reused across steps (params swap, not re-init —
-        obsoletes fsdp_vllm sleep/wake, :140-158)."""
-        n = self.cfg.rollout.n
+        ground_truth). Each prompt sampled cfg.rollout.n times (n/temperature
+        overridable — the validation loop's val_override_config role). The
+        engine is built once and reused across steps (params swap, not
+        re-init — obsoletes fsdp_vllm sleep/wake, :140-158)."""
+        n = n if n is not None else self.cfg.rollout.n
         if self._engine is None:
             self._engine = Engine(self.model, self.params,
                                   eos_token_ids=self.eos,
@@ -250,7 +252,8 @@ class RLTrainer:
         else:
             self._engine.params = self.params
         sampling = SamplingParams(
-            temperature=self.cfg.rollout.temperature,
+            temperature=(temperature if temperature is not None
+                         else self.cfg.rollout.temperature),
             top_p=self.cfg.rollout.top_p,
             max_tokens=self.cfg.rollout.max_response_length)
         expanded = []
@@ -573,15 +576,89 @@ class RLTrainer:
         batch["returns"] = np.roll(ret_tok, -1, axis=1)   # logp space
         return metrics
 
+    # ---- validation / checkpointing ---------------------------------------
+
+    def validate(self, prompts: List[dict], rng=None, tracker=None
+                 ) -> Dict[str, float]:
+        """Validation rollout + reward scoring + deterministic gen-sample
+        table (ray_trainer._validate :375-448 and
+        _maybe_log_val_generations :375-391)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        t = self.cfg.trainer
+        rb = self.rollout(prompts, rng, n=t.val_n,
+                          temperature=t.val_temperature)
+        reward_tensor, reward_metrics = compute_rewards(
+            rb.response_texts, rb.ground_truths,
+            [len(r) for r in rb.responses],
+            max_response_length=self.cfg.rollout.max_response_length)
+        scores = reward_tensor.sum(-1)
+        if tracker is not None and t.val_generations_to_log > 0:
+            inputs = [self.decode(list(p["input_ids"])) for p in prompts
+                      for _ in range(t.val_n)]
+            samples = sorted(zip(inputs, rb.response_texts,
+                                 rb.ground_truths, scores.tolist()),
+                             key=lambda x: x[0])
+            np.random.RandomState(42).shuffle(samples)
+            tracker.log_generations(self.step, [
+                dict(input=i, output=o, label=l, score=s)
+                for i, o, l, s in samples[:t.val_generations_to_log]])
+        out = {"val/reward_score": float(scores.mean()),
+               "val/response_length": float(np.mean(
+                   [len(r) for r in rb.responses]))}
+        out.update({f"val/{k}_reward": float(np.mean(v))
+                    for k, v in reward_metrics.items()})
+        return out
+
+    def save(self, best_metric: Optional[float] = None) -> str:
+        """Checkpoint actor (+critic) params/opt state + host counters with
+        tracker manifest and keep-best GC (ray_trainer._save_checkpoint
+        :312-344)."""
+        from ..training.checkpoint import save_checkpoint
+        tree = {"params": self.params["params"], "opt_state": self.opt_state}
+        if self.critic is not None:
+            tree["critic_params"] = self.critic.params["params"]
+            tree["critic_opt_state"] = self.critic.opt_state
+        extra = {"step": self.step, "uid_next": self._uid_next,
+                 "kl_coef": (self.kl_ctrl.kl_coef if self.kl_ctrl else None)}
+        return save_checkpoint(self.cfg.trainer.output_dir, self.step, tree,
+                               extra=extra, best_metric=best_metric,
+                               save_limit=self.cfg.trainer.save_limit)
+
+    def maybe_resume(self) -> bool:
+        """Auto-resume from the newest checkpoint under output_dir
+        (ray_trainer._load_checkpoint :346-373 with find_last_checkpoint)."""
+        from ..training.checkpoint import find_latest_ckpt, load_checkpoint
+        path = find_latest_ckpt(self.cfg.trainer.output_dir)
+        if path is None:
+            return False
+        target = {"params": self.params["params"],
+                  "opt_state": self.opt_state}
+        if self.critic is not None:
+            target["critic_params"] = self.critic.params["params"]
+            target["critic_opt_state"] = self.critic.opt_state
+        tree, extra = load_checkpoint(path, target=target)
+        self.params = {"params": tree["params"]}
+        self.opt_state = tree["opt_state"]
+        if self.critic is not None:
+            self.critic.params = {"params": tree["critic_params"]}
+            self.critic.opt_state = tree["critic_opt_state"]
+        self.step = int(extra["step"])
+        self._uid_next = int(extra["uid_next"])
+        if self.kl_ctrl is not None and extra.get("kl_coef") is not None:
+            self.kl_ctrl.kl_coef = extra["kl_coef"]
+        return True
+
     # ---- outer loop ------------------------------------------------------
 
     def fit(self, prompt_iter: Iterable[List[dict]], rng=None,
-            logger: Optional[Callable[[int, dict], None]] = None):
+            logger: Optional[Callable[[int, dict], None]] = None,
+            val_prompts: Optional[List[dict]] = None, tracker=None):
         """prompt_iter yields lists of prompt dicts (one rollout batch per
         step; with online filtering each step may consume several)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         it = iter(prompt_iter)
         history = []
+        self._val_score: Optional[float] = None
         while True:
             t0 = time.time()
             rng, r1 = jax.random.split(rng)
@@ -608,6 +685,15 @@ class RLTrainer:
             self.step += 1
             m["reward_mean"] = float(batch["reward_tensor"].sum(-1).mean())
             m["step_time_s"] = time.time() - t0
+            t = self.cfg.trainer
+            if val_prompts is not None and t.val_freq > 0 and \
+                    self.step % t.val_freq == 0:
+                rng, rv = jax.random.split(rng)
+                vm = self.validate(val_prompts, rv, tracker=tracker)
+                self._val_score = vm["val/reward_score"]
+                m.update(vm)
+            if t.save_freq > 0 and self.step % t.save_freq == 0:
+                self.save(best_metric=self._val_score)
             history.append((self.step, m))
             if logger:
                 logger(self.step, m)
