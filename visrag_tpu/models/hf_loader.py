@@ -132,11 +132,17 @@ def convert_resampler(state: Mapping[str, "np.ndarray"], *,
 def convert_minicpmv(state: Mapping[str, "np.ndarray"], *,
                      vit_depth: int = 26) -> dict:
     """Full MiniCPM-V 2.0 state_dict → flax params for models.minicpmv.MiniCPMV
-    (llm hidden states only; lm_head dropped as in VisRAG-Ret)."""
+    (llm hidden states only; lm_head dropped as in VisRAG-Ret).
+
+    The flax MiniCPMV.llm is a MiniCPMModel directly (no CausalLM wrapper),
+    so the torch 'llm.model.*' subtree maps to the 'llm' scope without the
+    intermediate 'model' level — verified end-to-end by
+    tests/test_composite_golden.py against the reference composite."""
+    lm = convert_minicpm_lm(state, prefix="llm.", lm_head=False)
     return {
         "vpm": convert_siglip_vit(state, prefix="vpm.", depth=vit_depth),
         "resampler": convert_resampler(state, prefix="resampler."),
-        "llm": convert_minicpm_lm(state, prefix="llm.", lm_head=False),
+        "llm": lm["model"],
     }
 
 
