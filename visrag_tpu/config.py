@@ -195,6 +195,9 @@ class TrainConfig:
     grad_clip: float = 1.0
     log_every: int = 10
     save_every: int = 500
+    # LoRA (reference dense_retrieval_model.py:327-345); 0 = full finetune
+    lora_rank: int = 0
+    lora_alpha: float = 64.0
     output_dir: str = "output"
 
 

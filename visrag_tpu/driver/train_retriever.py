@@ -57,6 +57,22 @@ def main(argv=None):
         del rng
         return model.apply({"params": p}, batch)
 
+    train_params = params["params"]
+    lora_merge_fn = None
+    if cfg.train.lora_rank > 0:
+        # reference LoRA option (dense_retrieval_model.py:327-345): freeze
+        # the base, train rank-r adapters on q_proj/v_proj
+        from ..training.lora import lora_init, lora_merge, wrap_encode_with_lora
+        import jax as _jax
+        base = params["params"]
+        train_params = lora_init(_jax.random.PRNGKey(0), base,
+                                 rank=cfg.train.lora_rank)
+        encode = wrap_encode_with_lora(encode, base,
+                                       rank=cfg.train.lora_rank,
+                                       alpha=cfg.train.lora_alpha)
+        lora_merge_fn = lambda lt: lora_merge(  # noqa: E731
+            base, lt, rank=cfg.train.lora_rank, alpha=cfg.train.lora_alpha)
+
     dataset = MMDRTrainDataset(args.train_data)
     try:
         total = len(dataset) // cfg.data.batch_size * cfg.train.epochs
@@ -76,13 +92,14 @@ def main(argv=None):
                 yield (EncodeBatch(**{k: jnp.asarray(v) for k, v in qb.items()}),
                        EncodeBatch(**{k: jnp.asarray(v) for k, v in pb.items()}))
 
-    trainer = RetrieverTrainer(encode, params["params"], cfg.train, mesh=mesh,
+    trainer = RetrieverTrainer(encode, train_params, cfg.train, mesh=mesh,
                                total_steps=total,
                                logger=lambda s, m: tracker.log(m, s))
     trainer.train(batches(), checkpoint_dir=args.output_dir)
     from ..training.checkpoint import save_checkpoint
-    save_checkpoint(args.output_dir, trainer.step,
-                    {"params": trainer.params})
+    final = trainer.params if lora_merge_fn is None \
+        else lora_merge_fn(trainer.params)   # save merged weights
+    save_checkpoint(args.output_dir, trainer.step, {"params": final})
     tracker.close()
     print(f"done: {trainer.step} steps -> {args.output_dir}", file=sys.stderr)
     return 0
