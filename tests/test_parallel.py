@@ -70,3 +70,79 @@ def test_pad_and_validate():
     validate_heads(8, 4)
     with pytest.raises(ValueError):
         validate_heads(6, 4)
+
+
+def test_tp_sharded_forward_matches_replicated():
+    """Tensor-parallel serving forward: model-axis sharded params produce
+    the same logits as the replicated model (the vLLM tensor_parallel_size
+    role — weak spot: TP was a layout, never an executed program)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh, shard_params_tp, tp_param_spec
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, (2, 8)),
+                      jnp.int32)
+    want, _ = jax.jit(model.apply)(params, ids)
+
+    mesh = build_mesh(MeshConfig(model=4, data=2))
+    spec_hits = 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        if any(s is not None for s in tp_param_spec(keys, leaf.shape, mesh)):
+            spec_hits += 1
+    assert spec_hits > 4, "TP rules matched too few kernels"
+
+    sharded = shard_params_tp(params, mesh)
+    with mesh:
+        got, _ = jax.jit(model.apply)(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hsdp_train_step_matches_fsdp():
+    """HSDP: a (replica=2, data=4) contrastive train step produces the same
+    params as pure FSDP (data=8) — weights shard within the inner axis and
+    replicate across the outer one."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.config import MeshConfig, TrainConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.models.visrag_ret import VisRAGRet, VisRAGRetConfig
+    from visrag_tpu.training.trainer import RetrieverTrainer
+    from __graft_entry__ import _build_batch
+
+    cfg = VisRAGRetConfig.tiny()
+    model = VisRAGRet(cfg)
+    eb = _build_batch(cfg, seq_len=64, batch_pages=8, slice_slots=40,
+                      max_patches=16, scale_resolution=8)
+    params0 = model.init(jax.random.PRNGKey(0), eb)["params"]
+
+    def encode(p, batch, rng):
+        del rng
+        return model.apply({"params": p}, batch)
+
+    tcfg = TrainConfig(lr=1e-3, softmax_temperature=0.02, n_passages=1,
+                       log_every=1)
+    outs = []
+    for mcfg in (MeshConfig(data=8), MeshConfig(replica=2, data=4)):
+        mesh = build_mesh(mcfg)
+        # fresh buffers per run: the train step donates its params
+        fresh = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                       params0)
+        tr = RetrieverTrainer(encode, fresh, tcfg, mesh=mesh, total_steps=1)
+        tr.train([(eb, eb)])
+        outs.append([np.asarray(x) for x in
+                     jax.tree_util.tree_leaves(tr.params)])
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

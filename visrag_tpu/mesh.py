@@ -96,6 +96,48 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2 ** 16):
     return jax.tree_util.tree_map(place, params)
 
 
+# Megatron-style tensor-parallel rules for transformer kernels stored in
+# torch (out, in) layout: column-parallel ops shard the OUT dim, their
+# row-parallel counterparts shard the IN dim so the pair needs one psum
+# (inserted by GSPMD). Everything else replicates over `model`.
+_TP_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "attn_qkv",
+           "mlp_fc1", "kv_proj", "lm_head")
+_TP_ROW = ("o_proj", "down_proj", "attn_proj", "mlp_fc2", "out_proj")
+
+
+def tp_param_spec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:
+    """Tensor-parallel NamedSharding rule by module-path name (serving-time
+    TP — the vLLM tensor_parallel_size role, fsdp_workers.py:331-350)."""
+    n_model = mesh.shape[MODEL]
+    spec = [None] * len(shape)
+    if n_model <= 1 or len(shape) < 1:
+        return P(*spec)
+    names = set(path)
+    if path and path[-1] == "embedding" and len(shape) == 2 \
+            and shape[0] % n_model == 0:
+        spec[0] = MODEL                       # vocab-sharded embedding
+    elif any(n in names for n in _TP_COL) and shape[0] % n_model == 0:
+        spec[0] = MODEL
+    elif any(n in names for n in _TP_ROW) and len(shape) >= 2 \
+            and shape[-1] % n_model == 0:
+        spec[-1] = MODEL
+    return P(*spec)
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Apply tp_param_spec across a param pytree (path-aware)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+
+    def place(path, x):
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        spec = tp_param_spec(keys, x.shape, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    leaves = [(p, place(p, x)) for p, x in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], [x for _, x in leaves])
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.shape[REPLICA] * mesh.shape[DATA]
     if global_batch % n != 0:
