@@ -113,12 +113,16 @@ def main():
     _ = np.asarray(apply(params, eb))
     log(f"compile+first step: {time.time()-t0:.1f}s")
 
+    from visrag_tpu.utils.profiling import maybe_trace
     iters = 6 if on_tpu else 2
     t0 = time.time()
-    for _ in range(iters):
-        reps = apply(params, eb)
-    _ = np.asarray(reps)  # device executes enqueued steps in order
+    with maybe_trace() as prof_dir:  # VISRAG_PROFILE_DIR=<dir> to capture
+        for _ in range(iters):
+            reps = apply(params, eb)
+        _ = np.asarray(reps)  # device executes enqueued steps in order
     dt = (time.time() - t0) / iters
+    if prof_dir:
+        log(f"profile trace written to {prof_dir}")
     pages_per_s = batch_pages / dt
     log(f"steady state: {dt*1e3:.1f} ms/batch → {pages_per_s:.2f} pages/s "
         f"({pages_per_s*60:.0f} pages/min)")

@@ -150,3 +150,64 @@ def test_encode_dataset_writer(tmp_path):
     ids, reps = encode_dataset(fake_step, batches, writer=writer)
     assert len(ids) == 10 and reps.shape == (10, 1)
     np.testing.assert_allclose(reps[:, 0], np.repeat(np.arange(5) * 4.0, 2))
+
+
+def test_self_retrieve():
+    """Query↔query retrieval (dense_retriever.py:100-161): each query's top
+    hit is itself; duplicates surface at near-1.0 cosine."""
+    import numpy as np
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.retrieval.search import self_retrieve
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q[5] = q[2]  # a duplicate pair
+    qids = [f"q{i}" for i in range(8)]
+    run = self_retrieve(q, qids, build_mesh(MeshConfig(data=8)), k=3)
+    for i, qid in enumerate(qids):
+        top = max(run[qid], key=run[qid].get)
+        assert top in (qid, "q2" if qid == "q5" else qid)
+    assert run["q2"]["q5"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_retriever_trainer_resume(tmp_path):
+    """Kill-and-resume for the contrastive trainer: params/opt/step restore
+    and training continues from the next batch."""
+    import jax
+    import numpy as np
+    from visrag_tpu.config import TrainConfig
+    from visrag_tpu.models.visrag_ret import VisRAGRet, VisRAGRetConfig
+    from visrag_tpu.training.trainer import RetrieverTrainer
+    from __graft_entry__ import _build_batch
+
+    cfg = VisRAGRetConfig.tiny()
+    model = VisRAGRet(cfg)
+    eb = _build_batch(cfg, seq_len=64, batch_pages=2, slice_slots=10,
+                      max_patches=16, scale_resolution=8)
+    params0 = model.init(jax.random.PRNGKey(0), eb)["params"]
+
+    def encode(p, batch, rng):
+        del rng
+        return model.apply({"params": p}, batch)
+
+    tcfg = TrainConfig(lr=1e-3, softmax_temperature=0.02, n_passages=1,
+                       log_every=1, save_every=1)
+    import jax.numpy as jnp
+
+    def fresh():
+        return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                      params0)
+
+    t1 = RetrieverTrainer(encode, fresh(), tcfg, total_steps=2)
+    t1.train([(eb, eb)], checkpoint_dir=str(tmp_path))
+    assert t1.step == 1
+
+    t2 = RetrieverTrainer(encode, fresh(), tcfg, total_steps=2)
+    assert t2.maybe_resume(str(tmp_path)) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    t2.train([(eb, eb)])
+    assert t2.step == 2

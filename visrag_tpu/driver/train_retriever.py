@@ -95,7 +95,13 @@ def main(argv=None):
     trainer = RetrieverTrainer(encode, train_params, cfg.train, mesh=mesh,
                                total_steps=total,
                                logger=lambda s, m: tracker.log(m, s))
-    trainer.train(batches(), checkpoint_dir=args.output_dir)
+    done_steps = trainer.maybe_resume(args.output_dir)
+    batch_iter = batches()
+    if done_steps:
+        import itertools
+        print(f"resumed from step {done_steps}", file=sys.stderr)
+        batch_iter = itertools.islice(batch_iter, done_steps, None)
+    trainer.train(batch_iter, checkpoint_dir=args.output_dir)
     from ..training.checkpoint import save_checkpoint
     final = trainer.params if lora_merge_fn is None \
         else lora_merge_fn(trainer.params)   # save merged weights

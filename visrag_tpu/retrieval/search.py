@@ -119,6 +119,17 @@ class StreamingSearcher:
         return best_s, best_i
 
 
+def self_retrieve(query_reps: np.ndarray, query_ids: List[str], mesh: Mesh,
+                  k: int) -> dict:
+    """Query↔query retrieval for near-duplicate detection
+    (reference distributed_parallel_self_retrieve, dense_retriever.py:100-161:
+    the query embeddings double as the corpus; self-matches are kept, as in
+    the reference)."""
+    searcher = StreamingSearcher(mesh, k)
+    scores, indices = searcher.search(query_reps, [(query_reps, 0)])
+    return build_run(scores, indices, query_ids, query_ids)
+
+
 def build_run(scores: np.ndarray, indices: np.ndarray, query_ids: List[str],
               doc_ids: List[str]) -> dict:
     """(Q,k) arrays → TREC-style run dict."""

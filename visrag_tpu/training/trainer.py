@@ -130,9 +130,32 @@ class RetrieverTrainer:
                 metrics_hist.append((self.step, m))
                 self.logger(self.step, m)
             if checkpoint_dir and self.step % self.cfg.save_every == 0:
-                from .checkpoint import save_checkpoint
-                save_checkpoint(checkpoint_dir, self.step,
-                                {"params": self.params})
+                self.save(checkpoint_dir)
             if 0 < self.cfg.max_steps <= self.step:
                 break
         return metrics_hist
+
+    def save(self, checkpoint_dir: str) -> str:
+        from .checkpoint import save_checkpoint
+        return save_checkpoint(
+            checkpoint_dir, self.step,
+            {"params": self.params, "opt_state": self.opt_state},
+            extra={"step": self.step},
+            save_limit=getattr(self.cfg, "save_limit", None))
+
+    def maybe_resume(self, checkpoint_dir: str) -> int:
+        """Auto-resume params/optimizer/step from the newest checkpoint
+        (the reference resumes via HF Trainer checkpoints; weak spot:
+        find_latest_ckpt existed but nothing called it on start). Returns
+        the number of already-consumed steps (0 = fresh start) so the
+        driver can skip that many batches."""
+        from .checkpoint import find_latest_ckpt, load_checkpoint
+        path = find_latest_ckpt(checkpoint_dir)
+        if path is None:
+            return 0
+        tree, extra = load_checkpoint(
+            path, target={"params": self.params, "opt_state": self.opt_state})
+        self.params = tree["params"]
+        self.opt_state = tree["opt_state"]
+        self.step = int(extra["step"]) if extra else 0
+        return self.step
