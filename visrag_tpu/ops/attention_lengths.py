@@ -408,10 +408,22 @@ def _core_fwd(q, k, v, lengths, causal, sm_scale, block_q, block_k,
     return o, (q, k, v, lengths, o, lse)
 
 
+def _bwd_block(s_padded: int, cap: int = 512) -> int:
+    """Largest divisor of the (block-padded) seq len ≤ cap. The bwd kernels
+    hold more VMEM residents (full k/v or full q + do + lse/delta) than the
+    fwd, so full-sequence fwd blocks OOM there — re-pick smaller tiles."""
+    for b in (512, 384, 256, 128):
+        if b <= cap and s_padded % b == 0:
+            return b
+    return 128
+
+
 def _core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     q, k, v, lengths, o, lse = res
+    bq = _bwd_block(q.shape[2])
+    bk = _bwd_block(k.shape[2])
     dq, dk, dv = flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal,
-                                   sm_scale, block_q, block_k, interpret)
+                                   sm_scale, bq, bk, interpret)
     return dq, dk, dv, None
 
 
