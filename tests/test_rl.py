@@ -654,3 +654,130 @@ def test_rl_validate_save_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params["params"]),
                     jax.tree_util.tree_leaves(t2.params["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def _vision_prompt(rng, cfg, px=56):
+    """Tiny Qwen-VL prompt: one small image + text, with mrope positions and
+    a flat slot map (the evisrag_predict flow at test scale)."""
+    from PIL import Image
+    from visrag_tpu.models.mrope import get_rope_index
+    from visrag_tpu.preprocess.qwen_vision import prepare_vision_batch
+
+    img = Image.fromarray(rng.integers(0, 255, (px, px, 3), dtype=np.uint8))
+    vb = prepare_vision_batch([img], head_dim=cfg.vision.head_dim,
+                              patch_size=cfg.vision.patch_size,
+                              min_pixels=16 * 16, max_pixels=px * px)
+    n_img = vb.n_tokens
+    ids = np.concatenate([
+        rng.integers(0, 100, size=(3,)),
+        np.full((n_img,), cfg.image_token_id),
+        rng.integers(0, 100, size=(4,)),
+    ]).astype(np.int32)
+    pos = get_rope_index(ids, vb.grid_thw, cfg.image_token_id)
+    slot = np.full(ids.shape, -1, np.int32)
+    slot[ids == cfg.image_token_id] = np.arange(n_img)
+    vision_batch = {k: getattr(vb, k) for k in
+                    ("patches", "rot_cos", "rot_sin", "seg_window",
+                     "seg_full", "reverse_index")}
+    return dict(input_ids=ids, positions=pos, vision_batch=vision_batch,
+                slot_map=slot, ground_truth="<answer>x</answer>")
+
+
+def test_rl_fit_with_vision():
+    """Vision prompts flow end-to-end: engine rollout with images, ONE
+    combined frozen-tower embedding table for the update, packed path with
+    packed slot maps, masked optimizer leaves the vision tower untouched."""
+    import dataclasses as dc
+
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    mcfg = Qwen25VLConfig.tiny()
+
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=2, max_response_length=6),
+        trainer=dc.replace(cfg.trainer, total_steps=1, rollout_batch_size=2))
+    trainer = RLTrainer(
+        model, params, cfg,
+        tokenizer_decode=lambda ids: ("<answer>x</answer>"
+                                      if sum(ids) % 2 == 0 else "wrong"),
+        tag_token_ids={"<think>": [50], "<evidence>": [51], "<answer>": [52]},
+        engine_kwargs=dict(num_slots=4, max_len=128, prompt_buckets=(64,)))
+    rng = np.random.default_rng(4)
+    prompts = [_vision_prompt(rng, mcfg, px=56),
+               _vision_prompt(rng, mcfg, px=42)]
+    vis_before = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(
+        trainer.params["params"]["visual"])]
+    lm_before = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(
+        trainer.params["params"]["model"])]
+    hist = trainer.fit([prompts])
+    assert len(hist) == 1 and np.isfinite(hist[0][1]["loss"])
+    vis_after = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        trainer.params["params"]["visual"])]
+    lm_after = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        trainer.params["params"]["model"])]
+    # frozen tower: bit-identical; LM: updated
+    for a, b in zip(vis_before, vis_after):
+        np.testing.assert_array_equal(a, b)
+    if hist[0][1]["grad_norm"] > 0:
+        assert any((a != b).any() for a, b in zip(lm_before, lm_after))
+
+
+def test_rl_vision_logp_matches_ingraph():
+    """Precomputed-embeds logp == in-graph vision_batch forward (the two
+    paths the update can take)."""
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.preprocess.qwen_vision import combine_vision_batches
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    mcfg = Qwen25VLConfig.tiny()
+    rng = np.random.default_rng(7)
+    p1 = _vision_prompt(rng, mcfg, px=56)
+    p2 = _vision_prompt(rng, mcfg, px=42)
+    table, offs = combine_vision_batches([p1["vision_batch"],
+                                          p2["vision_batch"]])
+    S = max(len(p1["input_ids"]), len(p2["input_ids"]))
+    ids = np.zeros((2, S), np.int32)
+    slot = np.full((2, S), -1, np.int32)
+    mask = np.zeros((2, S), np.int32)
+    pos = np.zeros((3, 2, S), np.int32)
+    for i, p in enumerate((p1, p2)):
+        L = len(p["input_ids"])
+        ids[i, :L] = p["input_ids"]
+        mask[i, :L] = 1
+        slot[i, :L] = np.where(p["slot_map"] >= 0,
+                               p["slot_map"] + offs[i], -1)
+        pos[:, i, :L] = p["positions"]
+
+    embeds = model.apply(params, {k: jnp.asarray(v)
+                                  for k, v in table.items()},
+                         method=model.encode_images)
+    lg_pre, _ = model.apply(params, jnp.asarray(ids),
+                            attention_mask=jnp.asarray(mask),
+                            positions=jnp.asarray(pos),
+                            vision_embeds=embeds,
+                            slot_map=jnp.asarray(slot))
+    # in-graph single-prompt forward equals the combined-table rows
+    L1 = len(p1["input_ids"])
+    lg_ref, _ = model.apply(
+        params, jnp.asarray(p1["input_ids"][None]),
+        positions=jnp.asarray(p1["positions"][:, None]),
+        vision_batch={k: jnp.asarray(v)
+                      for k, v in p1["vision_batch"].items()},
+        slot_map=jnp.asarray(p1["slot_map"][None]))
+    np.testing.assert_allclose(np.asarray(lg_pre)[0, :L1],
+                               np.asarray(lg_ref)[0], rtol=2e-4, atol=2e-4)

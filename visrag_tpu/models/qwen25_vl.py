@@ -387,10 +387,12 @@ class Qwen25VL(nn.Module):
                               emb.astype(hidden.dtype))
         return self.lm_head(hidden)
 
-    def _embed(self, input_ids, vision_batch, slot_map):
+    def _embed(self, input_ids, vision_batch, slot_map, vision_embeds=None):
         embeds = self.model.embed_tokens(input_ids)
-        if vision_batch is not None:
+        vis = vision_embeds
+        if vis is None and vision_batch is not None:
             vis = self.encode_images(vision_batch)
+        if vis is not None:
             safe = jnp.maximum(slot_map, 0)
             gathered = vis[safe.reshape(-1)].reshape(*slot_map.shape, -1)
             embeds = jnp.where((slot_map >= 0)[..., None],
@@ -398,8 +400,11 @@ class Qwen25VL(nn.Module):
         return embeds
 
     def __call__(self, input_ids, attention_mask=None, positions=None,
-                 vision_batch=None, slot_map=None, segment_ids=None):
-        embeds = self._embed(input_ids, vision_batch, slot_map)
+                 vision_batch=None, slot_map=None, segment_ids=None,
+                 vision_embeds=None):
+        """vision_embeds: precomputed (N_tokens, E) table (frozen-tower RL
+        update path) — bypasses the vision tower; slot_map indexes into it."""
+        embeds = self._embed(input_ids, vision_batch, slot_map, vision_embeds)
         hidden = self.model(inputs_embeds=embeds, positions=positions,
                             attention_mask=attention_mask,
                             segment_ids=segment_ids)

@@ -199,3 +199,64 @@ def prepare_vision_batch(images: Sequence[Image.Image], *, head_dim: int,
         seg_full=padrows(seg_full.astype(np.int32), 0),
         reverse_index=reverse_pad.astype(np.int32),
         grid_thw=grids, n_tokens=n_tokens)
+
+
+def combine_vision_batches(vbs, merge_size: int = 2):
+    """Concatenate per-prompt vision tables into ONE batch table so the RL
+    update runs the vision tower once for the whole batch.
+
+    Window/full segment ids and reverse indices are offset per sub-table
+    (windows never span prompts, so concatenation with disjoint segment ids
+    is exact). Returns (combined dict of arrays, merged-row offsets): a
+    prompt's flat slot-map indices shift by its offset — the combined
+    embedding table keeps each sub-table's image-order rows (including its
+    padded rows) contiguous.
+    """
+    mu = merge_size ** 2
+    arrs = {k: [] for k in ("patches", "rot_cos", "rot_sin", "seg_window",
+                            "seg_full", "reverse_index")}
+    offsets = []
+    row_offset = 0          # merged-token rows (image order)
+    w_offset = 0            # window segment ids
+    f_offset = 0            # image segment ids
+    for vb in vbs:
+        get = (lambda k: vb[k]) if isinstance(vb, dict) else \
+            (lambda k: getattr(vb, k))
+        offsets.append(row_offset)
+        sw = np.asarray(get("seg_window"))
+        sf = np.asarray(get("seg_full"))
+        arrs["patches"].append(np.asarray(get("patches")))
+        arrs["rot_cos"].append(np.asarray(get("rot_cos")))
+        arrs["rot_sin"].append(np.asarray(get("rot_sin")))
+        arrs["seg_window"].append(np.where(sw > 0, sw + w_offset, 0))
+        arrs["seg_full"].append(np.where(sf > 0, sf + f_offset, 0))
+        arrs["reverse_index"].append(
+            np.asarray(get("reverse_index")) + row_offset)
+        w_offset += int(sw.max(initial=0))
+        f_offset += int(sf.max(initial=0))
+        row_offset += sw.shape[0] // mu
+    return ({k: np.concatenate(v, axis=0) for k, v in arrs.items()},
+            offsets)
+
+
+def pad_vision_table(table: dict, multiple: int, merge_size: int = 2) -> dict:
+    """Pad a (combined) vision table's patch rows up to a bucket so jitted
+    consumers compile once per bucket, not per step. Appended rows are
+    segment-0 padding; appended reverse entries point at the last (padded)
+    merged row, which no slot map references."""
+    mu = merge_size ** 2
+    rows = table["patches"].shape[0]
+    target = -(-rows // multiple) * multiple
+    if target == rows:
+        return table
+    pad = target - rows
+    out = {}
+    for k in ("patches", "rot_cos", "rot_sin", "seg_window", "seg_full"):
+        v = table[k]
+        out[k] = np.concatenate(
+            [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+    out["reverse_index"] = np.concatenate(
+        [table["reverse_index"],
+         np.full((pad // mu,), target // mu - 1,
+                 table["reverse_index"].dtype)])
+    return out

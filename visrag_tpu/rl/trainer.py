@@ -86,6 +86,10 @@ class RolloutBatch:
     response_texts: List[str]
     uid: np.ndarray              # (bs,) prompt group ids (globally unique)
     ground_truths: List[str]
+    # multimodal: ONE combined vision table for the whole rollout + per-row
+    # flat slot maps into it (-1 = text position); None for text-only
+    vision: Optional[dict] = None
+    slot_map: Optional[np.ndarray] = None
 
 
 class RLTrainer:
@@ -126,8 +130,19 @@ class RLTrainer:
 
         self.tx = optax.chain(optax.clip_by_global_norm(cfg.actor.grad_clip),
                               optax.adamw(cfg.actor.lr, weight_decay=1e-2))
+        if cfg.actor.freeze_vision_tower:
+            # the reference freezes the tower via requires_grad
+            # (fsdp_workers.py:228-238); here a masked optimizer also stops
+            # weight-decay drift on the zero-grad vision params
+            frozen = ("visual", "vpm")
+            mask = jax.tree_util.tree_map_with_path(
+                lambda path, x: not any(
+                    getattr(k, "key", "") in frozen for k in path),
+                params["params"])
+            self.tx = optax.masked(self.tx, mask)
         self.opt_state = self.tx.init(params["params"])
         self.step = 0
+        self._vision_jit = None
         self._logp_jit = jax.jit(self._logp_fn)
         self._grad_jit = jax.jit(self._grad_fn)
         self._grad_packed_jit = jax.jit(self._grad_packed_fn)
@@ -161,17 +176,22 @@ class RLTrainer:
 
     # ---- jitted pieces -------------------------------------------------
 
-    def _logp_fn(self, params, input_ids, attention_mask, positions,
-                 response_mask):
-        logits, _ = self.model.apply(params, input_ids,
-                                     attention_mask=attention_mask,
-                                     positions=positions)
-        labels = jnp.roll(input_ids, -1, axis=1)
+    @staticmethod
+    def _vision_kwargs(batch):
+        return {k: batch[k] for k in ("vision_batch", "slot_map",
+                                      "vision_embeds") if k in batch}
+
+    def _logp_fn(self, params, batch):
+        logits, _ = self.model.apply(params, batch["input_ids"],
+                                     attention_mask=batch["attention_mask"],
+                                     positions=batch["positions"],
+                                     **self._vision_kwargs(batch))
+        labels = jnp.roll(batch["input_ids"], -1, axis=1)
         logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
         logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])], axis=1)
         # logp[t] = log p(token at t+1 | ...); response_mask marks generated
         # tokens, so shift: contribution of token t is at position t-1
-        shifted = jnp.roll(response_mask, -1, axis=1)
+        shifted = jnp.roll(batch["response_mask"], -1, axis=1)
         return logp * shifted
 
     def _ppo_terms(self, logp, batch, total_tokens):
@@ -192,8 +212,7 @@ class RLTrainer:
                 {"params": p}, batch["input_ids"],
                 attention_mask=batch["attention_mask"],
                 positions=batch["positions"],
-                **{k: batch[k] for k in ("vision_batch", "slot_map")
-                   if k in batch})
+                **self._vision_kwargs(batch))
             labels = jnp.roll(batch["input_ids"], -1, axis=1)
             logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
             logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])],
@@ -212,7 +231,9 @@ class RLTrainer:
             logits, _ = self.model.apply(
                 {"params": p}, batch["input_ids"],
                 positions=batch["positions"],
-                segment_ids=batch["segment_ids"])
+                segment_ids=batch["segment_ids"],
+                **{k: batch[k] for k in ("vision_embeds", "slot_map")
+                   if k in batch})
             labels = jnp.roll(batch["input_ids"], -1, axis=1)
             logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
             logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])],
@@ -256,10 +277,24 @@ class RLTrainer:
                          else self.cfg.rollout.temperature),
             top_p=self.cfg.rollout.top_p,
             max_tokens=self.cfg.rollout.max_response_length)
+        # combine per-prompt vision tables into one batch table so the
+        # update path runs the (frozen) vision tower once
+        vision = None
+        slot_offset = {}
+        vis_tables = [p["vision_batch"] for p in prompts
+                      if p.get("vision_batch") is not None]
+        if vis_tables:
+            from ..preprocess.qwen_vision import combine_vision_batches
+            vision, offs = combine_vision_batches(vis_tables)
+            it = iter(offs)
+            for pi, p in enumerate(prompts):
+                if p.get("vision_batch") is not None:
+                    slot_offset[pi] = next(it)
         expanded = []
         uids = []
         gts = []
-        for p in prompts:
+        prompt_idx = []
+        for pi, p in enumerate(prompts):
             uid = self._uid_next
             self._uid_next += 1
             for _ in range(n):
@@ -267,6 +302,7 @@ class RLTrainer:
                                  if k != "ground_truth"})
                 uids.append(uid)
                 gts.append(p.get("ground_truth", ""))
+                prompt_idx.append(pi)
         outs = self._engine.generate(expanded, sampling=sampling, rng=rng)
 
         max_len = max(len(p["input_ids"]) + len(o)
@@ -277,6 +313,7 @@ class RLTrainer:
         mask = np.zeros((bs, max_len), np.int32)
         rmask = np.zeros((bs, max_len), np.int32)
         positions = np.zeros((3, bs, max_len), np.int32)
+        slot_map = np.full((bs, max_len), -1, np.int32) if vision else None
         texts = []
         for i, (p, o) in enumerate(zip(expanded, outs)):
             pl = len(p["input_ids"])
@@ -290,11 +327,16 @@ class RLTrainer:
             positions[:, i, :pl] = ppos
             base = int(np.max(ppos)) + 1
             positions[:, i, pl:len(full)] = base + np.arange(len(full) - pl)
+            if vision is not None and p.get("slot_map") is not None:
+                sl = np.asarray(p["slot_map"], np.int32)
+                off = slot_offset[prompt_idx[i]]
+                slot_map[i, :pl] = np.where(sl >= 0, sl + off, -1)
             texts.append(self.decode(o))
         return RolloutBatch(input_ids=input_ids, attention_mask=mask,
                             positions=positions, response_mask=rmask,
                             responses=outs, response_texts=texts,
-                            uid=np.asarray(uids), ground_truths=gts)
+                            uid=np.asarray(uids), ground_truths=gts,
+                            vision=vision, slot_map=slot_map)
 
     def make_batch(self, prompt_iter: Iterator[List[dict]], rng
                    ) -> Optional[dict]:
@@ -347,6 +389,9 @@ class RLTrainer:
             for k, v in p.items():
                 if k in ("input_ids", "attention_mask", "response_mask"):
                     out[k] = np.pad(v, ((0, 0), (0, S - v.shape[1])))
+                elif k == "slot_map":
+                    out[k] = np.pad(v, ((0, 0), (0, S - v.shape[1])),
+                                    constant_values=-1)
                 elif k in ("positions", "reward_masks"):
                     out[k] = np.pad(v, ((0, 0), (0, 0), (0, S - v.shape[-1])))
                 else:
@@ -354,9 +399,26 @@ class RLTrainer:
             return out
 
         parts = [pad_part(p) for p in collected]
+        # merge per-try vision tables, re-offsetting each part's slot map
+        tables = [p.pop("_vision", None) for p in parts]
+        vision = None
+        if any(t is not None for t in tables):
+            from ..preprocess.qwen_vision import combine_vision_batches
+            vis_list = [t for t in tables if t is not None]
+            vision, offs = combine_vision_batches(vis_list)
+            it = iter(offs)
+            for p, t in zip(parts, tables):
+                if t is None:
+                    p["slot_map"] = np.full_like(p["input_ids"], -1)
+                else:
+                    off = next(it)
+                    p["slot_map"] = np.where(p["slot_map"] >= 0,
+                                             p["slot_map"] + off, -1)
         batch = {k: np.concatenate([p[k] for p in parts],
                                    axis=1 if k == "positions" else 0)
                  for k in parts[0]}
+        if vision is not None:
+            batch["vision_batch"] = vision
         # keep whole uid groups: every part contributes multiples of n rows
         return _reindex(batch, slice(0, target_rows)) \
             if batch["input_ids"].shape[0] > target_rows else batch
@@ -394,13 +456,17 @@ class RLTrainer:
                 reward_tensor=reward_tensor[sel],
                 token_rewards=None, response_mask=rb.response_mask[sel],
                 index=rb.uid[sel])
-        return dict(input_ids=rb.input_ids[sel],
+        part = dict(input_ids=rb.input_ids[sel],
                     attention_mask=rb.attention_mask[sel],
                     positions=rb.positions[:, sel],
                     response_mask=rb.response_mask[sel],
                     reward_masks=reward_masks,
                     reward_tensor=reward_tensor[sel],
                     advantages=adv, uid=rb.uid[sel])
+        if rb.vision is not None:
+            part["slot_map"] = rb.slot_map[sel]
+            part["_vision"] = rb.vision
+        return part
 
     # ---- log-prob inference (micro-batched) ------------------------------
 
@@ -413,15 +479,14 @@ class RLTrainer:
         groups, _ = token_budget_micro_batches(
             seqlens, max(self.cfg.actor.micro_batch_tokens, int(S)))
         out = np.zeros((bs, S), np.float32)
+        keys = [k for k in ("input_ids", "attention_mask", "positions",
+                            "response_mask", "slot_map", "vision_embeds")
+                if k in batch]
         for g in groups:
             rows = self._row_bucket(len(g))
             idx = list(g) + [g[0]] * (rows - len(g))
-            micro = _reindex(batch, idx)
-            lp = self._logp_jit(
-                params, self._put(micro["input_ids"]),
-                self._put(micro["attention_mask"]),
-                self._put(micro["positions"], 1),
-                self._put(micro["response_mask"]))
+            micro = _reindex({k: batch[k] for k in keys}, idx)
+            lp = self._logp_jit(params, self._put_batch(micro))
             out[list(g)] = np.asarray(lp)[:len(g)]
         return out
 
@@ -440,6 +505,9 @@ class RLTrainer:
             extra["old_log_probs"].append(mini["old_log_probs"][i, :L])
             if "ref_log_probs" in mini:
                 extra["ref_log_probs"].append(mini["ref_log_probs"][i, :L])
+            if "slot_map" in mini:
+                # +1 so the packer's zero-fill decodes as -1 (text position)
+                extra["slot_map"].append(mini["slot_map"][i, :L] + 1)
             for a in range(3):
                 extra[f"pos{a}"].append(mini["positions"][a, i, :L])
             for c in range(nch):
@@ -467,6 +535,9 @@ class RLTrainer:
         }
         if "ref_log_probs" in ex:
             batch["ref_log_probs"] = padrows(ex["ref_log_probs"])
+        if "slot_map" in ex:
+            batch["slot_map"] = padrows(ex["slot_map"]) - 1
+            batch["vision_embeds"] = mini["vision_embeds"]
         return self._put_batch(batch)
 
     def update_policy(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
@@ -493,6 +564,8 @@ class RLTrainer:
             batch = _reindex(batch, perm)
             seqlens = seqlens[perm]
 
+        # packed path supports precomputed vision embeds (slot maps pack like
+        # any per-token channel); raw vision_batch must go padded
         packed_ok = (cfg.actor.padding_free and "vision_batch" not in batch
                      and batch["advantages"].ndim == 2)
         mini_size = min(cfg.trainer.global_batch_size, bs)
@@ -665,6 +738,22 @@ class RLTrainer:
             batch = self.make_batch(it, r1)
             if batch is None:
                 break
+            if "vision_batch" in batch:
+                # frozen tower ⇒ encode all images ONCE per step into a flat
+                # embedding table consumed by logp/update via slot maps
+                # (replaces the reference's per-micro multi_modal_inputs +
+                # uid cache, fsdp_workers.py:444-486)
+                assert self.cfg.actor.freeze_vision_tower, (
+                    "vision RL update requires freeze_vision_tower=True "
+                    "(precomputed embeds are stop-grad)")
+                from ..preprocess.qwen_vision import pad_vision_table
+                vb = pad_vision_table(batch.pop("vision_batch"), 4096)
+                if self._vision_jit is None:
+                    self._vision_jit = jax.jit(
+                        lambda p, v: self.model.apply(
+                            p, v, method=self.model.encode_images))
+                batch["vision_embeds"] = self._vision_jit(
+                    self.params, {k: jnp.asarray(v) for k, v in vb.items()})
             # old log probs under the current (pre-update) policy
             batch["old_log_probs"] = self.compute_log_probs(self.params,
                                                             batch)
