@@ -83,20 +83,30 @@ def main():
         total = sum(1 + len(plan_slices(img.size).crop_boxes)
                     for _, img in pages)
         slice_slots = -(-total // 8) * 8
-    batch_np = build_encode_batch(tok, pages, pcfg, n_slice_slots=slice_slots)
+    # device-side input pipeline: host stops at uint8 patches + factorized
+    # pos operators; normalization and the pos outer product run in the jit
+    batch_np = build_encode_batch(tok, pages, pcfg, n_slice_slots=slice_slots,
+                                  device_mode=True)
+    build_encode_batch(tok, pages, pcfg, n_slice_slots=slice_slots,
+                       device_mode=True)  # warm numpy/PIL caches
+    t0 = time.time()
+    batch_np = build_encode_batch(tok, pages, pcfg, n_slice_slots=slice_slots,
+                                  device_mode=True)
     host_s = time.time() - t0
     n_slices = int(batch_np["patch_mask"].any(axis=1).sum())
     log(f"host preprocess: {host_s:.2f}s for {batch_pages} pages "
         f"({n_slices} slices)")
 
-    eb = EncodeBatch(**{k: jnp.asarray(v) for k, v in batch_np.items()})
+    from visrag_tpu.preprocess.device import finish_encode_batch
+    raw = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    eb = raw  # finished inside the jitted step below
 
     # ---- init params (bf16) --------------------------------------------
     t0 = time.time()
 
     @jax.jit
     def init_bf16(key):
-        p = model.init(key, eb)
+        p = model.init(key, finish_encode_batch(eb))
         return jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, p)
@@ -108,7 +118,7 @@ def main():
     # ---- compile + measure ---------------------------------------------
     # NB: under the axon remote relay block_until_ready does not actually
     # synchronize; force a host fetch of the final output to time execution.
-    apply = jax.jit(model.apply)
+    apply = jax.jit(lambda p, raw: model.apply(p, finish_encode_batch(raw)))
     t0 = time.time()
     _ = np.asarray(apply(params, eb))
     log(f"compile+first step: {time.time()-t0:.1f}s")

@@ -143,3 +143,37 @@ def test_pad_batch():
     ids, mask = pad_batch([np.array([1, 2, 3]), np.array([4])], 5)
     np.testing.assert_array_equal(ids, [[1, 2, 3, 0, 0], [4, 0, 0, 0, 0]])
     np.testing.assert_array_equal(mask, [[1, 1, 1, 0, 0], [1, 0, 0, 0, 0]])
+
+
+def test_device_mode_matches_host_pipeline():
+    """Raw uint8+factorized batch finished on device == the classic
+    host-built EncodeBatch (up to f32 outer-product rounding)."""
+    import numpy as np
+    from PIL import Image
+    import jax
+    from visrag_tpu.preprocess.device import finish_encode_batch
+    from visrag_tpu.preprocess.pipeline import (PipelineConfig,
+                                                build_encode_batch)
+    from visrag_tpu.preprocess.tokenize import MockTokenizer
+
+    rng = np.random.default_rng(3)
+    pages = [("q1", Image.fromarray(
+        rng.integers(0, 255, (40, 52, 3), dtype=np.uint8))),
+        ("", Image.fromarray(
+            rng.integers(0, 255, (90, 61, 3), dtype=np.uint8))),
+        ("text only", None)]
+    pcfg = PipelineConfig(seq_len=96, query_num=4, patch_size=14, src_grid=27,
+                          scale_resolution=56, max_patches=64)
+    host = build_encode_batch(MockTokenizer(), pages, pcfg)
+    raw = build_encode_batch(MockTokenizer(), pages, pcfg, device_mode=True)
+    eb = jax.jit(finish_encode_batch)(raw)
+    # padded patch rows are garbage by contract (zeros host-side, -1 after
+    # device normalization) — compare valid rows only
+    valid = host["patch_mask"].astype(bool)
+    np.testing.assert_allclose(np.asarray(eb.patches)[valid],
+                               host["patches"][valid], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eb.pos_matrix)[valid],
+                               host["pos_matrix"][valid], atol=1e-5)
+    for k in ("input_ids", "attention_mask", "patch_mask", "grid_h",
+              "grid_w", "slot_map"):
+        np.testing.assert_array_equal(np.asarray(getattr(eb, k)), host[k])

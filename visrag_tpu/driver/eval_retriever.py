@@ -58,7 +58,8 @@ def main(argv=None):
                        max_inp_length=args.max_inp_length)
     model, params, pcfg = build_visrag_ret(mcfg, tiny=args.tiny)
     tok = build_tokenizer(args.checkpoint)
-    apply = jax.jit(model.apply)
+    from ..preprocess.device import finish_encode_batch
+    apply = jax.jit(lambda p, raw: model.apply(p, finish_encode_batch(raw)))
 
     def encode_file(path, template, out_prefix):
         ds = InferenceDataset(path, template=template)
@@ -69,9 +70,10 @@ def main(argv=None):
             items = [(text, img) for _, text, img in batch]
             while len(items) < args.batch_size:   # pad final batch
                 items.append(("", None))
-            arrs = build_encode_batch(tok, items, pcfg, n_slice_slots=slots)
-            eb = EncodeBatch(**{k: jnp.asarray(v) for k, v in arrs.items()})
-            reps = np.asarray(apply(params, eb), np.float32)[:len(ids)]
+            # device-side input pipeline: host stops at uint8 patches
+            arrs = build_encode_batch(tok, items, pcfg, n_slice_slots=slots,
+                                      device_mode=True)
+            reps = np.asarray(apply(params, arrs), np.float32)[:len(ids)]
             writer.add(ids, reps)
         return writer.result()
 

@@ -40,7 +40,7 @@ class PipelineConfig:
 
 
 def _prep_one(args):
-    text, image, tok, cfg = args
+    text, image, tok, cfg, device_mode = args
     if image is None:
         prompt = text
         slices = []
@@ -50,7 +50,7 @@ def _prep_one(args):
             image, max_slice_nums=cfg.max_slice_nums,
             scale_resolution=cfg.scale_resolution, patch_size=cfg.patch_size,
             slice_mode=cfg.slice_mode, src_grid=cfg.src_grid,
-            max_patches=cfg.max_patches)
+            max_patches=cfg.max_patches, device_mode=device_mode)
         grid = _plan.grid
         prompt = build_page_prompt(tok, text, grid, cfg.query_num)
     ids = tokenize_prompt(tok, prompt, cfg.seq_len)
@@ -60,17 +60,25 @@ def _prep_one(args):
 def build_encode_batch(tok: TokenizerLike,
                        items: Sequence[Tuple[str, Optional[Image.Image]]],
                        cfg: Optional[PipelineConfig] = None,
-                       n_slice_slots: Optional[int] = None) -> dict:
+                       n_slice_slots: Optional[int] = None,
+                       device_mode: bool = False) -> dict:
     """→ dict of numpy arrays matching EncodeBatch fields.
 
     n_slice_slots pins the slice-buffer size for shape-stable jit calls
     (e.g. batch_size * max_slices_per_page); defaults to exactly what the
     batch needs (≥1).
+
+    device_mode=True returns the RAW input-pipeline dict instead —
+    uint8 `pixels` and factorized `pos_a`/`pos_b` — for
+    preprocess.device.finish_encode_batch to normalize/expand inside the
+    jitted encode step: ~4× less host copy work and ~10× less host→device
+    transfer than fp32 patches + dense pos matrices.
     """
     cfg = cfg or PipelineConfig()
     with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
         prepped = list(ex.map(_prep_one,
-                              [(t, im, tok, cfg) for t, im in items]))
+                              [(t, im, tok, cfg, device_mode)
+                               for t, im in items]))
 
     patch_dim = 3 * cfg.patch_size * cfg.patch_size
     total = sum(len(s) for _, s in prepped)
@@ -78,10 +86,15 @@ def build_encode_batch(tok: TokenizerLike,
     if total > n_slots:
         raise ValueError(f"batch needs {total} slice slots > {n_slots}")
 
-    patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
+    if device_mode:
+        pixels = np.zeros((n_slots, cfg.max_patches, patch_dim), np.uint8)
+        pos_a = np.zeros((n_slots, cfg.max_patches, cfg.src_grid), np.float32)
+        pos_b = np.zeros((n_slots, cfg.max_patches, cfg.src_grid), np.float32)
+    else:
+        patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
+        pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
+                              np.float32)
     patch_mask = np.zeros((n_slots, cfg.max_patches), np.int32)
-    pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
-                          np.float32)
     grid_h = np.ones((n_slots,), np.int32)
     grid_w = np.ones((n_slots,), np.int32)
 
@@ -94,15 +107,22 @@ def build_encode_batch(tok: TokenizerLike,
             ids, cfg.seq_len, getattr(tok, "im_start_id"),
             getattr(tok, "im_end_id"), cfg.query_num, offset))
         for s in slices:
-            patches[offset] = s["patches"]
+            if device_mode:
+                pixels[offset] = s["pixels"]
+                pos_a[offset] = s["pos_a"]
+                pos_b[offset] = s["pos_b"]
+            else:
+                patches[offset] = s["patches"]
+                pos_matrix[offset] = s["pos_matrix"]
             patch_mask[offset] = s["mask"]
-            pos_matrix[offset] = s["pos_matrix"]
             grid_h[offset] = s["grid_h"]
             grid_w[offset] = s["grid_w"]
             offset += 1
 
     input_ids, attention_mask = pad_batch(id_list, cfg.seq_len)
-    return dict(input_ids=input_ids, attention_mask=attention_mask,
-                patches=patches, patch_mask=patch_mask, pos_matrix=pos_matrix,
-                grid_h=grid_h, grid_w=grid_w,
-                slot_map=np.stack(slot_maps, axis=0))
+    common = dict(input_ids=input_ids, attention_mask=attention_mask,
+                  patch_mask=patch_mask, grid_h=grid_h, grid_w=grid_w,
+                  slot_map=np.stack(slot_maps, axis=0))
+    if device_mode:
+        return dict(common, pixels=pixels, pos_a=pos_a, pos_b=pos_b)
+    return dict(common, patches=patches, pos_matrix=pos_matrix)

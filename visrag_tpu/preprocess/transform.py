@@ -79,6 +79,48 @@ def _bicubic_resample_matrix_1d(src: int, dst: int) -> np.ndarray:
     return out[:, 0, :, 0].transpose(0, 1).numpy().astype(np.float64)
 
 
+def patchify_u8(arr: np.ndarray, patch_size: int = 14,
+                max_patches: int = MAX_PATCHES):
+    """(H, W, 3) uint8 → (max_patches, 3*ps*ps) uint8, mask, (gh, gw).
+
+    The device-input path: keeps pixels in uint8 (4× less host copy + host→
+    device transfer than f32 patches) and defers ToTensor+Inception
+    normalization to the jitted step (preprocess.device.finish_encode_batch).
+    Patch layout matches patchify: row-major patches, (c, ph, pw) inside."""
+    h, w, c = arr.shape
+    ps = patch_size
+    assert h % ps == 0 and w % ps == 0, (h, w)
+    gh, gw = h // ps, w // ps
+    n = gh * gw
+    if n > max_patches:
+        raise ValueError(f"slice grid {gh}x{gw}={n} exceeds MAX_PATCHES")
+    p = arr.reshape(gh, ps, gw, ps, c).transpose(0, 2, 4, 1, 3)
+    p = p.reshape(n, c * ps * ps)
+    out = np.zeros((max_patches, c * ps * ps), np.uint8)
+    out[:n] = p
+    mask = np.zeros((max_patches,), np.int32)
+    mask[:n] = 1
+    return out, mask, (gh, gw)
+
+
+def pos_factor_rows(grid_h: int, grid_w: int, src_grid: int = 27,
+                    max_patches: int = MAX_PATCHES):
+    """Factorized pos-resample operator: per-patch-row 1-D bicubic factors
+    (A, B), each (max_patches, src_grid) f32, with
+    pos_matrix[p] == outer(A[p], B[p]).reshape(-1) — 27× less host→device
+    traffic than the dense (max_patches, src_grid²) matrix; the outer
+    product runs on device."""
+    wh = _bicubic_resample_matrix_1d(src_grid, grid_h).astype(np.float32)
+    ww = _bicubic_resample_matrix_1d(src_grid, grid_w).astype(np.float32)
+    n = grid_h * grid_w
+    a = np.zeros((max_patches, src_grid), np.float32)
+    b = np.zeros((max_patches, src_grid), np.float32)
+    rows = np.arange(n)
+    a[:n] = wh[rows // grid_w]
+    b[:n] = ww[rows % grid_w]
+    return a, b
+
+
 @functools.lru_cache(maxsize=4096)
 def pos_resample_matrix(grid_h: int, grid_w: int, src_grid: int = 27,
                         max_patches: int = MAX_PATCHES) -> np.ndarray:
@@ -105,11 +147,12 @@ def render_slices(img: Image.Image, plan: SlicePlan) -> List[Image.Image]:
 def prepare_page(img: Image.Image, *, max_slice_nums: int = 9,
                  scale_resolution: int = 448, patch_size: int = 14,
                  slice_mode: bool = True, src_grid: int = 27,
-                 max_patches: int = MAX_PATCHES):
+                 max_patches: int = MAX_PATCHES, device_mode: bool = False):
     """Page image → per-slice static buffers + the slice plan.
 
-    Returns (plan, slices) where slices is a list of dicts with keys
-    patches/mask/pos_matrix/grid_h/grid_w.
+    Returns (plan, slices): dicts with patches/mask/pos_matrix/grid_h/grid_w,
+    or — with device_mode — pixels (uint8) + factorized pos_a/pos_b for the
+    jitted finish_encode_batch step (preprocess.device).
     """
     w, h = img.size
     ratio = w / h
@@ -126,10 +169,17 @@ def prepare_page(img: Image.Image, *, max_slice_nums: int = 9,
     rendered = render_slices(img, plan)
     out = []
     for im in rendered:
-        arr = normalize_image(im)
-        patches, mask, (gh, gw) = patchify(arr, patch_size, max_patches)
-        out.append(dict(
-            patches=patches, mask=mask,
-            pos_matrix=pos_resample_matrix(gh, gw, src_grid, max_patches),
-            grid_h=gh, grid_w=gw))
+        if device_mode:
+            arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            pixels, mask, (gh, gw) = patchify_u8(arr, patch_size, max_patches)
+            a, b = pos_factor_rows(gh, gw, src_grid, max_patches)
+            out.append(dict(pixels=pixels, mask=mask, pos_a=a, pos_b=b,
+                            grid_h=gh, grid_w=gw))
+        else:
+            arr = normalize_image(im)
+            patches, mask, (gh, gw) = patchify(arr, patch_size, max_patches)
+            out.append(dict(
+                patches=patches, mask=mask,
+                pos_matrix=pos_resample_matrix(gh, gw, src_grid, max_patches),
+                grid_h=gh, grid_w=gw))
     return plan, out
