@@ -178,3 +178,61 @@ def test_engine_per_request_sampling(tiny_model):
     results = eng.run(jax.random.PRNGKey(5))
     assert results[0] == want
     assert len(results[1]) == 6
+
+
+def test_paged_decode_attention_matches_dense():
+    """Paged (block-table) decode attention == dense slot-cache attention,
+    including the Pallas kernel in interpret mode."""
+    from visrag_tpu.serving.kv_cache import decode_attention
+    from visrag_tpu.serving.paged_kv import paged_decode_attention
+
+    rng = np.random.default_rng(0)
+    slots, h, kvh, d, bs, mb = 3, 8, 2, 64, 128, 4
+    max_len = bs * mb
+    q = jnp.asarray(rng.normal(size=(slots, h, d)), jnp.float32)
+    dense_k = jnp.asarray(rng.normal(size=(slots, max_len, kvh, d)),
+                          jnp.float32)
+    dense_v = jnp.asarray(rng.normal(size=(slots, max_len, kvh, d)),
+                          jnp.float32)
+    lengths = jnp.asarray([5, 300, 512], jnp.int32)
+    want = decode_attention(q, dense_k, dense_v, lengths)
+
+    # scatter the dense cache into a shuffled block pool
+    perm = rng.permutation(slots * mb)
+    table = np.asarray(perm).reshape(slots, mb).astype(np.int32)
+    k_pool = np.zeros((slots * mb, bs, kvh, d), np.float32)
+    v_pool = np.zeros_like(k_pool)
+    for s in range(slots):
+        for j in range(mb):
+            k_pool[table[s, j]] = np.asarray(dense_k)[s, j * bs:(j + 1) * bs]
+            v_pool[table[s, j]] = np.asarray(dense_v)[s, j * bs:(j + 1) * bs]
+    got_xla = paged_decode_attention(q, jnp.asarray(k_pool),
+                                     jnp.asarray(v_pool),
+                                     jnp.asarray(table), lengths)
+    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    got_kern = paged_decode_attention(q, jnp.asarray(k_pool),
+                                      jnp.asarray(v_pool),
+                                      jnp.asarray(table), lengths,
+                                      interpret=True)
+    # the kernel feeds the MXU bf16 operands by design → bf16-level tolerance
+    np.testing.assert_allclose(np.asarray(got_kern), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+
+
+def test_engine_block_recycling(tiny_model):
+    """A pool smaller than slots×max_len serves more requests than its
+    capacity by recycling blocks as requests finish."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(5)
+    # 2 slots, pool of 6 blocks (block_size = gcd(16, 64, 128) = 16):
+    # each request needs ceil(16/16)+... ≤ 3 blocks
+    eng = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,),
+                 cache_blocks=6)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,)).astype(np.int32))
+               for n in (5, 7, 6, 4, 8, 5)]
+    outs = eng.generate(prompts, sampling=SamplingParams(temperature=0.0,
+                                                         max_tokens=4))
+    assert len(outs) == 6 and all(len(o) == 4 for o in outs)
+    # all blocks returned to the free list (+ null block held)
+    assert len(eng.allocator.free) == 6

@@ -111,20 +111,32 @@ class MiniCPMAttention(nn.Module):
         out = self.o_proj(o.reshape(b, s, -1))
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl):
-        """One-token step writing THROUGH the full (layers, B, L, kvh, d)
-        cache stack — an in-place scatter on the donated buffer under jit,
-        not a per-layer cache copy (see qwen25_vl.QwenAttention.decode)."""
-        from ..serving.kv_cache import decode_attention
+    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl,
+               block_table=None):
+        """One-token step writing THROUGH the full cache stack — dense
+        (layers, B, L, kvh, d) or paged pools when block_table is given
+        (see qwen25_vl.QwenAttention.decode)."""
         b = x.shape[0]
         q, k, v = self._qkv(x, positions)
         pos = lengths_incl - 1
-        k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
-            k[:, 0].astype(k_cache.dtype))
-        v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
-            v[:, 0].astype(v_cache.dtype))
-        o = decode_attention(q[:, 0], k_cache[layer_idx], v_cache[layer_idx],
-                             lengths_incl)
+        if block_table is None:
+            from ..serving.kv_cache import decode_attention
+            k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
+                k[:, 0].astype(k_cache.dtype))
+            v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
+                v[:, 0].astype(v_cache.dtype))
+            o = decode_attention(q[:, 0], k_cache[layer_idx],
+                                 v_cache[layer_idx], lengths_incl)
+        else:
+            from ..serving.paged_kv import (paged_decode_attention,
+                                            write_token)
+            k_cache = write_token(k_cache, layer_idx, block_table, pos,
+                                  k[:, 0])
+            v_cache = write_token(v_cache, layer_idx, block_table, pos,
+                                  v[:, 0])
+            o = paged_decode_attention(q[:, 0], k_cache[layer_idx],
+                                       v_cache[layer_idx], block_table,
+                                       lengths_incl)
         return (self.o_proj(o[:, None].reshape(b, 1, -1)), k_cache, v_cache)
 
 
@@ -153,10 +165,11 @@ class MiniCPMBlock(nn.Module):
         out = x + m * self.depth_scale
         return (out, kv) if return_kv else out
 
-    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl):
+    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl,
+               block_table=None):
         a, k_cache, v_cache = self.self_attn.decode(
             self.input_layernorm(x), positions, k_cache, v_cache, layer_idx,
-            lengths_incl)
+            lengths_incl, block_table)
         x = x + a * self.depth_scale
         m = self.mlp(self.post_attention_layernorm(x))
         return x + m * self.depth_scale, k_cache, v_cache
@@ -208,13 +221,15 @@ class MiniCPMModel(nn.Module):
         out = self.norm(x)
         return (out, kvs) if return_kv else out
 
-    def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl):
+    def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl,
+               block_table=None):
         """One decode step; returns (hidden, k_cache, v_cache) with this
         token's K/V written at lengths_incl-1 (donate the caches)."""
         x = inputs_embeds.astype(self.cfg.dtype)
         for i, layer in enumerate(self.layers):
             x, k_cache, v_cache = layer.decode(x, positions, k_cache,
-                                               v_cache, i, lengths_incl)
+                                               v_cache, i, lengths_incl,
+                                               block_table)
         return self.norm(x), k_cache, v_cache
 
     def embed_only(self, input_ids):

@@ -163,10 +163,11 @@ class MiniCPMVForGeneration(nn.Module):
         v = jnp.stack([kv[1] for kv in kvs])
         return self._logits(hidden), k, v
 
-    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl):
+    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,
+               block_table=None):
         embeds = self.backbone.llm.embed_only(token_ids)
         if positions.ndim == 3:
             positions = positions[0]
         hidden, k_cache, v_cache = self.backbone.llm.decode(
-            embeds, positions, k_cache, v_cache, lengths_incl)
+            embeds, positions, k_cache, v_cache, lengths_incl, block_table)
         return self._logits(hidden)[:, 0], k_cache, v_cache

@@ -255,21 +255,35 @@ class QwenTextBlock(nn.Module):
         out = self._mlp_residual(x, o)
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, cos, sin, k_cache, v_cache, layer_idx, lengths_incl):
-        """x (B, 1, E); k_cache/v_cache: FULL (layers, B, L_max, kvh, d)
-        stacks; lengths_incl counts INCLUDING this step's token. Writes this
-        token's K/V at lengths_incl-1 (in-place scatter on a donated buffer
-        under jit) and returns (out, k_cache, v_cache)."""
-        from ..serving.kv_cache import decode_attention
+    def decode(self, x, cos, sin, k_cache, v_cache, layer_idx, lengths_incl,
+               block_table=None):
+        """x (B, 1, E); lengths_incl counts INCLUDING this step's token.
+        k_cache/v_cache: dense (layers, B, L_max, kvh, d) stacks when
+        block_table is None, else paged pools (layers, n_blocks, bs, kvh, d)
+        indexed by block_table (B, max_blk). Writes this token's K/V at
+        lengths_incl-1 (in-place scatter on a donated buffer under jit) and
+        returns (out, k_cache, v_cache)."""
         q, k, v = self._qkv(x, cos, sin)
         b = x.shape[0]
         pos = lengths_incl - 1
-        k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
-            k[:, 0].astype(k_cache.dtype))
-        v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
-            v[:, 0].astype(v_cache.dtype))
-        o = decode_attention(q[:, 0], k_cache[layer_idx], v_cache[layer_idx],
-                             lengths_incl)
+        if block_table is None:
+            from ..serving.kv_cache import decode_attention
+            k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
+                k[:, 0].astype(k_cache.dtype))
+            v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
+                v[:, 0].astype(v_cache.dtype))
+            o = decode_attention(q[:, 0], k_cache[layer_idx],
+                                 v_cache[layer_idx], lengths_incl)
+        else:
+            from ..serving.paged_kv import (paged_decode_attention,
+                                            write_token)
+            k_cache = write_token(k_cache, layer_idx, block_table, pos,
+                                  k[:, 0])
+            v_cache = write_token(v_cache, layer_idx, block_table, pos,
+                                  v[:, 0])
+            o = paged_decode_attention(q[:, 0], k_cache[layer_idx],
+                                       v_cache[layer_idx], block_table,
+                                       lengths_incl)
         out = self._mlp_residual(x, o[:, None])
         return out, k_cache, v_cache
 
@@ -328,16 +342,17 @@ class QwenTextModel(nn.Module):
         out = self.norm(x)
         return (out, kvs) if return_kv else out
 
-    def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl):
+    def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl,
+               block_table=None):
         """One decode step. inputs_embeds (B, 1, E); positions (3, B, 1);
-        k_cache/v_cache (layers, B, L_max, kvh, d), donated. Returns
-        (hidden (B,1,E), k_cache, v_cache) with this token's K/V written."""
+        k_cache/v_cache dense stacks or paged pools (see QwenAttention.decode),
+        donated. Returns (hidden (B,1,E), k_cache, v_cache)."""
         b = inputs_embeds.shape[0]
         cos, sin = self._cos_sin(positions, b, 1)
         x = inputs_embeds.astype(self.cfg.dtype)
         for i, layer in enumerate(self.layers):
             x, k_cache, v_cache = layer.decode(x, cos, sin, k_cache, v_cache,
-                                               i, lengths_incl)
+                                               i, lengths_incl, block_table)
         return self.norm(x), k_cache, v_cache
 
 
@@ -422,9 +437,10 @@ class Qwen25VL(nn.Module):
         v = jnp.stack([kv[1] for kv in kvs])
         return self.compute_logits(hidden), k, v
 
-    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl):
+    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,
+               block_table=None):
         """token_ids (B, 1); → (logits (B, V), k_cache, v_cache)."""
         embeds = self.model.embed_tokens(token_ids)
         hidden, k_cache, v_cache = self.model.decode(
-            embeds, positions, k_cache, v_cache, lengths_incl)
+            embeds, positions, k_cache, v_cache, lengths_incl, block_table)
         return self.compute_logits(hidden)[:, 0], k_cache, v_cache

@@ -63,7 +63,8 @@ class Engine:
                  max_len: int = 4096,
                  prompt_buckets: Sequence[int] = (512, 1024, 2048, 4096),
                  eos_token_ids: Sequence[int] = (),
-                 cache_dtype=jnp.bfloat16, decode_chunk: int = 16):
+                 cache_dtype=jnp.bfloat16, decode_chunk: int = 16,
+                 cache_blocks: Optional[int] = None):
         self.model = model
         self.params = params
         self.num_slots = num_slots
@@ -73,10 +74,27 @@ class Engine:
         self.chunk = decode_chunk
         tc = model.cfg.text
         self.vocab = tc.vocab_size
-        self.k_cache = jnp.zeros((tc.num_hidden_layers, num_slots, max_len,
+        # paged KV pool (vLLM paged-attention role): cache_blocks bounds
+        # total tokens in flight; default = the dense slab's capacity
+        import math as _math
+        from .paged_kv import BlockAllocator
+        bs = 128
+        for b in list(self.prompt_buckets) + [max_len]:
+            bs = _math.gcd(bs, b)
+        self.block_size = bs
+        self.max_blocks = max_len // bs
+        n_blocks = (cache_blocks or num_slots * self.max_blocks) + 1
+        self.k_cache = jnp.zeros((tc.num_hidden_layers, n_blocks, bs,
                                   tc.num_key_value_heads, tc.head_dim),
                                  cache_dtype)
         self.v_cache = jnp.zeros_like(self.k_cache)
+        self.allocator = BlockAllocator(n_blocks)
+        # idle slots write into a dedicated scratch block (never read) so
+        # they can't scribble over another request's allocation
+        self.null_block = self.allocator.alloc(1)[0]
+        self.table = np.full((num_slots, self.max_blocks), self.null_block,
+                             np.int32)
+        self.slot_blocks: List[List[int]] = [[] for _ in range(num_slots)]
         self.seen = jnp.zeros((num_slots, self.vocab), jnp.bool_)
         self._eos_arr = jnp.asarray(sorted(self.eos) or [-1], jnp.int32)
         # host mirrors of per-slot decode state
@@ -93,10 +111,10 @@ class Engine:
         self._next_id = 0
 
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(6, 7, 8),
-                                    static_argnums=(10,))
+                                    static_argnums=(11,))
         self._chunk_jit = jax.jit(self._decode_chunk_fn,
                                   donate_argnums=(1, 2, 3),
-                                  static_argnums=(13,))
+                                  static_argnums=(14,))
 
     # ---- request management ------------------------------------------
 
@@ -121,20 +139,17 @@ class Engine:
     # ---- prefill -------------------------------------------------------
 
     def _prefill_fn(self, params, ids, pos, mask, vb, sm, k_cache, v_cache,
-                    seen, state, bucket, rng):
+                    seen, rows, state, bucket, rng):
         """Full-model prompt pass for ONE request: write prompt K/V into the
-        slot, rebuild the slot's seen row, sample the first token on device.
+        slot's pool blocks, rebuild the slot's seen row, sample the first
+        token on device. rows: (bucket//block_size,) pool block ids;
         state = (slot, length, temp, top_p, rep_pen) as traced scalars."""
+        from .paged_kv import write_prefill
         slot, length, temp, top_p, rep_pen = state
         logits, k, v = self.model.apply(params, ids, attention_mask=mask,
                                         positions=pos, vision_batch=vb,
                                         slot_map=sm, method=self.model.prefill)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[:, :, :bucket].astype(k_cache.dtype),
-            (0, slot, 0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[:, :, :bucket].astype(v_cache.dtype),
-            (0, slot, 0, 0, 0))
+        k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
         row = jnp.zeros((self.vocab,), jnp.bool_)
         row = row.at[ids[0]].max(mask[0] > 0)
         last = jax.lax.dynamic_slice(logits, (0, length - 1, 0),
@@ -162,12 +177,21 @@ class Engine:
             sm[0, :s] = req.slot_map
             sm = jnp.asarray(sm)
         sp = req.sampling
+        # allocate pool blocks covering the prompt bucket + decode budget
+        bs_blk = self.block_size
+        budget = max(min(sp.max_tokens, self.max_len - s), 1)
+        need = max(-(-bucket // bs_blk), -(-(s + budget) // bs_blk))
+        blocks = self.allocator.alloc(need)
+        self.slot_blocks[slot] = blocks
+        self.table[slot] = self.null_block
+        self.table[slot, :need] = blocks
+        rows = jnp.asarray(blocks[:bucket // bs_blk], jnp.int32)
         state = (jnp.int32(slot), jnp.int32(s), jnp.float32(sp.temperature),
                  jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
         tok, logp, self.k_cache, self.v_cache, self.seen = self._prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(pos),
             jnp.asarray(mask), vb, sm, self.k_cache, self.v_cache, self.seen,
-            state, bucket, rng)
+            rows, state, bucket, rng)
         tok = int(tok)
         req.cum_logprob += float(logp)
         req.output_ids.append(tok)
@@ -185,27 +209,33 @@ class Engine:
         if done:
             req.done = True
             self.slot_req[slot] = None
+            self.allocator.release(self.slot_blocks[slot])
+            self.slot_blocks[slot] = []
+            self.table[slot] = self.null_block
         return tok
 
     # ---- decode --------------------------------------------------------
 
-    def _decode_chunk_fn(self, params, k_cache, v_cache, seen, lengths,
-                         last_tok, cur_pos, active, gen_left, temp, top_p,
-                         rep_pen, rng, n_steps):
+    def _decode_chunk_fn(self, params, k_cache, v_cache, seen, table,
+                         lengths, last_tok, cur_pos, active, gen_left, temp,
+                         top_p, rep_pen, rng, n_steps):
         """lax.scan over n_steps decode steps for ALL slots. Inactive slots
-        run but write past their valid region and record nothing. Returns
-        donated caches/seen + one packed int32 array for a single host fetch:
+        re-write their own last position (their blocks stay safe) and record
+        nothing. Returns donated pools/seen + one packed int32 array for a
+        single host fetch:
         [tokens (T·B) | lengths | cur_pos | gen_left | active | logp_bits]."""
         B = self.num_slots
 
         def step(carry, rng_t):
             (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
              gen_left, logp_acc) = carry
-            lengths_incl = jnp.minimum(lengths + 1, self.max_len)
+            # inactive slots get lengths_incl = lengths → write at
+            # lengths-1, inside their own allocation
+            lengths_incl = jnp.maximum(lengths + active, 1)
             pos3 = jnp.broadcast_to(cur_pos[None, :, None], (3, B, 1))
             logits, k_cache, v_cache = self.model.apply(
                 params, last_tok[:, None], pos3, k_cache, v_cache,
-                lengths_incl, method=self.model.decode)
+                lengths_incl, table, method=self.model.decode)
             tok, logp = sample_vec(logits, rng_t, temp, top_p, rep_pen, seen)
             tok = jnp.where(active, tok, last_tok)
             seen = seen.at[jnp.arange(B), tok].max(active)
@@ -238,6 +268,7 @@ class Engine:
         B = self.num_slots
         self.k_cache, self.v_cache, self.seen, packed = self._chunk_jit(
             self.params, self.k_cache, self.v_cache, self.seen,
+            jnp.asarray(self.table),
             jnp.asarray(self.lengths), jnp.asarray(self.last_tok),
             jnp.asarray(self.cur_pos), jnp.asarray(self.active),
             jnp.asarray(self.gen_left), jnp.asarray(self.temp),
@@ -262,6 +293,9 @@ class Engine:
             if not new_active[i]:
                 req.done = True
                 self.slot_req[i] = None
+                self.allocator.release(self.slot_blocks[i])
+                self.slot_blocks[i] = []
+                self.table[i] = self.null_block
         self.active = new_active & np.asarray(
             [r is not None for r in self.slot_req])
 
