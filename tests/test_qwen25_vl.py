@@ -152,3 +152,53 @@ def test_full_model_with_images(hf_model):
                             vision_batch=vision_batch,
                             slot_map=jnp.asarray(slot))
     np.testing.assert_allclose(np.asarray(logits), want, rtol=5e-4, atol=5e-4)
+
+
+def test_video_patches_and_forward():
+    """Video (multi-frame) vision path: t>1 grids through patches, windows,
+    mrope, and the full model forward."""
+    import numpy as np
+    from PIL import Image
+    import jax.numpy as jnp
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.mrope import get_rope_index
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.preprocess.qwen_vision import (prepare_vision_batch,
+                                                   video_to_patches)
+
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray(rng.integers(0, 255, (56, 56, 3),
+                                           dtype=np.uint8))
+              for _ in range(5)]  # odd count → last frame repeats
+    flat, grid = video_to_patches(frames, min_pixels=16 * 16,
+                                  max_pixels=56 * 56)
+    assert grid[0] == 3 and flat.shape[0] == grid[0] * grid[1] * grid[2]
+
+    cfg = Qwen25VLConfig.tiny()
+    vb = prepare_vision_batch([frames], head_dim=cfg.vision.head_dim,
+                              min_pixels=16 * 16, max_pixels=56 * 56)
+    assert vb.grid_thw[0][0] == 3
+    n_img = vb.n_tokens
+    ids = np.concatenate([
+        rng.integers(0, 100, size=(2,)),
+        np.full((n_img,), cfg.image_token_id),
+        rng.integers(0, 100, size=(3,)),
+    ]).astype(np.int32)
+    pos = get_rope_index(ids, vb.grid_thw, cfg.image_token_id)
+    assert pos.shape == (3, len(ids))
+    # temporal position ids advance across frames inside the video span
+    tpos = pos[0, 2:2 + n_img]
+    assert tpos.max() > tpos.min()
+    slot = np.full(ids.shape, -1, np.int32)
+    slot[ids == cfg.image_token_id] = np.arange(n_img)
+    model = Qwen25VL(cfg)
+    vision_batch = {k: jnp.asarray(getattr(vb, k)) for k in
+                    ("patches", "rot_cos", "rot_sin", "seg_window",
+                     "seg_full", "reverse_index")}
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[None]),
+                        vision_batch=vision_batch,
+                        slot_map=jnp.asarray(slot[None]))
+    logits, _ = model.apply(params, jnp.asarray(ids[None]),
+                            vision_batch=vision_batch,
+                            slot_map=jnp.asarray(slot[None]))
+    assert np.isfinite(np.asarray(logits)).all()

@@ -193,3 +193,35 @@ class RLHFDataset:
                     len(item["input_ids"]) > self.max_prompt_length):
                 continue  # filter overlong prompts (dataset.py:146-151)
             yield item
+
+
+def load_video_frames(path: str, *, fps: float = 2.0,
+                      max_frames: int = 32) -> List["Image.Image"]:
+    """Decode video frames for RLHFDataset prompts (the reference's
+    qwen_vl_utils.process_video role, utils/dataset.py:81-85). Uses imageio
+    when present, falls back to PIL for multi-frame formats (GIF); raises a
+    clear error otherwise (this image ships no ffmpeg bindings)."""
+    from PIL import Image, ImageSequence
+
+    try:
+        import imageio.v3 as iio
+        meta = iio.immeta(path)
+        src_fps = float(meta.get("fps", fps) or fps)
+        step = max(int(round(src_fps / fps)), 1)
+        frames = [Image.fromarray(f) for i, f in enumerate(iio.imiter(path))
+                  if i % step == 0]
+        return frames[:max_frames]
+    except ImportError:
+        pass
+    try:
+        im = Image.open(path)
+        frames = [f.convert("RGB").copy()
+                  for f in ImageSequence.Iterator(im)]
+        if len(frames) >= 1:
+            step = max(len(frames) // max_frames, 1)
+            return frames[::step][:max_frames]
+    except Exception:
+        pass
+    raise RuntimeError(
+        f"cannot decode video {path!r}: no imageio/ffmpeg in this image; "
+        "pass pre-decoded frames (a list of PIL images) instead")

@@ -67,6 +67,43 @@ def image_to_patches(img: Image.Image, *, patch_size: int = 14,
     return flat.astype(np.float32), (gt, gh, gw)
 
 
+def video_to_patches(frames: Sequence[Image.Image], *, patch_size: int = 14,
+                     merge_size: int = 2, temporal_patch_size: int = 2,
+                     min_pixels: int = 56 * 56,
+                     max_pixels: int = 14 * 14 * 4 * 1280):
+    """Video frames → (gt*gh*gw, 3*tps*ps*ps) patches + (gt, gh, gw) grid.
+
+    The reference feeds videos through qwen_vl_utils.process_vision_info
+    (utils/dataset.py:81-85); here frames arrive as PIL images (decoding is
+    the caller's concern — see data.datasets.load_video_frames). Frame count
+    pads to a temporal_patch_size multiple by repeating the last frame, as
+    the HF Qwen2.5-VL processor does."""
+    assert len(frames) >= 1
+    w0, h0 = frames[0].size
+    h, w = smart_resize(h0, w0, patch_size * merge_size, min_pixels,
+                        max_pixels)
+    arrs = []
+    for f in frames:
+        f = f.convert("RGB").resize((w, h), Image.Resampling.BICUBIC)
+        a = np.asarray(f, np.float32) / 255.0
+        a = (a - np.array(OPENAI_CLIP_MEAN, np.float32)) / np.array(
+            OPENAI_CLIP_STD, np.float32)
+        arrs.append(a.transpose(2, 0, 1))
+    while len(arrs) % temporal_patch_size:
+        arrs.append(arrs[-1])
+    stack = np.stack(arrs, 0)                              # (T, C, H, W)
+    c = 3
+    gt = stack.shape[0] // temporal_patch_size
+    gh, gw = h // patch_size, w // patch_size
+    p = stack.reshape(gt, temporal_patch_size, c, gh // merge_size,
+                      merge_size, patch_size, gw // merge_size, merge_size,
+                      patch_size)
+    p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = p.reshape(gt * gh * gw,
+                     c * temporal_patch_size * patch_size * patch_size)
+    return flat.astype(np.float32), (gt, gh, gw)
+
+
 def rot_pos_ids(grid_thw: Sequence[Tuple[int, int, int]],
                 merge_size: int = 2) -> np.ndarray:
     """(total_patches, 2) per-patch (h, w) ids in merge-grouped order
@@ -140,10 +177,16 @@ def prepare_vision_batch(images: Sequence[Image.Image], *, head_dim: int,
     mu = merge_size ** 2
     flats, grids = [], []
     for img in images:
-        f, g = image_to_patches(img, patch_size=patch_size,
-                                merge_size=merge_size,
-                                temporal_patch_size=temporal_patch_size,
-                                min_pixels=min_pixels, max_pixels=max_pixels)
+        if isinstance(img, (list, tuple)):     # a video: a list of frames
+            f, g = video_to_patches(
+                img, patch_size=patch_size, merge_size=merge_size,
+                temporal_patch_size=temporal_patch_size,
+                min_pixels=min_pixels, max_pixels=max_pixels)
+        else:
+            f, g = image_to_patches(
+                img, patch_size=patch_size, merge_size=merge_size,
+                temporal_patch_size=temporal_patch_size,
+                min_pixels=min_pixels, max_pixels=max_pixels)
         flats.append(f)
         grids.append(g)
     patches = np.concatenate(flats, axis=0)
