@@ -137,12 +137,15 @@ def main():
     log(f"steady state: {dt*1e3:.1f} ms/batch → {pages_per_s:.2f} pages/s "
         f"({pages_per_s*60:.0f} pages/min)")
 
-    # analytic MFU (dense flops only)
-    lm_flops = 2 * 2.4e9 * batch_pages * seq_len
-    vit_flops = 2 * 0.43e9 * n_slices * 1152
-    mfu = (lm_flops + vit_flops) / dt / 197e12 if on_tpu else 0.0
-    log(f"approx MFU: {mfu*100:.1f}% (lm {lm_flops/1e12:.1f}TF + "
-        f"vit {vit_flops/1e12:.1f}TF per batch)")
+    # analytic MFU: dense params + attention score/value flops
+    lm_dense = 2 * 2.4e9 * batch_pages * seq_len
+    lm_attn = 4 * batch_pages * seq_len ** 2 * 2304 * 40 / 2  # causal half
+    vit_dense = 2 * 0.43e9 * n_slices * 1152
+    vit_attn = 4 * n_slices * 1152 ** 2 * 1152 * 26
+    total_flops = lm_dense + lm_attn + vit_dense + vit_attn
+    mfu = total_flops / dt / 197e12 if on_tpu else 0.0
+    log(f"approx MFU: {mfu*100:.1f}% (lm {(lm_dense+lm_attn)/1e12:.1f}TF + "
+        f"vit {(vit_dense+vit_attn)/1e12:.1f}TF per batch, incl. attention)")
 
     print(json.dumps({
         "metric": "visrag_ret_embed_throughput",

@@ -243,3 +243,47 @@ def test_lora_adapters():
         return None
     got = np.asarray(find_merged(merged, lora2))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_sft_sharded_matches_single():
+    """FSDP-sharded SFT step (ZeRO-3 role) == single-device step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import sys
+    sys.path.insert(0, ".")
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh, shard_params_fsdp
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.training.sft import SFTConfig, make_sft_step
+
+    ref, _ = _hf_tiny()
+    base = convert_qwen25_vl({k: v for k, v in ref.state_dict().items()})
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    rng = np.random.default_rng(0)
+    bs, S = 8, 16
+    ids = rng.integers(1, 100, size=(bs, S)).astype(np.int32)
+    rm = np.zeros((bs, S), np.int32)
+    rm[:, 6:12] = 1
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((bs, S), jnp.int32),
+             "response_mask": jnp.asarray(rm),
+             "positions": jnp.asarray(
+                 np.broadcast_to(np.arange(S), (3, bs, S)).astype(np.int32))}
+    cfg = SFTConfig(lr=1e-3, warmup_steps=1, freeze_vision_tower=True)
+    outs = []
+    for mesh in (None, build_mesh(MeshConfig(data=8))):
+        params = {"params": jax.tree_util.tree_map(
+            lambda x: jnp.array(np.asarray(x)), base)}
+        if mesh is not None:
+            params = {"params": shard_params_fsdp(params["params"], mesh)}
+        tx, step = make_sft_step(model.apply, cfg)
+        opt_state = tx.init(params)
+        params, opt_state, m = step(params, opt_state, batch)
+        assert np.isfinite(float(m["loss"]))
+        outs.append([np.asarray(x) for x in
+                     jax.tree_util.tree_leaves(params)])
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

@@ -1,0 +1,123 @@
+"""EVisRAG stage-1 SFT driver.
+
+Parity with /root/reference/evisrag_scripts/full_sft.sh (LLaMA-Factory full
+finetune of Qwen2.5-VL-7B: freeze_vision_tower, lr 5e-7, DeepSpeed ZeRO-3):
+data rows are chat conversations {prompt/problem, response/answer, images?};
+the loss covers response tokens only; the vision tower freezes via a grad
+mask; ZeRO-3 becomes FSDP param shardings over the mesh `data` axis.
+
+    python -m visrag_tpu.driver.sft_main --data sft.jsonl \
+        --checkpoint <qwen2.5-vl-dir> --output-dir sft_run/ \
+        --set lr=5e-7 --set total_steps=2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True,
+                    help="jsonl rows {prompt|problem, response|answer}")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--max-len", type=int, default=4096)
+    ap.add_argument("--set", action="append", default=[],
+                    help="SFTConfig overrides, e.g. --set lr=1e-6")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoProcessor
+
+    from ..config import MeshConfig
+    from ..data.datasets import batched, iter_rows
+    from ..mesh import build_mesh, shard_params_fsdp
+    from ..models.hf_loader import convert_qwen25_vl, load_safetensors_dir
+    from ..models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from ..training.checkpoint import save_checkpoint
+    from ..training.sft import SFTConfig, make_sft_step
+    from ..utils.tracker import Tracker
+
+    cfg = SFTConfig()
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        field = {f.name: f for f in dataclasses.fields(SFTConfig)}[k]
+        cfg = dataclasses.replace(cfg, **{k: field.type(v) if callable(
+            field.type) and not isinstance(field.type, str) else v})
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    processor = AutoProcessor.from_pretrained(args.checkpoint)
+    tok = processor.tokenizer
+    state = load_safetensors_dir(args.checkpoint)
+    params = convert_qwen25_vl(state)
+    hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
+    mcfg = Qwen25VLConfig.b7() if hid == 3584 else Qwen25VLConfig.b3()
+    model = Qwen25VL(mcfg)
+
+    mesh = build_mesh(MeshConfig()) if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        params = shard_params_fsdp(params, mesh)
+
+    def encode_row(row):
+        prompt = row.get("prompt") or row.get("problem")
+        response = row.get("response") or row.get("answer") or ""
+        text = processor.apply_chat_template(
+            [{"role": "user", "content": [{"type": "text",
+                                           "text": prompt}]}],
+            tokenize=False, add_generation_prompt=True)
+        pids = tok.encode(text)
+        rids = tok.encode(response, add_special_tokens=False) + \
+            [tok.eos_token_id]
+        ids = (pids + rids)[:args.max_len]
+        rmask = [0] * len(pids) + [1] * len(rids)
+        return np.asarray(ids, np.int32), np.asarray(rmask[:len(ids)],
+                                                     np.int32)
+
+    def make_batch(rows):
+        pairs = [encode_row(r) for r in rows]
+        S = -(-max(len(i) for i, _ in pairs) // 128) * 128
+        bs = len(pairs)
+        ids = np.zeros((bs, S), np.int32)
+        att = np.zeros((bs, S), np.int32)
+        rm = np.zeros((bs, S), np.int32)
+        for j, (i, m) in enumerate(pairs):
+            ids[j, :len(i)] = i
+            att[j, :len(i)] = 1
+            rm[j, :len(i)] = m
+        pos = np.broadcast_to(np.arange(S), (3, bs, S)).astype(np.int32)
+        return {"input_ids": jnp.asarray(ids),
+                "attention_mask": jnp.asarray(att),
+                "response_mask": jnp.asarray(rm),
+                "positions": jnp.asarray(pos)}
+
+    tx, step = make_sft_step(model.apply, cfg)
+    params = {"params": params}
+    opt_state = tx.init(params)
+    tracker = Tracker(args.output_dir)
+    n = 0
+    for rows in batched(iter_rows(args.data), args.batch_size):
+        if len(rows) < args.batch_size:
+            continue
+        params, opt_state, metrics = step(params, opt_state,
+                                          make_batch(rows))
+        n += 1
+        if n % 10 == 0:
+            tracker.log({k: float(v) for k, v in metrics.items()}, n)
+        if n >= cfg.total_steps:
+            break
+    save_checkpoint(args.output_dir, n, params)
+    tracker.close()
+    print(f"done: {n} sft steps -> {args.output_dir}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
