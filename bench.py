@@ -13,6 +13,7 @@ production.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -43,7 +44,7 @@ def main():
 
     # ---- model: full flagship dims (bf16) -------------------------------
     seq_len = 768  # covers 10 slices × 66 placeholder tokens + text margin
-    batch_pages = 8 if on_tpu else 1
+    batch_pages = int(os.environ.get("BENCH_PAGES", 16)) if on_tpu else 1
     if not on_tpu:
         log("WARNING: no TPU visible; running a tiny config for smoke only")
         cfg = VisRAGRetConfig.tiny()
