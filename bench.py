@@ -157,4 +157,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient relay OOM right after another TPU
+        if "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e):
+            log("transient TPU OOM (stale relay allocations?); retrying in 30s")
+            time.sleep(30)
+            main()
+        else:
+            raise
