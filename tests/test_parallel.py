@@ -146,3 +146,39 @@ def test_hsdp_train_step_matches_fsdp():
                      jax.tree_util.tree_leaves(tr.params)])
     for a, b in zip(*outs):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_matches_full():
+    """Ring attention over the seq axis == full attention (fwd + grads),
+    causal and bidirectional."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.ops.attention import mha_reference
+    from visrag_tpu.parallel.ring import ring_attention
+
+    mesh = build_mesh(MeshConfig(seq=8, data=1))
+    rng = np.random.default_rng(0)
+    b, s, h, d = 2, 64, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    for causal in (False, True):
+        want = mha_reference(q, k, v, causal=causal)
+        got = ring_attention(q, k, v, mesh, causal=causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, mesh, causal=causal) ** 2)
+
+        def loss_full(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, causal=causal) ** 2)
+
+        gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
