@@ -182,3 +182,31 @@ def test_ring_attention_matches_full():
         for a, b_ in zip(gr, gf):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_ring_attention_packed_segments():
+    """Ring attention with packed segment ids == the segment-masked
+    reference (packed RL sequences over the seq axis)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.ops.attention import mha_reference
+    from visrag_tpu.parallel.ring import ring_attention
+
+    mesh = build_mesh(MeshConfig(seq=8, data=1))
+    rng = np.random.default_rng(1)
+    b, s, h, d = 2, 64, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :30] = 1
+    seg[0, 30:50] = 2
+    seg[1, :64] = 3
+    seg = jnp.asarray(seg)
+    want = mha_reference(q, k, v, seg, seg, causal=True)
+    got = ring_attention(q, k, v, mesh, causal=True, segment_ids=seg)
+    valid = np.asarray(seg) > 0
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], rtol=2e-4, atol=2e-4)
