@@ -78,6 +78,13 @@ def main():
             w, h = 30, 40
         arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
         pages.append(("", Image.fromarray(arr)))
+    if on_tpu:  # per-batch patch bucket: this mix needs 1032 → rung 1088;
+        # seq_auto drops the token pad from the 768 cap to the real ~576
+        from visrag_tpu.preprocess.pipeline import pick_patch_bucket
+        import dataclasses as _dc
+        pcfg = _dc.replace(pcfg, max_patches=pick_patch_bucket(pages, pcfg),
+                           seq_auto=True)
+        log(f"patch bucket: {pcfg.max_patches}")
     t0 = time.time()
     if slice_slots is None:  # slice rows = actual count rounded to 8
         from visrag_tpu.preprocess.slicing import plan_slices
@@ -139,10 +146,12 @@ def main():
         f"({pages_per_s*60:.0f} pages/min)")
 
     # analytic MFU: dense params + attention score/value flops
-    lm_dense = 2 * 2.4e9 * batch_pages * seq_len
-    lm_attn = 4 * batch_pages * seq_len ** 2 * 2304 * 40 / 2  # causal half
-    vit_dense = 2 * 0.43e9 * n_slices * 1152
-    vit_attn = 4 * n_slices * 1152 ** 2 * 1152 * 26
+    seq_used = batch_np["input_ids"].shape[1]
+    maxp_used = batch_np["patch_mask"].shape[1]
+    lm_dense = 2 * 2.4e9 * batch_pages * seq_used
+    lm_attn = 4 * batch_pages * seq_used ** 2 * 2304 * 40 / 2  # causal half
+    vit_dense = 2 * 0.43e9 * n_slices * maxp_used
+    vit_attn = 4 * n_slices * maxp_used ** 2 * 1152 * 26
     total_flops = lm_dense + lm_attn + vit_dense + vit_attn
     mfu = total_flops / dt / 197e12 if on_tpu else 0.0
     log(f"approx MFU: {mfu*100:.1f}% (lm {(lm_dense+lm_attn)/1e12:.1f}TF + "

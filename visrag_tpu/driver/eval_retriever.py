@@ -13,6 +13,7 @@ ndcg_cut_10 / recall_10 / mrr_10.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -70,8 +71,13 @@ def main(argv=None):
             items = [(text, img) for _, text, img in batch]
             while len(items) < args.batch_size:   # pad final batch
                 items.append(("", None))
+            # per-batch patch-buffer bucket (ladder rungs each jit once)
+            from ..preprocess.pipeline import pick_patch_bucket
+            bcfg = dataclasses.replace(
+                pcfg, max_patches=min(pcfg.max_patches,
+                                      pick_patch_bucket(items, pcfg)))
             # device-side input pipeline: host stops at uint8 patches
-            arrs = build_encode_batch(tok, items, pcfg, n_slice_slots=slots,
+            arrs = build_encode_batch(tok, items, bcfg, n_slice_slots=slots,
                                       device_mode=True)
             reps = np.asarray(apply(params, arrs), np.float32)[:len(ids)]
             writer.add(ids, reps)

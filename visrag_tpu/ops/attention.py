@@ -445,6 +445,36 @@ def _pick_blocks(sq: int, sk: int, pref_q: Optional[int],
     return (pref_q or bq), (pref_k or bk)
 
 
+def flash_attention_hsd(q, k, v, lengths, *, causal=False, sm_scale=None,
+                        block_q=None, block_k=None, interpret=False):
+    """Lengths-masked flash attention taking the KERNEL layout directly:
+    q/k/v are (B, H, S, D) with D already lane-aligned (padding carried in
+    the projection weights — see models/siglip_vit.ViTBlock). Skips the
+    per-call pad/transpose materialization of `flash_attention` (~7 ms/block
+    at the ViT encode shape). sm_scale must be passed when D includes zero
+    pad lanes (scale by the REAL head dim).
+
+    Returns (B, H, S, D). Falls back to the XLA reference off-TPU.
+    """
+    b, h, sq, d = q.shape
+    assert k.shape == v.shape == (b, h, sq, d)
+    assert sm_scale is not None, "pass sm_scale=1/sqrt(real_head_dim)"
+    if jax.default_backend() != "tpu" and not interpret:
+        o = mha_reference(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                          jnp.swapaxes(v, 1, 2),
+                          *( (jnp.arange(sq, dtype=jnp.int32)[None, :] <
+                              lengths[:, None]).astype(jnp.int32),) * 2,
+                          causal=causal, sm_scale=sm_scale)
+        return jnp.swapaxes(o, 1, 2)
+    from .attention_lengths import flash_lengths_core
+    bq_, bk_ = _pick_blocks(sq, sq, block_q, block_k)
+    bq_ = min(bq_, _round_up(sq, 8))
+    bk_ = min(bk_, _round_up(sq, 8))
+    assert sq % bq_ == 0 and sq % bk_ == 0, (sq, bq_, bk_)
+    return flash_lengths_core(q, k, v, lengths.astype(jnp.int32), causal,
+                              sm_scale, bq_, bk_, interpret)
+
+
 def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, lengths=None,
                     causal=False, sm_scale=None, block_q=None, block_k=None,
                     force_xla=False, interpret=False):

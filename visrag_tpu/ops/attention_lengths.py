@@ -411,11 +411,16 @@ def _core_fwd(q, k, v, lengths, causal, sm_scale, block_q, block_k,
 def _bwd_block(s_padded: int, cap: int = 512) -> int:
     """Largest divisor of the (block-padded) seq len ≤ cap. The bwd kernels
     hold more VMEM residents (full k/v or full q + do + lse/delta) than the
-    fwd, so full-sequence fwd blocks OOM there — re-pick smaller tiles."""
+    fwd, so full-sequence fwd blocks OOM there — re-pick smaller tiles.
+    Falls back to the largest 8-multiple divisor for bucketed seq lens that
+    no 128-multiple divides (e.g. 1088 = 8*136)."""
     for b in (512, 384, 256, 128):
         if b <= cap and s_padded % b == 0:
             return b
-    return 128
+    for b in range(min(cap, s_padded), 7, -8):
+        if s_padded % b == 0:
+            return b
+    return s_padded
 
 
 def _core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):

@@ -19,15 +19,43 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
-from .slicing import MAX_PATCHES
+from .slicing import MAX_PATCHES, page_patch_need
 from .tokenize import (TokenizerLike, build_page_prompt, build_slot_map,
                        pad_batch, tokenize_prompt)
 from .transform import prepare_page
+
+# Per-batch patch-buffer rungs. The ladder bounds jit recompiles (each rung
+# compiles the encode step once per process) while reclaiming the pad tax of
+# the fixed 48:1-worst-case MAX_PATCHES buffer: typical A4/slide slices need
+# only ~1010-1035 patches, and S=1088 vs 1152 measured 30.3 vs 34.3 ms per
+# ViT block on v5e (attention is quadratic in S).
+PATCH_BUCKETS = (576, 704, 832, 960, 1088, MAX_PATCHES)
+
+
+def pick_patch_bucket(items, cfg: "PipelineConfig",
+                      buckets=PATCH_BUCKETS) -> int:
+    """Smallest ladder rung ≥ the largest patch count any slice in `items`
+    needs (pure geometry, no pixel work). Pass the result as cfg.max_patches."""
+    need = 1
+    for _t, im in items:
+        if im is None:
+            continue
+        need = max(need, page_patch_need(
+            im.size, cfg.max_slice_nums, cfg.scale_resolution, cfg.patch_size,
+            cfg.slice_mode))
+    for b in buckets:
+        if b >= need:
+            return b
+    return need  # beyond the ladder: exact (callers size buffers off this)
 
 
 @dataclasses.dataclass
 class PipelineConfig:
     seq_len: int = 2048
+    # round the token batch down from the seq_len cap to the batch's actual
+    # max length (64-multiple): page prompts are slice-count dependent
+    # (~(1+slices)·66 tokens) and the LM is ~25% padding at the fixed cap
+    seq_auto: bool = False
     query_num: int = 64
     max_slice_nums: int = 9
     scale_resolution: int = 448
@@ -98,13 +126,18 @@ def build_encode_batch(tok: TokenizerLike,
     grid_h = np.ones((n_slots,), np.int32)
     grid_w = np.ones((n_slots,), np.int32)
 
+    seq_len = cfg.seq_len
+    if cfg.seq_auto:
+        longest = max(len(ids) for ids, _ in prepped)
+        seq_len = min(cfg.seq_len, -(-longest // 64) * 64)
+
     id_list = []
     slot_maps = []
     offset = 0
     for ids, slices in prepped:
         id_list.append(ids)
         slot_maps.append(build_slot_map(
-            ids, cfg.seq_len, getattr(tok, "im_start_id"),
+            ids, seq_len, getattr(tok, "im_start_id"),
             getattr(tok, "im_end_id"), cfg.query_num, offset))
         for s in slices:
             if device_mode:
@@ -119,7 +152,7 @@ def build_encode_batch(tok: TokenizerLike,
             grid_w[offset] = s["grid_w"]
             offset += 1
 
-    input_ids, attention_mask = pad_batch(id_list, cfg.seq_len)
+    input_ids, attention_mask = pad_batch(id_list, seq_len)
     common = dict(input_ids=input_ids, attention_mask=attention_mask,
                   patch_mask=patch_mask, grid_h=grid_h, grid_w=grid_w,
                   slot_map=np.stack(slot_maps, axis=0))

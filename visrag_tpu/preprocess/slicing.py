@@ -119,3 +119,25 @@ def max_patches_bound(max_slice_nums: int = 9, scale_resolution: int = 448,
 # documented deviation from the reference that only affects >48:1 images.
 MAX_PATCHES = 1152
 MAX_ASPECT_RATIO = 48.0
+
+
+def page_patch_need(size: Size, max_slice_nums: int = 9,
+                    scale_resolution: int = 448, patch_size: int = 14,
+                    slice_mode: bool = True) -> int:
+    """Largest per-slice patch count this page will produce (after the
+    prepare_page aspect clamp). Pure geometry — used to pick a per-batch
+    patch-buffer bucket smaller than the 48:1 worst case MAX_PATCHES."""
+    w, h = size
+    ratio = w / h
+    if ratio > MAX_ASPECT_RATIO:
+        w = int(h * MAX_ASPECT_RATIO)
+    elif ratio < 1.0 / MAX_ASPECT_RATIO:
+        h = int(w * MAX_ASPECT_RATIO)
+    plan = plan_slices((w, h), max_slice_nums, scale_resolution, patch_size,
+                       never_split=not slice_mode)
+    sw, sh = plan.source_size
+    need = (sw // patch_size) * (sh // patch_size)
+    if plan.crop_boxes:
+        l, t, r, b = plan.crop_boxes[0]   # all grid cells share one size
+        need = max(need, ((r - l) // patch_size) * ((b - t) // patch_size))
+    return need
