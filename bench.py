@@ -50,11 +50,14 @@ def main():
         cfg = VisRAGRetConfig.tiny()
         seq_len, slice_slots = 128, 4
     else:
+        quant = os.environ.get("BENCH_QUANT", "none")  # "int8" opt-in
         cfg = VisRAGRetConfig(
             backbone=MiniCPMVConfig(
-                llm=MiniCPMConfig(dtype=jnp.bfloat16),
-                vit=SiglipViTConfig(dtype=jnp.bfloat16),
+                llm=MiniCPMConfig(dtype=jnp.bfloat16, quant=quant),
+                vit=SiglipViTConfig(dtype=jnp.bfloat16, quant=quant),
                 resampler=ResamplerConfig(dtype=jnp.bfloat16)))
+        if quant != "none":
+            log(f"quant mode: {quant} (ViT + LM)")
         # size the slice buffer to the actual slice count rounded to 8 —
         # fixed pages×10 slots wasted ~27% of the ViT on padded rows
         slice_slots = None

@@ -144,3 +144,23 @@ def test_flash_lengths_gradients(causal):
         am = a * mask
         bm = b_ * mask
         np.testing.assert_allclose(am, bm, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_xla_lengths_matches_reference(causal):
+    """xla_lengths_attention == mha_reference for right-padded batches,
+    including the lax.map batch-chunk path (b > batch_chunk). It is the
+    inference attention for the MiniCPM LM (attn_impl='auto')."""
+    from visrag_tpu.ops.attention import mha_reference, xla_lengths_attention
+    rng = np.random.default_rng(0)
+    b, s, h, d = 16, 40, 4, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+               for _ in range(3))
+    lengths = jnp.asarray(rng.integers(1, s + 1, size=(b,)), jnp.int32)
+    seg = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+    ref = mha_reference(q, k, v, seg, seg, causal=causal)
+    out = xla_lengths_attention(q, k, v, lengths, causal=causal,
+                                batch_chunk=8)
+    valid = np.asarray(seg, bool)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(out) * valid,
+                               np.asarray(ref) * valid, rtol=2e-5, atol=2e-5)

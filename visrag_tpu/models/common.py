@@ -67,6 +67,28 @@ class Dense(nn.Module):
         return y
 
 
+class QuantDense(nn.Module):
+    """Dense with the GEMM in int8 (w8a8) — same param tree as Dense
+    (torch-layout `weight` (out, in) + `bias`), quantization at apply time
+    (ops/quant.py). Inference-only: round() has zero gradient."""
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_dense
+        weight = self.param("weight", nn.initializers.lecun_normal(),
+                            (self.features_out, self.features_in),
+                            self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features_out,), self.param_dtype)
+                if self.use_bias else None)
+        return int8_dense(x, weight.T, bias, out_dtype=self.dtype)
+
+
 def rope_frequencies(head_dim: int, theta: float = 10000.0,
                      scaling: Optional[dict] = None,
                      max_positions: int = 4096) -> np.ndarray:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import flash_attention
-from .common import Dense, RMSNorm, apply_rope, rope_frequencies
+from .common import Dense, QuantDense, RMSNorm, apply_rope, rope_frequencies
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +43,15 @@ class MiniCPMConfig:
     is_causal: bool = True
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    # "int8": w8a8 projections + MLP (2x MXU rate; inference-only, opt-in —
+    # see ops/quant.py and SiglipViTConfig.quant)
+    quant: str = "none"
+    # "auto": XLA-fused attention for right-padded inference (measured
+    # 10.6 vs 13.5 ms/block at the encode shape B=16 S=576 d=64 — the
+    # kernel's d pad 64->128 + transposes lose at short causal seqs),
+    # flash kernel when remat (training) or packed (segment ids).
+    # "flash"/"xla" force.
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -64,10 +73,12 @@ class MiniCPMMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = Dense(c.hidden_size, c.intermediate_size, use_bias=False,
-                     dtype=c.dtype, name="gate_proj")(x)
-        up = Dense(c.hidden_size, c.intermediate_size, use_bias=False,
-                   dtype=c.dtype, name="up_proj")(x)
+        D = QuantDense if c.quant == "int8" else Dense
+        gate = D(c.hidden_size, c.intermediate_size, use_bias=False,
+                 dtype=c.dtype, name="gate_proj")(x)
+        up = D(c.hidden_size, c.intermediate_size, use_bias=False,
+               dtype=c.dtype, name="up_proj")(x)
+        # down stays bf16: large-K int8 + the silu*up quant pass is a wash
         return Dense(c.intermediate_size, c.hidden_size, use_bias=False,
                      dtype=c.dtype, name="down_proj")(nn.silu(gate) * up)
 
@@ -78,14 +89,15 @@ class MiniCPMAttention(nn.Module):
     def setup(self):
         c = self.cfg
         h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        self.q_proj = Dense(c.hidden_size, h * d, use_bias=False,
-                            dtype=c.dtype, name="q_proj")
-        self.k_proj = Dense(c.hidden_size, hk * d, use_bias=False,
-                            dtype=c.dtype, name="k_proj")
-        self.v_proj = Dense(c.hidden_size, hk * d, use_bias=False,
-                            dtype=c.dtype, name="v_proj")
-        self.o_proj = Dense(h * d, c.hidden_size, use_bias=False,
-                            dtype=c.dtype, name="o_proj")
+        D = QuantDense if c.quant == "int8" else Dense
+        self.q_proj = D(c.hidden_size, h * d, use_bias=False,
+                        dtype=c.dtype, name="q_proj")
+        self.k_proj = D(c.hidden_size, hk * d, use_bias=False,
+                        dtype=c.dtype, name="k_proj")
+        self.v_proj = D(c.hidden_size, hk * d, use_bias=False,
+                        dtype=c.dtype, name="v_proj")
+        self.o_proj = D(h * d, c.hidden_size, use_bias=False,
+                        dtype=c.dtype, name="o_proj")
 
     def _qkv(self, x, positions):
         c = self.cfg
@@ -104,7 +116,15 @@ class MiniCPMAttention(nn.Module):
         b, s, _ = x.shape
         q, k, v = self._qkv(x, positions)
         if lengths is not None:
-            o = flash_attention(q, k, v, lengths=lengths, causal=c.is_causal)
+            use_xla = c.attn_impl == "xla" or (c.attn_impl == "auto"
+                                               and not c.remat)
+            if use_xla and jax.default_backend() == "tpu":
+                from ..ops.attention import xla_lengths_attention
+                o = xla_lengths_attention(q, k, v, lengths,
+                                          causal=c.is_causal)
+            else:
+                o = flash_attention(q, k, v, lengths=lengths,
+                                    causal=c.is_causal)
         else:
             o = flash_attention(q, k, v, segment_ids, segment_ids,
                                 causal=c.is_causal)

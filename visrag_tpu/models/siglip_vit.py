@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..ops.attention import (flash_attention, flash_attention_hsd,
                              xla_lengths_attention)
 from ..ops.gelu import fast_gelu
-from .common import Dense, LayerNorm
+from .common import Dense, LayerNorm, QuantDense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +53,12 @@ class SiglipViTConfig:
     attn_impl: str = "auto"
     # padded lane width for the packed path
     head_pad: int = 128
+    # "int8": w8a8 GEMMs for qkv/fc1/fc2 (2x MXU rate on v5e; measured
+    # 300-363 TOP/s vs 150-192 TF/s). Inference-only, OFF by default —
+    # the bit-parity path is bf16 like the reference. proj stays bf16
+    # (its input is the attention output; the quant pass there costs more
+    # than the GEMM saves at (m, 2048)x(2048, 1152)).
+    quant: str = "none"
 
     @property
     def patch_dim(self) -> int:
@@ -74,11 +80,12 @@ class PackedQKV(nn.Module):
     head_dim: int
     head_pad: int
     dtype: Any
+    quant: bool = False
 
     @nn.compact
     def __call__(self, y):
         h, d, dp = self.heads, self.head_dim, self.head_pad
-        e = y.shape[-1]
+        n, p, e = y.shape
         weight = self.param("weight", nn.initializers.lecun_normal(),
                             (3 * e, e), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (3 * e,), jnp.float32)
@@ -87,8 +94,14 @@ class PackedQKV(nn.Module):
         if dp != d:
             wp = jnp.pad(wp, ((0, 0), (0, 0), (0, dp - d), (0, 0)))
             bp = jnp.pad(bp, ((0, 0), (0, 0), (0, dp - d)))
-        qkv = jnp.einsum("npe,thde->tnhpd", y.astype(self.dtype),
-                         wp.astype(self.dtype))
+        if self.quant:
+            from ..ops.quant import int8_dense
+            w2d = wp.transpose(3, 0, 1, 2).reshape(e, 3 * h * dp)
+            flat = int8_dense(y.reshape(n * p, e), w2d, out_dtype=self.dtype)
+            qkv = flat.reshape(n, p, 3, h, dp).transpose(2, 0, 3, 1, 4)
+        else:
+            qkv = jnp.einsum("npe,thde->tnhpd", y.astype(self.dtype),
+                             wp.astype(self.dtype))
         qkv = qkv + bp.astype(self.dtype)[:, None, :, None, :]
         return qkv[0], qkv[1], qkv[2]
 
@@ -139,9 +152,14 @@ class ViTBlock(nn.Module):
                       name="attn_proj")(o.reshape(n, p, e))
         x = x + o
         y = LayerNorm(e, c.ln_eps, c.dtype, name="norm2")(x)
-        y = Dense(e, c.mlp_dim, use_bias=True, dtype=c.dtype, name="mlp_fc1")(y)
+        # int8 covers qkv + fc1 only: fc2's large-K kernel (202 TOP/s) plus
+        # the gelu-output quant pass measured a wash vs the bf16 GEMM, so
+        # bf16 keeps the accuracy for free; proj likewise stays bf16.
+        C1 = QuantDense if c.quant == "int8" else Dense
+        y = C1(e, c.mlp_dim, use_bias=True, dtype=c.dtype, name="mlp_fc1")(y)
         y = fast_gelu(y)
-        y = Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype, name="mlp_fc2")(y)
+        y = Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype,
+                  name="mlp_fc2")(y)
         return x + y
 
     def _packed_attention(self, y, lengths, h, d):
@@ -153,7 +171,8 @@ class ViTBlock(nn.Module):
         rows — so training leaves the pad lanes at exactly zero)."""
         c = self.cfg
         dp = max(c.head_pad, d) if c.head_pad else d
-        q, k, v = PackedQKV(h, d, dp, c.dtype, name="attn_qkv")(y)
+        q, k, v = PackedQKV(h, d, dp, c.dtype, quant=c.quant == "int8",
+                            name="attn_qkv")(y)
         o = flash_attention_hsd(q, k, v, lengths, causal=False,
                                 sm_scale=1.0 / (d ** 0.5))
         return PackedProj(h, d, dp, c.dtype, name="attn_proj")(o)
