@@ -43,11 +43,13 @@ def test_decode_matches_full_forward(tiny_model):
 
     layers = k.shape[0]
     max_len = 16
-    kc = np.zeros((layers, 1, max_len) + k.shape[3:], np.float32)
-    vc = np.zeros_like(kc)
-    kc[:, :, :5] = np.asarray(k)
-    vc[:, :, :5] = np.asarray(v)
-    kc, vc = jnp.asarray(kc), jnp.asarray(vc)
+    kc0 = np.zeros((layers, 1, max_len) + k.shape[3:], np.float32)
+    vc0 = np.zeros_like(kc0)
+    kc0[:, :, :5] = np.asarray(k)
+    vc0[:, :, :5] = np.asarray(v)
+    # caches are per-layer tuples (see paged_kv.pool_shape)
+    kc = tuple(jnp.asarray(kc0[i]) for i in range(layers))
+    vc = tuple(jnp.asarray(vc0[i]) for i in range(layers))
     length = 5
     for t in range(5, 8):
         tok = ids[:, t:t + 1]
@@ -197,15 +199,17 @@ def test_paged_decode_attention_matches_dense():
     lengths = jnp.asarray([5, 300, 512], jnp.int32)
     want = decode_attention(q, dense_k, dense_v, lengths)
 
-    # scatter the dense cache into a shuffled block pool
+    # scatter the dense cache into a shuffled block pool (head-major blocks)
     perm = rng.permutation(slots * mb)
     table = np.asarray(perm).reshape(slots, mb).astype(np.int32)
-    k_pool = np.zeros((slots * mb, bs, kvh, d), np.float32)
+    k_pool = np.zeros((slots * mb, kvh, bs, d), np.float32)
     v_pool = np.zeros_like(k_pool)
     for s in range(slots):
         for j in range(mb):
-            k_pool[table[s, j]] = np.asarray(dense_k)[s, j * bs:(j + 1) * bs]
-            v_pool[table[s, j]] = np.asarray(dense_v)[s, j * bs:(j + 1) * bs]
+            k_pool[table[s, j]] = np.asarray(dense_k)[
+                s, j * bs:(j + 1) * bs].transpose(1, 0, 2)
+            v_pool[table[s, j]] = np.asarray(dense_v)[
+                s, j * bs:(j + 1) * bs].transpose(1, 0, 2)
     got_xla = paged_decode_attention(q, jnp.asarray(k_pool),
                                      jnp.asarray(v_pool),
                                      jnp.asarray(table), lengths)

@@ -1,0 +1,258 @@
+"""Secondary TPU benchmarks: training step, serving decode, RL update.
+
+Counterparts to the reference's measured tables (BASELINE.md: RL throughput
+tok/s/GPU, sec/step, MFU — src/rsgrpo/assets/baselines.md) so the TPU build's
+training/serving story is numbers, not vibes. Each mode prints ONE JSON line
+(same contract as bench.py, different metrics).
+
+  python tools/bench_suite.py train   # contrastive retriever step (remat)
+  python tools/bench_suite.py serve   # engine decode tok/s (paged KV)
+  python tools/bench_suite.py rl      # RS-GRPO packed PPO update tok/s
+
+Single-chip sizes: the flagship retriever at full 40-layer depth does not
+fit one v5e's 16 GB with AdamW state (the reference trains it on 8 GPUs
+with ZeRO-2 + gradient checkpointing) — `train` uses the full-width model
+at LM depth 8 and reports MFU, which is the transferable quantity.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.config import TrainConfig
+    from visrag_tpu.models.minicpm import MiniCPMConfig
+    from visrag_tpu.models.minicpmv import MiniCPMVConfig
+    from visrag_tpu.models.resampler import ResamplerConfig
+    from visrag_tpu.models.siglip_vit import SiglipViTConfig
+    from visrag_tpu.models.visrag_ret import VisRAGRet, VisRAGRetConfig
+    from visrag_tpu.training.trainer import RetrieverTrainer
+    from visrag_tpu.preprocess.pipeline import PipelineConfig, build_encode_batch
+    from visrag_tpu.preprocess.tokenize import MockTokenizer
+    from PIL import Image
+
+    lm_layers = int(os.environ.get("BENCH_TRAIN_LM_LAYERS", 8))
+    pages = int(os.environ.get("BENCH_TRAIN_PAGES", 4))
+    cfg = VisRAGRetConfig(backbone=MiniCPMVConfig(
+        llm=MiniCPMConfig(dtype=jnp.bfloat16, remat=True,
+                          num_hidden_layers=lm_layers, is_causal=False),
+        vit=SiglipViTConfig(dtype=jnp.bfloat16, remat=True),
+        resampler=ResamplerConfig(dtype=jnp.bfloat16)))
+    model = VisRAGRet(cfg)
+    pcfg = PipelineConfig(seq_len=576, query_num=cfg.backbone.query_num,
+                          patch_size=14, src_grid=27, scale_resolution=448,
+                          max_patches=1088)
+    rng = np.random.default_rng(0)
+    tok = MockTokenizer()
+    mkpage = lambda w, h: ("what does the chart say",
+                           Image.fromarray(rng.integers(
+                               0, 255, size=(h, w, 3), dtype=np.uint8)))
+    p_pages = [mkpage(826, 1169) for _ in range(pages)]
+    q_pages = [("Represent this query: what does the chart say", None)
+               for _ in range(pages)]
+    slots = -(-sum(1 + 6 for _ in p_pages) // 8) * 8  # A4 -> 1+6 slices
+    pb = build_encode_batch(tok, p_pages, pcfg, n_slice_slots=slots)
+    qb = build_encode_batch(tok, q_pages, pcfg, n_slice_slots=8)
+    pb = {k: jnp.asarray(v) for k, v in pb.items()}
+    qb = {k: jnp.asarray(v) for k, v in qb.items()}
+    n_slices = int(np.asarray(pb["patch_mask"]).any(axis=1).sum())
+
+    from visrag_tpu.models.visrag_ret import EncodeBatch
+    def encode(p, batch, rng):
+        del rng
+        return model.apply({"params": p}, EncodeBatch(**batch))
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), EncodeBatch(**pb))
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)["params"]
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params, "
+        f"{pages} pages ({n_slices} slices) + {pages} queries")
+
+    tcfg = TrainConfig(lr=1e-5, softmax_temperature=0.02, n_passages=1,
+                       log_every=1)
+    trainer = RetrieverTrainer(encode, params, tcfg, mesh=None, total_steps=64)
+    t0 = time.time()
+    trainer.train([(qb, pb)])  # compile + step 1
+    log(f"compile+first step {time.time()-t0:.0f}s")
+    iters = 6
+    t0 = time.time()
+    hist = trainer.train([(qb, pb)] * iters)
+    # force completion
+    _ = jax.tree_util.tree_leaves(trainer.params)[0].block_until_ready()
+    _ = float(np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])[0, 0])
+    dt = (time.time() - t0) / iters
+    # analytic fwd flops (dense + attention), bwd = 2x fwd, remat adds ~1 fwd
+    seq = qb["input_ids"].shape[1]
+    maxp = pb["patch_mask"].shape[1]
+    lm_params_dense = 2.4e9 * lm_layers / 40
+    fwd = (2 * lm_params_dense * 2 * pages * seq
+           + 4 * 2 * pages * seq ** 2 * 2304 * lm_layers / 2
+           + 2 * 0.43e9 * n_slices * maxp
+           + 4 * n_slices * maxp ** 2 * 1152 * 26)
+    flops = 4 * fwd  # fwd + bwd(2x) + remat recompute (~1x)
+    mfu = flops / dt / 197e12
+    tokens = pages * (seq + 0)  # query+passage token pairs per step
+    log(f"step {dt*1e3:.0f} ms, loss {hist[-1][1]['loss']:.4f}")
+    print(json.dumps({
+        "metric": "retriever_train_step",
+        "value": round(mfu * 100, 1), "unit": "% MFU (4x-fwd analytic)",
+        "detail": {"ms_per_step": round(dt * 1e3, 1), "pages": pages,
+                   "slices": n_slices, "lm_layers": lm_layers},
+    }))
+
+
+def bench_serve():
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.minicpm import MiniCPMConfig
+    from visrag_tpu.models.minicpmv import MiniCPMVForGeneration, MiniCPMVConfig
+    from visrag_tpu.models.resampler import ResamplerConfig
+    from visrag_tpu.models.siglip_vit import SiglipViTConfig
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    from visrag_tpu.models.minicpmv import MiniCPMVGenConfig
+
+    layers = int(os.environ.get("BENCH_SERVE_LAYERS", 12))
+    slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
+    new_tokens = int(os.environ.get("BENCH_SERVE_NEW", 256))
+    cfg = MiniCPMVGenConfig(backbone=MiniCPMVConfig(
+        llm=MiniCPMConfig(num_hidden_layers=layers, hidden_size=2048,
+                          intermediate_size=5504, num_attention_heads=32,
+                          num_key_value_heads=32, vocab_size=32064,
+                          dtype=jnp.bfloat16),
+        vit=SiglipViTConfig.tiny(dtype=jnp.bfloat16),
+        resampler=ResamplerConfig(embed_dim=2048, num_queries=64, kv_dim=32,
+                                  num_heads=16, dtype=jnp.bfloat16)))
+    model = MiniCPMVForGeneration(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 30000, size=(1, 100)), "int32")
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)  # text-only
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    engine = Engine(model, params, num_slots=slots, max_len=2048,
+                    prompt_buckets=(128,), eos_token_ids=(),
+                    decode_chunk=32)
+    prompts = [dict(input_ids=rng.integers(1, 30000, size=(100,))
+                    .astype(np.int32)) for _ in range(slots)]
+    sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
+    t0 = time.time()
+    engine.generate(prompts, sampling=sp)           # warm: compile everything
+    log(f"compile+first batch {time.time()-t0:.0f}s")
+    engine2_t0 = time.time()
+    outs = engine.generate([dict(input_ids=p["input_ids"]) for p in prompts],
+                           sampling=sp)
+    dt = time.time() - engine2_t0
+    total = sum(len(o) for o in outs)
+    log(f"{total} tokens in {dt:.2f}s")
+    print(json.dumps({
+        "metric": "serving_decode_throughput",
+        "value": round(total / dt, 1), "unit": "tok/s/chip",
+        "detail": {"layers": layers, "slots": slots,
+                   "params_b": round(float(n_params) / 1e9, 2),
+                   "new_tokens": new_tokens},
+    }))
+
+
+def bench_rl():
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    layers = int(os.environ.get("BENCH_RL_LAYERS", 12))
+    resp_len = int(os.environ.get("BENCH_RL_RESP", 512))
+    bsz = int(os.environ.get("BENCH_RL_BATCH", 16))
+    from visrag_tpu.models.qwen25_vl import QwenTextConfig
+    tcfg = QwenTextConfig(num_hidden_layers=layers, intermediate_size=5504,
+                          num_key_value_heads=4, vocab_size=32064,
+                          dtype=jnp.bfloat16, remat=True)
+    qcfg = dc.replace(Qwen25VLConfig.tiny(), text=tcfg)
+    model = Qwen25VL(qcfg)
+    rng = np.random.default_rng(0)
+    dummy = jnp.asarray(rng.integers(1, 30000, size=(1, 8)), "int32")
+    pos = jnp.broadcast_to(jnp.arange(8), (3, 1, 8)).astype("int32")
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, positions=pos)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=1, max_response_length=resp_len),
+        trainer=dc.replace(cfg.trainer, global_batch_size=bsz),
+        actor=dc.replace(cfg.actor, ppo_epochs=1,
+                         micro_batch_tokens=8 * (100 + resp_len)))
+    trainer = RLTrainer(model, params, cfg,
+                        tokenizer_decode=lambda ids: "<answer>x</answer>",
+                        tag_token_ids={"<think>": [50], "<evidence>": [51],
+                                       "<answer>": [52]},
+                        engine_kwargs=dict(num_slots=4, max_len=1024,
+                                           prompt_buckets=(128,)))
+    # synthetic rollout batch: prompt 100 + response resp_len per row
+    plen, rlen = 100, resp_len
+    T = plen + rlen
+    batch = {
+        "input_ids": rng.integers(1, 30000, size=(bsz, T)).astype(np.int32),
+        "attention_mask": np.ones((bsz, T), np.int32),
+        "response_mask": np.concatenate(
+            [np.zeros((bsz, plen), np.int32),
+             np.ones((bsz, rlen), np.int32)], axis=1),
+        "positions": np.broadcast_to(np.arange(T, dtype=np.int32),
+                                     (3, bsz, T)).copy(),
+        "old_log_probs": (rng.normal(size=(bsz, T)) * 0.1 - 2).astype(
+            np.float32),
+        "advantages": rng.normal(size=(bsz, 6)).astype(np.float32),
+        "reward_masks": np.broadcast_to(
+            np.concatenate([np.zeros((bsz, 1, plen), np.int32),
+                            np.ones((bsz, 1, rlen), np.int32)], axis=2),
+            (bsz, 6, T)).copy(),
+        "uid": np.arange(bsz),
+    }
+    t0 = time.time()
+    trainer.update_policy(dict(batch))
+    log(f"compile+first update {time.time()-t0:.0f}s")
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters):
+        m = trainer.update_policy(dict(batch))
+    dt = (time.time() - t0) / iters
+    toks = bsz * T
+    log(f"update {dt*1e3:.0f} ms for {toks} tokens; metrics {m}")
+    print(json.dumps({
+        "metric": "rl_update_throughput",
+        "value": round(toks / dt, 1), "unit": "tok/s/chip",
+        "detail": {"layers": layers, "params_b": round(float(n_params)/1e9, 2),
+                   "batch": bsz, "seq": T, "ms_per_update": round(dt*1e3, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
+    {"train": bench_train, "serve": bench_serve, "rl": bench_rl}[mode]()

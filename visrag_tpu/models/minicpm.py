@@ -131,33 +131,26 @@ class MiniCPMAttention(nn.Module):
         out = self.o_proj(o.reshape(b, s, -1))
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl,
-               block_table=None):
-        """One-token step writing THROUGH the full cache stack — dense
-        (layers, B, L, kvh, d) or paged pools when block_table is given
-        (see qwen25_vl.QwenAttention.decode)."""
+    def decode(self, x, positions, kc, vc, lengths_incl, block_table=None):
+        """One-token step on THIS layer's cache arrays — dense (B, L, kvh, d)
+        or a paged per-layer pool when block_table is given (see
+        qwen25_vl.QwenAttention.decode)."""
         b = x.shape[0]
         q, k, v = self._qkv(x, positions)
         pos = lengths_incl - 1
         if block_table is None:
             from ..serving.kv_cache import decode_attention
-            k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
-                k[:, 0].astype(k_cache.dtype))
-            v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
-                v[:, 0].astype(v_cache.dtype))
-            o = decode_attention(q[:, 0], k_cache[layer_idx],
-                                 v_cache[layer_idx], lengths_incl)
+            kc = kc.at[jnp.arange(b), pos].set(k[:, 0].astype(kc.dtype))
+            vc = vc.at[jnp.arange(b), pos].set(v[:, 0].astype(vc.dtype))
+            o = decode_attention(q[:, 0], kc, vc, lengths_incl)
         else:
             from ..serving.paged_kv import (paged_decode_attention,
                                             write_token)
-            k_cache = write_token(k_cache, layer_idx, block_table, pos,
-                                  k[:, 0])
-            v_cache = write_token(v_cache, layer_idx, block_table, pos,
-                                  v[:, 0])
-            o = paged_decode_attention(q[:, 0], k_cache[layer_idx],
-                                       v_cache[layer_idx], block_table,
+            kc = write_token(kc, block_table, pos, k[:, 0])
+            vc = write_token(vc, block_table, pos, v[:, 0])
+            o = paged_decode_attention(q[:, 0], kc, vc, block_table,
                                        lengths_incl)
-        return (self.o_proj(o[:, None].reshape(b, 1, -1)), k_cache, v_cache)
+        return (self.o_proj(o[:, None].reshape(b, 1, -1)), kc, vc)
 
 
 class MiniCPMBlock(nn.Module):
@@ -185,14 +178,13 @@ class MiniCPMBlock(nn.Module):
         out = x + m * self.depth_scale
         return (out, kv) if return_kv else out
 
-    def decode(self, x, positions, k_cache, v_cache, layer_idx, lengths_incl,
-               block_table=None):
-        a, k_cache, v_cache = self.self_attn.decode(
-            self.input_layernorm(x), positions, k_cache, v_cache, layer_idx,
-            lengths_incl, block_table)
+    def decode(self, x, positions, kc, vc, lengths_incl, block_table=None):
+        a, kc, vc = self.self_attn.decode(
+            self.input_layernorm(x), positions, kc, vc, lengths_incl,
+            block_table)
         x = x + a * self.depth_scale
         m = self.mlp(self.post_attention_layernorm(x))
-        return x + m * self.depth_scale, k_cache, v_cache
+        return x + m * self.depth_scale, kc, vc
 
 
 class MiniCPMModel(nn.Module):
@@ -243,14 +235,15 @@ class MiniCPMModel(nn.Module):
 
     def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl,
                block_table=None):
-        """One decode step; returns (hidden, k_cache, v_cache) with this
-        token's K/V written at lengths_incl-1 (donate the caches)."""
+        """One decode step; k_cache/v_cache are TUPLES of per-layer arrays.
+        Returns (hidden, k_cache, v_cache) with this token's K/V written at
+        lengths_incl-1 (donate the caches)."""
         x = inputs_embeds.astype(self.cfg.dtype)
+        kcs, vcs = list(k_cache), list(v_cache)
         for i, layer in enumerate(self.layers):
-            x, k_cache, v_cache = layer.decode(x, positions, k_cache,
-                                               v_cache, i, lengths_incl,
-                                               block_table)
-        return self.norm(x), k_cache, v_cache
+            x, kcs[i], vcs[i] = layer.decode(x, positions, kcs[i], vcs[i],
+                                             lengths_incl, block_table)
+        return self.norm(x), tuple(kcs), tuple(vcs)
 
     def embed_only(self, input_ids):
         """Token embeddings * scale_emb (for vision scatter composition)."""

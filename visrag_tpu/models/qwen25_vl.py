@@ -255,37 +255,30 @@ class QwenTextBlock(nn.Module):
         out = self._mlp_residual(x, o)
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, cos, sin, k_cache, v_cache, layer_idx, lengths_incl,
-               block_table=None):
+    def decode(self, x, cos, sin, kc, vc, lengths_incl, block_table=None):
         """x (B, 1, E); lengths_incl counts INCLUDING this step's token.
-        k_cache/v_cache: dense (layers, B, L_max, kvh, d) stacks when
-        block_table is None, else paged pools (layers, n_blocks, bs, kvh, d)
-        indexed by block_table (B, max_blk). Writes this token's K/V at
-        lengths_incl-1 (in-place scatter on a donated buffer under jit) and
-        returns (out, k_cache, v_cache)."""
+        kc/vc: THIS layer's cache — dense (B, L_max, kvh, d) when block_table
+        is None, else a paged per-layer pool (n_blocks, kvh, bs, d) indexed
+        by block_table (B, max_blk). Per-layer arrays (not a layer-stacked
+        slab) keep XLA's scatter in-place under donation. Writes this token's
+        K/V at lengths_incl-1 and returns (out, kc, vc)."""
         q, k, v = self._qkv(x, cos, sin)
         b = x.shape[0]
         pos = lengths_incl - 1
         if block_table is None:
             from ..serving.kv_cache import decode_attention
-            k_cache = k_cache.at[layer_idx, jnp.arange(b), pos].set(
-                k[:, 0].astype(k_cache.dtype))
-            v_cache = v_cache.at[layer_idx, jnp.arange(b), pos].set(
-                v[:, 0].astype(v_cache.dtype))
-            o = decode_attention(q[:, 0], k_cache[layer_idx],
-                                 v_cache[layer_idx], lengths_incl)
+            kc = kc.at[jnp.arange(b), pos].set(k[:, 0].astype(kc.dtype))
+            vc = vc.at[jnp.arange(b), pos].set(v[:, 0].astype(vc.dtype))
+            o = decode_attention(q[:, 0], kc, vc, lengths_incl)
         else:
             from ..serving.paged_kv import (paged_decode_attention,
                                             write_token)
-            k_cache = write_token(k_cache, layer_idx, block_table, pos,
-                                  k[:, 0])
-            v_cache = write_token(v_cache, layer_idx, block_table, pos,
-                                  v[:, 0])
-            o = paged_decode_attention(q[:, 0], k_cache[layer_idx],
-                                       v_cache[layer_idx], block_table,
+            kc = write_token(kc, block_table, pos, k[:, 0])
+            vc = write_token(vc, block_table, pos, v[:, 0])
+            o = paged_decode_attention(q[:, 0], kc, vc, block_table,
                                        lengths_incl)
         out = self._mlp_residual(x, o[:, None])
-        return out, k_cache, v_cache
+        return out, kc, vc
 
 
 class QwenTextModel(nn.Module):
@@ -345,15 +338,17 @@ class QwenTextModel(nn.Module):
     def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl,
                block_table=None):
         """One decode step. inputs_embeds (B, 1, E); positions (3, B, 1);
-        k_cache/v_cache dense stacks or paged pools (see QwenAttention.decode),
-        donated. Returns (hidden (B,1,E), k_cache, v_cache)."""
+        k_cache/v_cache are TUPLES of per-layer dense stacks or paged pools
+        (see QwenAttention.decode), donated. Returns
+        (hidden (B,1,E), k_cache, v_cache)."""
         b = inputs_embeds.shape[0]
         cos, sin = self._cos_sin(positions, b, 1)
         x = inputs_embeds.astype(self.cfg.dtype)
+        kcs, vcs = list(k_cache), list(v_cache)
         for i, layer in enumerate(self.layers):
-            x, k_cache, v_cache = layer.decode(x, cos, sin, k_cache, v_cache,
-                                               i, lengths_incl, block_table)
-        return self.norm(x), k_cache, v_cache
+            x, kcs[i], vcs[i] = layer.decode(x, cos, sin, kcs[i], vcs[i],
+                                             lengths_incl, block_table)
+        return self.norm(x), tuple(kcs), tuple(vcs)
 
 
 class QwenForValue(nn.Module):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import DEFAULT_MASK_VALUE, NUM_LANES
+from .attention import DEFAULT_MASK_VALUE, NUM_LANES, NUM_SUBLANES
 
 
 def _row_ids(bq, bk, i):
@@ -36,9 +36,13 @@ def _col_ids(bq, bk, j):
     return j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
 
 
-def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                     acc_ref, m_ref, l_ref, *, sm_scale: float, causal: bool,
-                     block_q: int, block_k: int):
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
+
+def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
+                     sm_scale: float, causal: bool,
+                     block_q: int, block_k: int, with_lse: bool):
     """Forward kernel with the kv loop as a GRID dimension.
 
     The original kernel looped kv blocks with an in-kernel fori_loop over
@@ -47,7 +51,24 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     grid-level kv iteration (DMA of block j+1 overlaps compute of block j).
     Running softmax state lives in VMEM scratch across the kv grid steps;
     bf16 operands feed the MXU directly with fp32 accumulation.
+
+    VPU economy (the kernel is VPU-bound at the ViT shapes — every pass over
+    the (bq, bk) score tile costs ~2 ms/layer at (116, 16, 1088, 128)):
+      * sm_scale·log2(e) is folded into the (bq, d) q tile, not the score
+        tile, and the softmax runs in base 2 (exp2 skips exp's internal
+        rescale multiply);
+      * the length mask is a precomputed per-column BIAS row (0 / -LARGE)
+        added in one pass — not iota+compare+select (3 passes) — and only on
+        boundary blocks;
+      * `with_lse=False` (inference) skips writing the (B, H, S, 128) fp32
+        log-sum-exp output entirely (~1 GB of dead HBM writes per ViT layer
+        at the encode shape).
     """
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        lse_ref = None
+        acc_ref, m_ref, l_ref = rest
     bq, d = q_ref.shape[2], q_ref.shape[3]
     b = pl.program_id(0)
     i = pl.program_id(2)
@@ -68,12 +89,13 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(needs_work)
     def _step():
-        q = q_ref[0, 0, :, :]                      # bf16 → MXU native
+        # scale on the (bq, d) q tile — 1/bk of the score-tile cost
+        q = (q_ref[0, 0, :, :].astype(jnp.float32)
+             * (sm_scale * LOG2E)).astype(q_ref.dtype)
         kb = k_ref[0, 0, :, :]
         vb = v_ref[0, 0, :, :]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * sm_scale
 
         boundary = (j + 1) * block_k > length
         if causal:
@@ -83,20 +105,20 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             needs_mask = boundary
 
         def masked(s):
-            allow = _col_ids(bq, block_k, j) < length
+            s = s + bias_ref[0, 0:1, :]
             if causal:
-                allow = jnp.logical_and(
-                    allow,
-                    _row_ids(bq, block_k, i) >= _col_ids(bq, block_k, j))
-            return jnp.where(allow, s, DEFAULT_MASK_VALUE)
+                allow = (_row_ids(bq, block_k, i)
+                         >= _col_ids(bq, block_k, j))
+                s = jnp.where(allow, s, DEFAULT_MASK_VALUE)
+            return s
 
         s = jax.lax.cond(needs_mask, masked, lambda s: s, s)
         m_prev = m_ref[:, 0:1]
         l_prev = l_ref[:, 0:1]
         m_blk = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_blk)
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m_prev - m_new)
         l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
             p.astype(v_ref.dtype), vb, (((1,), (0,)), ((), ())),
@@ -110,67 +132,15 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_ref[:, 0:1]
         l_safe = jnp.maximum(l, 1e-30)
         o_ref[0, 0, :, :] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        # padded-row sentinel: see _fwd_kernel's comment
-        lse = jnp.where(l > 0.0, m + jnp.log(l_safe), -DEFAULT_MASK_VALUE)
-        lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
-
-
-def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                sm_scale: float, causal: bool, block_k: int, seq_k: int):
-    bq, d = q_ref.shape[2], q_ref.shape[3]
-    b = pl.program_id(0)
-    i = pl.program_id(2)
-    length = len_ref[b]
-
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
-    num_k = pl.cdiv(length, block_k)
-    if causal:
-        last_q = (i + 1) * bq - 1
-        num_k = jnp.minimum(num_k, (last_q // block_k) + 1)
-
-    def body(j, carry):
-        acc, m, l = carry
-        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-        boundary = (j + 1) * block_k > length
-        if causal:
-            crosses = (j + 1) * block_k - 1 > i * bq
-            needs = jnp.logical_or(boundary, crosses)
-        else:
-            needs = boundary
-
-        def masked(s):
-            allow = _col_ids(bq, block_k, j) < length
-            if causal:
-                allow = jnp.logical_and(
-                    allow, _row_ids(bq, block_k, i) >= _col_ids(bq, block_k, j))
-            return jnp.where(allow, s, DEFAULT_MASK_VALUE)
-
-        s = jax.lax.cond(needs, masked, lambda s: s, s)
-        m_blk = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m, m_blk)
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * corr + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
-
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), DEFAULT_MASK_VALUE, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
-
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
-    # fully-masked (padded) rows get a +LARGE sentinel so the backward pass's
-    # exp(s - lse) underflows to exactly 0 — a -LARGE sentinel would overflow
-    # to inf on the unmasked fast path and poison parameter grads.
-    lse = jnp.where(l > 0.0, m + jnp.log(l_safe), -DEFAULT_MASK_VALUE)
-    lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
+        if with_lse:
+            # natural-log lse (bwd uses exp): m is base-2 → rescale by
+            # ln 2. Fully-masked (padded) rows get a +LARGE sentinel so the
+            # backward pass's exp(s - lse) underflows to exactly 0 — a -LARGE
+            # sentinel would overflow to inf on the unmasked fast path and
+            # poison parameter grads.
+            lse = jnp.where(l > 0.0, m * LN2 + jnp.log(l_safe),
+                            -DEFAULT_MASK_VALUE)
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
 
 
 def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -286,10 +256,29 @@ def _specs_qkv(block_q, sk, d):
     ]
 
 
+def _length_bias(lengths, sk):
+    """(B, NUM_SUBLANES, Sk) fp32 additive mask row: 0 on valid columns,
+    -LARGE past each batch row's length (sublane-broadcast for tiling)."""
+    cols = jnp.arange(sk, dtype=jnp.int32)[None, :]
+    bias = jnp.where(cols < lengths[:, None], 0.0, DEFAULT_MASK_VALUE)
+    return jnp.broadcast_to(bias[:, None, :].astype(jnp.float32),
+                            (lengths.shape[0], NUM_SUBLANES, sk))
+
+
 def flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q, block_k,
-                      interpret=False):
+                      interpret=False, need_lse=True):
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if need_lse:
+        out_specs.append(pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                                      lambda b_, h_, i, j, *_: (b_, h_, i, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h, sq // block_q, sk // block_k),
@@ -300,33 +289,29 @@ def flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q, block_k,
                          lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
+            pl.BlockSpec((1, NUM_SUBLANES, block_k),
+                         lambda b_, h_, i, j, *_: (b_, 0, j)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
         ],
     )
-    o, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel_grid, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, with_lse=need_lse),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(lengths, q, k, v)
-    return o, lse
+    )(lengths, q, k, v, _length_bias(lengths, sk))
+    if need_lse:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
 def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
@@ -396,8 +381,9 @@ def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flash_lengths_core(q, k, v, lengths, causal, sm_scale, block_q, block_k,
                        interpret=False):
+    # primal (inference) path: skip the lse output entirely
     o, _ = flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q,
-                             block_k, interpret)
+                             block_k, interpret, need_lse=False)
     return o
 
 

@@ -84,10 +84,13 @@ class Engine:
         self.block_size = bs
         self.max_blocks = max_len // bs
         n_blocks = (cache_blocks or num_slots * self.max_blocks) + 1
-        self.k_cache = jnp.zeros((tc.num_hidden_layers, n_blocks, bs,
-                                  tc.num_key_value_heads, tc.head_dim),
-                                 cache_dtype)
-        self.v_cache = jnp.zeros_like(self.k_cache)
+        from .paged_kv import pool_shape
+        shape = pool_shape(n_blocks, bs, tc.num_key_value_heads, tc.head_dim)
+        # per-layer tuples (see paged_kv.pool_shape: aliasing/in-place writes)
+        self.k_cache = tuple(jnp.zeros(shape, cache_dtype)
+                             for _ in range(tc.num_hidden_layers))
+        self.v_cache = tuple(jnp.zeros(shape, cache_dtype)
+                             for _ in range(tc.num_hidden_layers))
         self.allocator = BlockAllocator(n_blocks)
         # idle slots write into a dedicated scratch block (never read) so
         # they can't scribble over another request's allocation
@@ -212,6 +215,7 @@ class Engine:
             self.allocator.release(self.slot_blocks[slot])
             self.slot_blocks[slot] = []
             self.table[slot] = self.null_block
+            self.lengths[slot] = 0
         return tok
 
     # ---- decode --------------------------------------------------------
@@ -266,9 +270,19 @@ class Engine:
 
     def _decode_chunk(self, rng):
         B = self.num_slots
+        # Length-bucketed block table: the paged kernel's grid (and the
+        # per-layer operand slices) scale with the table's column count, so
+        # pass only the columns live sequences can touch this chunk, rounded
+        # to a power of two (one compiled program per rung). Freed slots
+        # zero their lengths so stale values can't inflate the bucket.
+        need = int(self.lengths.max()) + self.chunk + 1
+        mbk = 1
+        while mbk * self.block_size < need and mbk < self.max_blocks:
+            mbk *= 2
+        mbk = min(mbk, self.max_blocks)
         self.k_cache, self.v_cache, self.seen, packed = self._chunk_jit(
             self.params, self.k_cache, self.v_cache, self.seen,
-            jnp.asarray(self.table),
+            jnp.asarray(self.table[:, :mbk]),
             jnp.asarray(self.lengths), jnp.asarray(self.last_tok),
             jnp.asarray(self.cur_pos), jnp.asarray(self.active),
             jnp.asarray(self.gen_left), jnp.asarray(self.temp),
@@ -296,6 +310,7 @@ class Engine:
                 self.allocator.release(self.slot_blocks[i])
                 self.slot_blocks[i] = []
                 self.table[i] = self.null_block
+                self.lengths[i] = 0    # keep the table bucket tight
         self.active = new_active & np.asarray(
             [r is not None for r in self.slot_req])
 
