@@ -146,6 +146,27 @@ def test_flash_lengths_gradients(causal):
         np.testing.assert_allclose(am, bm, rtol=5e-3, atol=5e-3)
 
 
+def test_flash_flat_matches_reference():
+    """Flat fused-qkv layout kernel == reference (interpret mode): reads
+    q/k/v panels out of one (N*S, 3*H*D) array, writes (N*S, H*D)."""
+    from visrag_tpu.ops.attention import flash_attention_flat
+    key = jax.random.PRNGKey(11)
+    n, s, h, d = 3, 256, 2, 128
+    qkv = _rand(key, (n * s, 3 * h * d))
+    lengths = jnp.array([256, 130, 77], jnp.int32)
+    parts = qkv.reshape(n, s, 3, h, d)
+    seg = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+    ref = mha_reference(parts[:, :, 0], parts[:, :, 1], parts[:, :, 2],
+                        seg, seg, causal=False, sm_scale=1.0 / 8.0)
+    out = flash_attention_flat(qkv, lengths, n=n, seq=s, heads=h, head_dim=d,
+                               sm_scale=1.0 / 8.0, interpret=True,
+                               block_q=128, block_k=128)
+    out = out.reshape(n, s, h, d)
+    valid = np.asarray(seg).astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_xla_lengths_matches_reference(causal):
     """xla_lengths_attention == mha_reference for right-padded batches,

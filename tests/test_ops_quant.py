@@ -73,6 +73,44 @@ def test_vit_block_int8_cosine():
     assert cos > 0.995, cos
 
 
+def test_vit_block_flat_matches_packed():
+    """attn_impl='flat' (fused-qkv flat layout, transpose-free) == the
+    packed path on identical params, bf16-free fp32 math."""
+    import dataclasses
+    from visrag_tpu.models.siglip_vit import SiglipViTConfig, ViTBlock
+    rng = np.random.default_rng(7)
+    cfg = SiglipViTConfig.tiny(embed_dim=64, num_heads=4, mlp_dim=128,
+                               dtype=jnp.float32)
+    cfg_f = dataclasses.replace(cfg, attn_impl="flat")
+    x = jnp.asarray(rng.normal(size=(3, 24, 64)) * 0.3, jnp.float32)
+    lengths = jnp.asarray([24, 17, 9], jnp.int32)
+    params = ViTBlock(cfg).init(jax.random.PRNGKey(0), x, lengths)
+    out_p = np.asarray(ViTBlock(cfg).apply(params, x, lengths))
+    out_f = np.asarray(ViTBlock(cfg_f).apply(params, x, lengths))
+    mask = np.arange(24)[None, :, None] < np.asarray(lengths)[:, None, None]
+    np.testing.assert_allclose(out_f * mask, out_p * mask, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_vit_block_flat_int8_cosine():
+    """flat + int8: the transpose-free int8 path stays >0.995 cosine to the
+    bf16 packed block."""
+    import dataclasses
+    from visrag_tpu.models.siglip_vit import SiglipViTConfig, ViTBlock
+    rng = np.random.default_rng(8)
+    cfg = SiglipViTConfig.tiny(embed_dim=64, num_heads=4, mlp_dim=128,
+                               dtype=jnp.float32)
+    cfg_q = dataclasses.replace(cfg, attn_impl="flat", quant="int8")
+    x = jnp.asarray(rng.normal(size=(2, 24, 64)) * 0.3, jnp.float32)
+    lengths = jnp.asarray([24, 17], jnp.int32)
+    params = ViTBlock(cfg).init(jax.random.PRNGKey(0), x, lengths)
+    out_b = np.asarray(ViTBlock(cfg).apply(params, x, lengths))
+    out_q = np.asarray(ViTBlock(cfg_q).apply(params, x, lengths))
+    a, b = out_b[0].ravel(), out_q[0].ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.995, cos
+
+
 def test_minicpm_int8_hidden_cosine():
     """Tiny MiniCPM LM: int8 vs fp32 last-hidden cosine > 0.99."""
     import dataclasses

@@ -128,6 +128,64 @@ class PackedProj(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class FlatQKV(nn.Module):
+    """Fused qkv projection emitting the FLAT (N*P, 3*H*DP) layout that
+    ops.attention.flash_attention_flat consumes directly (head-dim pad
+    carried in the weight, like PackedQKV; same param tree as Dense(e, 3e)).
+    With quant=True the GEMM runs the int8 Pallas kernel — the flat output
+    needs no transpose, which is what made the in-model int8 path lose to
+    bf16 before (BASELINE.md round-3 notes)."""
+    heads: int
+    head_dim: int
+    head_pad: int
+    dtype: Any
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, y):
+        h, d, dp = self.heads, self.head_dim, self.head_pad
+        n, p, e = y.shape
+        weight = self.param("weight", nn.initializers.lecun_normal(),
+                            (3 * e, e), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (3 * e,), jnp.float32)
+        wp = weight.reshape(3, h, d, e)
+        bp = bias.reshape(3, h, d)
+        if dp != d:
+            wp = jnp.pad(wp, ((0, 0), (0, 0), (0, dp - d), (0, 0)))
+            bp = jnp.pad(bp, ((0, 0), (0, 0), (0, dp - d)))
+        w2d = wp.transpose(3, 0, 1, 2).reshape(e, 3 * h * dp)
+        b2d = bp.reshape(3 * h * dp)
+        y2d = y.reshape(n * p, e)
+        if self.quant:
+            from ..ops.quant import int8_dense
+            return int8_dense(y2d, w2d, bias=b2d, out_dtype=self.dtype)
+        out = jnp.dot(y2d.astype(self.dtype), w2d.astype(self.dtype))
+        return out + b2d.astype(self.dtype)
+
+
+class FlatProj(nn.Module):
+    """Output projection consuming the flat (N*P, H*DP) attention output;
+    pad rows of the weight are zero so pad lanes are ignored exactly."""
+    heads: int
+    head_dim: int
+    head_pad: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, o2d):
+        h, d, dp = self.heads, self.head_dim, self.head_pad
+        e = h * d
+        weight = self.param("weight", nn.initializers.lecun_normal(),
+                            (e, e), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (e,), jnp.float32)
+        wp = weight.reshape(e, h, d)
+        if dp != d:
+            wp = jnp.pad(wp, ((0, 0), (0, 0), (0, dp - d)))
+        w2d = wp.transpose(1, 2, 0).reshape(h * dp, e)
+        out = jnp.dot(o2d, w2d.astype(self.dtype))
+        return out + bias.astype(self.dtype)
+
+
 class ViTBlock(nn.Module):
     cfg: SiglipViTConfig
 
@@ -137,7 +195,9 @@ class ViTBlock(nn.Module):
         n, p, e = x.shape
         h, d = c.num_heads, c.embed_dim // c.num_heads
         y = LayerNorm(e, c.ln_eps, c.dtype, name="norm1")(x)
-        if c.attn_impl in ("auto", "packed"):
+        if c.attn_impl == "flat":
+            o = self._flat_attention(y, lengths, h, d)
+        elif c.attn_impl in ("auto", "packed"):
             o = self._packed_attention(y, lengths, h, d)
         else:
             qkv = Dense(e, 3 * e, use_bias=True, dtype=c.dtype,
@@ -161,6 +221,21 @@ class ViTBlock(nn.Module):
         y = Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype,
                   name="mlp_fc2")(y)
         return x + y
+
+    def _flat_attention(self, y, lengths, h, d):
+        """Transpose-free attention path: fused qkv GEMM → flat kernel →
+        proj GEMM, all in the (N*P, …) layout (see FlatQKV). The int8 w8a8
+        option plugs in here (qkv through the Pallas int8 GEMM)."""
+        from ..ops.attention import flash_attention_flat
+        c = self.cfg
+        n, p, e = y.shape
+        dp = max(c.head_pad, d) if c.head_pad else d
+        qkv = FlatQKV(h, d, dp, c.dtype, quant=c.quant == "int8",
+                      name="attn_qkv")(y)
+        o2d = flash_attention_flat(qkv, lengths, n=n, seq=p, heads=h,
+                                   head_dim=dp, sm_scale=1.0 / (d ** 0.5))
+        return FlatProj(h, d, dp, c.dtype, name="attn_proj")(o2d).reshape(
+            n, p, e)
 
     def _packed_attention(self, y, lengths, h, d):
         """qkv emitted directly in the flash kernel's (N, H, P, DP) layout

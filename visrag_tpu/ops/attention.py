@@ -475,6 +475,38 @@ def flash_attention_hsd(q, k, v, lengths, *, causal=False, sm_scale=None,
                               sm_scale, bq_, bk_, interpret)
 
 
+def flash_attention_flat(qkv, lengths, *, n, seq, heads, head_dim,
+                         sm_scale, causal=False, block_q=None, block_k=None,
+                         interpret=False):
+    """Lengths-masked flash attention over the FLAT fused-qkv layout:
+    qkv (n*seq, 3*heads*head_dim) — exactly the fused qkv GEMM's output,
+    head panels side by side — → o (n*seq, heads*head_dim), exactly the
+    output-projection GEMM's input. No transposes on either side; the
+    Pallas block index maps do the (slice, head, patch) addressing. This is
+    what makes the int8 w8a8 path viable (the Pallas GEMM can't fuse a
+    5-D transpose into its epilogue the way XLA folds one into a bf16
+    einsum) and skips the stacked path's qkv tensor relayout for bf16 too.
+
+    Inference-only (no lse → no VJP); head_dim includes any lane padding
+    (pass sm_scale = 1/sqrt(real_head_dim))."""
+    assert qkv.shape == (n * seq, 3 * heads * head_dim), qkv.shape
+    if jax.default_backend() != "tpu" and not interpret:
+        parts = qkv.reshape(n, seq, 3, heads, head_dim)
+        seg = (jnp.arange(seq, dtype=jnp.int32)[None, :]
+               < lengths[:, None]).astype(jnp.int32)
+        o = mha_reference(parts[:, :, 0], parts[:, :, 1], parts[:, :, 2],
+                          seg, seg, causal=causal, sm_scale=sm_scale)
+        return o.reshape(n * seq, heads * head_dim)
+    from .attention_lengths import flash_fwd_lengths_flat
+    bq_, bk_ = _pick_blocks(seq, seq, block_q, block_k)
+    bq_ = min(bq_, _round_up(seq, 8))
+    bk_ = min(bk_, _round_up(seq, 8))
+    assert seq % bq_ == 0 and seq % bk_ == 0, (seq, bq_, bk_)
+    return flash_fwd_lengths_flat(qkv, lengths.astype(jnp.int32), n, seq,
+                                  heads, head_dim, causal, sm_scale, bq_,
+                                  bk_, interpret)
+
+
 def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, lengths=None,
                     causal=False, sm_scale=None, block_q=None, block_k=None,
                     force_xla=False, interpret=False):

@@ -69,7 +69,7 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
     else:
         lse_ref = None
         acc_ref, m_ref, l_ref = rest
-    bq, d = q_ref.shape[2], q_ref.shape[3]
+    bq, d = q_ref.shape[-2], q_ref.shape[-1]
     b = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -90,10 +90,12 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
     @pl.when(needs_work)
     def _step():
         # scale on the (bq, d) q tile — 1/bk of the score-tile cost
-        q = (q_ref[0, 0, :, :].astype(jnp.float32)
+        # blocks are (1, 1, bq, d) in the stacked layout or (bq, d) in the
+        # flat (M, H*D) layout — reshape normalizes (leading 1s are free)
+        q = (q_ref[...].reshape(bq, d).astype(jnp.float32)
              * (sm_scale * LOG2E)).astype(q_ref.dtype)
-        kb = k_ref[0, 0, :, :]
-        vb = v_ref[0, 0, :, :]
+        kb = k_ref[...].reshape(k_ref.shape[-2], d)
+        vb = v_ref[...].reshape(v_ref.shape[-2], d)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
@@ -131,7 +133,8 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
         m = m_ref[:, 0:1]
         l = l_ref[:, 0:1]
         l_safe = jnp.maximum(l, 1e-30)
-        o_ref[0, 0, :, :] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        o_ref[...] = ((acc_ref[...] / l_safe)
+                      .astype(o_ref.dtype).reshape(o_ref.shape))
         if with_lse:
             # natural-log lse (bwd uses exp): m is base-2 → rescale by
             # ln 2. Fully-masked (padded) rows get a +LARGE sentinel so the
@@ -312,6 +315,64 @@ def flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q, block_k,
     if need_lse:
         return outs[0], outs[1]
     return outs[0], None
+
+
+def flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal, sm_scale,
+                           block_q, block_k, interpret=False):
+    """Lengths flash attention reading q/k/v straight out of the FLAT fused
+    qkv GEMM output and writing o in the flat layout the output-projection
+    GEMM consumes — zero relayouts around the attention:
+
+        qkv: (n*seq, 3*heads*d)   — rows (slice, patch) major, columns
+                                     [q_h0 | q_h1 | … | k_h0 | … | v_h(H-1)],
+                                     each head a d-lane panel
+        →  o: (n*seq, heads*d)
+
+    The block index maps do the (slice, head, patch-block) addressing that
+    the stacked layout needs transposes for; the kernel body is the same
+    grid kernel as flash_fwd_lengths (rank-normalized refs). Inference-only:
+    no lse output (pair with the custom-VJP stacked path for training)."""
+    assert qkv.shape == (n * seq, 3 * heads * d)
+    pb_q, pb_k = seq // block_q, seq // block_k
+
+    def qspec(t):
+        return pl.BlockSpec(
+            (block_q if t == 0 else block_k, d),
+            lambda b_, h_, i, j, *_, t=t: (
+                b_ * (pb_q if t == 0 else pb_k) + (i if t == 0 else j),
+                t * heads + h_))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, heads, pb_q, pb_k),
+        in_specs=[
+            qspec(0), qspec(1), qspec(2),
+            pl.BlockSpec((1, NUM_SUBLANES, block_k),
+                         lambda b_, h_, i, j, *_: (b_, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, d),
+                         lambda b_, h_, i, j, *_: (b_ * pb_q + i, h_)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+        ],
+    )
+    (o,) = pl.pallas_call(
+        functools.partial(_fwd_kernel_grid, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k, with_lse=False),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n * seq, heads * d), qkv.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(lengths, qkv, qkv, qkv, _length_bias(lengths, seq))
+    return o
 
 
 def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
