@@ -167,6 +167,36 @@ def test_flash_flat_matches_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_flash_flat_gradients():
+    """Flat core's custom VJP (flat fwd kernel + stacked bwd kernels) ==
+    reference grads, interpret mode."""
+    from visrag_tpu.ops.attention import flash_attention_flat
+    key = jax.random.PRNGKey(12)
+    n, s, h, d = 2, 128, 2, 128
+    qkv = _rand(key, (n * s, 3 * h * d))
+    lengths = jnp.array([128, 70], jnp.int32)
+    seg = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+    mask = np.asarray(seg).astype(np.float32).reshape(n * s, 1)
+
+    def loss_flat(qkv):
+        o = flash_attention_flat(qkv, lengths, n=n, seq=s, heads=h,
+                                 head_dim=d, sm_scale=1.0 / 8.0,
+                                 interpret=True, block_q=64, block_k=64)
+        return jnp.sum((o * jnp.cos(o)) * mask)
+
+    def loss_ref(qkv):
+        parts = qkv.reshape(n, s, 3, h, d)
+        o = mha_reference(parts[:, :, 0], parts[:, :, 1], parts[:, :, 2],
+                          seg, seg, causal=False, sm_scale=1.0 / 8.0)
+        o = o.reshape(n * s, h * d)
+        return jnp.sum((o * jnp.cos(o)) * mask)
+
+    g = jax.grad(loss_flat)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=5e-3,
+                               atol=5e-3)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_xla_lengths_matches_reference(causal):
     """xla_lengths_attention == mha_reference for right-padded batches,

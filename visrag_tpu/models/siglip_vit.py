@@ -43,13 +43,15 @@ class SiglipViTConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     remat: bool = False
-    # "auto"/"packed": head dim zero-padded to 128 lanes INSIDE the qkv/proj
-    # weights at apply time, so q/k/v leave the matmul already in the flash
-    # kernel's (N, H, S, 128) layout — measured 34.3 vs 38.4 ms/block against
-    # the old xla/flash paths at the encode shape (the per-call activation
-    # pad + transpose materialization was ~7 ms/block; zero weight lanes keep
-    # the math exact and their grads are identically zero).
-    # "xla": batch-chunked XLA-fused attention; "flash": per-call pad path.
+    # "auto"/"flat": FLAT fused-qkv layout — the qkv GEMM emits
+    # (N*P, 3*H*128) with the head-dim pad carried in the weights, the flash
+    # kernel reads head panels straight out of it via block index maps, and
+    # o feeds the projection GEMM as-is; zero relayouts around attention
+    # (51.8 vs 54.6 ms/block against "packed" at the encode shape, chip
+    # A/B). Differentiable (custom VJP unflattens for the stacked bwd
+    # kernels). "packed": qkv einsum into the stacked (3, N, H, P, 128)
+    # layout (XLA fuses the transpose into the matmul). "xla": batch-chunked
+    # XLA-fused attention; "flash": per-call pad path.
     attn_impl: str = "auto"
     # padded lane width for the packed path
     head_pad: int = 128
@@ -195,9 +197,9 @@ class ViTBlock(nn.Module):
         n, p, e = x.shape
         h, d = c.num_heads, c.embed_dim // c.num_heads
         y = LayerNorm(e, c.ln_eps, c.dtype, name="norm1")(x)
-        if c.attn_impl == "flat":
+        if c.attn_impl in ("auto", "flat"):
             o = self._flat_attention(y, lengths, h, d)
-        elif c.attn_impl in ("auto", "packed"):
+        elif c.attn_impl == "packed":
             o = self._packed_attention(y, lengths, h, d)
         else:
             qkv = Dense(e, 3 * e, use_bias=True, dtype=c.dtype,

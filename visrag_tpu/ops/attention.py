@@ -487,7 +487,9 @@ def flash_attention_flat(qkv, lengths, *, n, seq, heads, head_dim,
     5-D transpose into its epilogue the way XLA folds one into a bf16
     einsum) and skips the stacked path's qkv tensor relayout for bf16 too.
 
-    Inference-only (no lse → no VJP); head_dim includes any lane padding
+    Differentiable: the forward is the no-lse flat kernel; the VJP
+    unflattens once and runs the stacked backward kernels
+    (attention_lengths.flash_flat_core). head_dim includes any lane padding
     (pass sm_scale = 1/sqrt(real_head_dim))."""
     assert qkv.shape == (n * seq, 3 * heads * head_dim), qkv.shape
     if jax.default_backend() != "tpu" and not interpret:
@@ -497,14 +499,14 @@ def flash_attention_flat(qkv, lengths, *, n, seq, heads, head_dim,
         o = mha_reference(parts[:, :, 0], parts[:, :, 1], parts[:, :, 2],
                           seg, seg, causal=causal, sm_scale=sm_scale)
         return o.reshape(n * seq, heads * head_dim)
-    from .attention_lengths import flash_fwd_lengths_flat
+    from .attention_lengths import flash_flat_core
     bq_, bk_ = _pick_blocks(seq, seq, block_q, block_k)
     bq_ = min(bq_, _round_up(seq, 8))
     bk_ = min(bk_, _round_up(seq, 8))
     assert seq % bq_ == 0 and seq % bk_ == 0, (seq, bq_, bk_)
-    return flash_fwd_lengths_flat(qkv, lengths.astype(jnp.int32), n, seq,
-                                  heads, head_dim, causal, sm_scale, bq_,
-                                  bk_, interpret)
+    return flash_flat_core(qkv, lengths.astype(jnp.int32), n, seq,
+                           heads, head_dim, causal, sm_scale, bq_, bk_,
+                           interpret)
 
 
 def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, lengths=None,

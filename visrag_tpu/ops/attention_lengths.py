@@ -318,7 +318,7 @@ def flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q, block_k,
 
 
 def flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal, sm_scale,
-                           block_q, block_k, interpret=False):
+                           block_q, block_k, interpret=False, need_lse=False):
     """Lengths flash attention reading q/k/v straight out of the FLAT fused
     qkv GEMM output and writing o in the flat layout the output-projection
     GEMM consumes — zero relayouts around the attention:
@@ -330,8 +330,10 @@ def flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal, sm_scale,
 
     The block index maps do the (slice, head, patch-block) addressing that
     the stacked layout needs transposes for; the kernel body is the same
-    grid kernel as flash_fwd_lengths (rank-normalized refs). Inference-only:
-    no lse output (pair with the custom-VJP stacked path for training)."""
+    grid kernel as flash_fwd_lengths (rank-normalized refs). With
+    need_lse=True the lse comes out in the STACKED (n, h, seq, 128) layout —
+    it is only consumed by the stacked backward kernels (flash_flat_core's
+    VJP unflattens)."""
     assert qkv.shape == (n * seq, 3 * heads * d)
     pb_q, pb_k = seq // block_q, seq // block_k
 
@@ -342,6 +344,17 @@ def flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal, sm_scale,
                 b_ * (pb_q if t == 0 else pb_k) + (i if t == 0 else j),
                 t * heads + h_))
 
+    out_specs = [
+        pl.BlockSpec((block_q, d),
+                     lambda b_, h_, i, j, *_: (b_ * pb_q + i, h_)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n * seq, heads * d), qkv.dtype)]
+    if need_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, block_q, NUM_LANES),
+            lambda b_, h_, i, j, *_: (b_, h_, i, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n, heads, seq, NUM_LANES), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, heads, pb_q, pb_k),
@@ -350,29 +363,26 @@ def flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal, sm_scale,
             pl.BlockSpec((1, NUM_SUBLANES, block_k),
                          lambda b_, h_, i, j, *_: (b_, 0, j)),
         ],
-        out_specs=[
-            pl.BlockSpec((block_q, d),
-                         lambda b_, h_, i, j, *_: (b_ * pb_q + i, h_)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
         ],
     )
-    (o,) = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel_grid, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k, with_lse=False),
+                          block_q=block_q, block_k=block_k, with_lse=need_lse),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n * seq, heads * d), qkv.dtype),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
     )(lengths, qkv, qkv, qkv, _length_bias(lengths, seq))
-    return o
+    if need_lse:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
 def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
@@ -480,3 +490,58 @@ def _core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
 
 
 flash_lengths_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout core: fast transpose-free forward, stacked-kernel backward
+# ---------------------------------------------------------------------------
+
+
+def _flat_to_stacked(qkv, n, seq, heads, d):
+    """(n*seq, 3*heads*d) → three (n, heads, seq, d) arrays."""
+    parts = qkv.reshape(n, seq, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    return parts[0], parts[1], parts[2]
+
+
+def _stacked_to_flat(dq, dk, dv, n, seq, heads, d):
+    """Three (n, heads, seq, d) grads → (n*seq, 3*heads*d)."""
+    g = jnp.stack([dq, dk, dv])                       # (3, n, h, seq, d)
+    return g.transpose(1, 3, 0, 2, 4).reshape(n * seq, 3 * heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9,
+                                                    10))
+def flash_flat_core(qkv, lengths, n, seq, heads, d, causal, sm_scale,
+                    block_q, block_k, interpret=False):
+    """Differentiable flat-layout lengths flash attention. The forward is
+    the transpose-free flat kernel (the hot inference path — no lse, no
+    relayouts); the backward unflattens once and reuses the stacked dq/dkv
+    kernels, so training pays the transposes only where grads flow."""
+    o, _ = flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal,
+                                  sm_scale, block_q, block_k, interpret,
+                                  need_lse=False)
+    return o
+
+
+def _flat_fwd(qkv, lengths, n, seq, heads, d, causal, sm_scale, block_q,
+              block_k, interpret=False):
+    o, lse = flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal,
+                                    sm_scale, block_q, block_k, interpret,
+                                    need_lse=True)
+    return o, (qkv, lengths, o, lse)
+
+
+def _flat_bwd(n, seq, heads, d, causal, sm_scale, block_q, block_k,
+              interpret, res, do):
+    qkv, lengths, o, lse = res
+    q, k, v = _flat_to_stacked(qkv, n, seq, heads, d)
+    o4 = jnp.swapaxes(o.reshape(n, seq, heads, d), 1, 2)
+    do4 = jnp.swapaxes(do.reshape(n, seq, heads, d), 1, 2)
+    bq = _bwd_block(seq)
+    bk = _bwd_block(seq)
+    dq, dk, dv = flash_bwd_lengths(q, k, v, lengths, o4, lse, do4, causal,
+                                   sm_scale, bq, bk, interpret)
+    return _stacked_to_flat(dq, dk, dv, n, seq, heads, d), None
+
+
+flash_flat_core.defvjp(_flat_fwd, _flat_bwd)
