@@ -45,6 +45,7 @@ def bench_train():
 
     lm_layers = int(os.environ.get("BENCH_TRAIN_LM_LAYERS", 8))
     pages = int(os.environ.get("BENCH_TRAIN_PAGES", 4))
+    micro = int(os.environ.get("BENCH_TRAIN_MICRO", 1))  # pages per micro
     cfg = VisRAGRetConfig(backbone=MiniCPMVConfig(
         llm=MiniCPMConfig(dtype=jnp.bfloat16, remat=True,
                           num_hidden_layers=lm_layers, is_causal=False),
@@ -59,15 +60,25 @@ def bench_train():
     mkpage = lambda w, h: ("what does the chart say",
                            Image.fromarray(rng.integers(
                                0, 255, size=(h, w, 3), dtype=np.uint8)))
-    p_pages = [mkpage(826, 1169) for _ in range(pages)]
-    q_pages = [("Represent this query: what does the chart say", None)
-               for _ in range(pages)]
-    slots = -(-sum(1 + 6 for _ in p_pages) // 8) * 8  # A4 -> 1+6 slices
-    pb = build_encode_batch(tok, p_pages, pcfg, n_slice_slots=slots)
-    qb = build_encode_batch(tok, q_pages, pcfg, n_slice_slots=8)
-    pb = {k: jnp.asarray(v) for k, v in pb.items()}
-    qb = {k: jnp.asarray(v) for k, v in qb.items()}
-    n_slices = int(np.asarray(pb["patch_mask"]).any(axis=1).sum())
+    # GradCache micro-batches are built page-aligned (each micro carries its
+    # own slice slots) — the 1.2B model + AdamW does not fit a 16 GB chip
+    # with direct-path activations (the reference trains this on 8 GPUs with
+    # ZeRO-2; GradCache is the single-chip equivalent).
+    assert pages % micro == 0
+    num_micro = pages // micro
+    slots = -(-(micro * 7) // 8) * 8               # A4 -> 1+6 slices/page
+    pbs, qbs = [], []
+    for m in range(num_micro):
+        p_pages = [mkpage(826, 1169) for _ in range(micro)]
+        q_pages = [("Represent this query: what does the chart say", None)
+                   for _ in range(micro)]
+        pbs.append(build_encode_batch(tok, p_pages, pcfg,
+                                      n_slice_slots=slots))
+        qbs.append(build_encode_batch(tok, q_pages, pcfg, n_slice_slots=1))
+    stack = lambda bs: {k: jnp.asarray(np.stack([b[k] for b in bs]))
+                        for k in bs[0]}
+    pb, qb = stack(pbs), stack(qbs)
+    n_slices = int(np.asarray(pb["patch_mask"]).any(axis=2).sum())
 
     from visrag_tpu.models.visrag_ret import EncodeBatch
     def encode(p, batch, rng):
@@ -75,16 +86,19 @@ def bench_train():
         return model.apply({"params": p}, EncodeBatch(**batch))
 
     t0 = time.time()
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), EncodeBatch(**pb))
+    init_b = jax.tree_util.tree_map(lambda x: x[0], pb)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), EncodeBatch(**init_b))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)["params"]
     n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
     log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params, "
-        f"{pages} pages ({n_slices} slices) + {pages} queries")
+        f"{pages} pages ({n_slices} slices) + {pages} queries, "
+        f"{num_micro}x{micro} GradCache micro-batches")
 
     tcfg = TrainConfig(lr=1e-5, softmax_temperature=0.02, n_passages=1,
-                       log_every=1)
+                       log_every=1, grad_cache=True,
+                       grad_cache_micro_batch_size=num_micro)
     trainer = RetrieverTrainer(encode, params, tcfg, mesh=None, total_steps=64)
     t0 = time.time()
     trainer.train([(qb, pb)])  # compile + step 1
@@ -97,14 +111,15 @@ def bench_train():
     _ = float(np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])[0, 0])
     dt = (time.time() - t0) / iters
     # analytic fwd flops (dense + attention), bwd = 2x fwd, remat adds ~1 fwd
-    seq = qb["input_ids"].shape[1]
-    maxp = pb["patch_mask"].shape[1]
+    seq = qb["input_ids"].shape[2]          # (num_micro, micro, seq)
+    maxp = pb["patch_mask"].shape[2]
     lm_params_dense = 2.4e9 * lm_layers / 40
     fwd = (2 * lm_params_dense * 2 * pages * seq
            + 4 * 2 * pages * seq ** 2 * 2304 * lm_layers / 2
            + 2 * 0.43e9 * n_slices * maxp
            + 4 * n_slices * maxp ** 2 * 1152 * 26)
-    flops = 4 * fwd  # fwd + bwd(2x) + remat recompute (~1x)
+    # GradCache pass1 (no-grad fwd) + grad pass (fwd + 2x bwd + remat ~1x)
+    flops = 5 * fwd
     mfu = flops / dt / 197e12
     tokens = pages * (seq + 0)  # query+passage token pairs per step
     log(f"step {dt*1e3:.0f} ms, loss {hist[-1][1]['loss']:.4f}")

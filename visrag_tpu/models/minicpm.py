@@ -198,7 +198,7 @@ class MiniCPMModel(nn.Module):
                                      name="embed_tokens")
         block = MiniCPMBlock
         if c.remat:
-            block = nn.remat(MiniCPMBlock, prevent_cse=False)
+            block = nn.remat(MiniCPMBlock)  # see siglip_vit: CSE undoes remat
         self.layers = [block(c, name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]
         self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, name="norm")

@@ -184,7 +184,7 @@ class QwenVisionTower(nn.Module):
                   name="patch_embed")(patches.astype(c.dtype))
         block = QwenVisionBlock
         if c.remat:
-            block = nn.remat(QwenVisionBlock, prevent_cse=False)
+            block = nn.remat(QwenVisionBlock)  # see siglip_vit: CSE undoes remat
         for i in range(c.depth):
             seg = seg_full if i in c.fullatt_block_indexes else seg_window
             x = block(c, name=f"blocks_{i}")(x, rot_cos, rot_sin, seg)
@@ -291,7 +291,7 @@ class QwenTextModel(nn.Module):
                                      name="embed_tokens")
         block = QwenTextBlock
         if c.remat:
-            block = nn.remat(QwenTextBlock, prevent_cse=False)
+            block = nn.remat(QwenTextBlock)
         self.layers = [block(c, name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]
         self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype,

@@ -146,7 +146,7 @@ def _fwd_kernel_grid(len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
             lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (bq, NUM_LANES))
 
 
-def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _dq_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                dq_ref, *, sm_scale, causal, block_k, seq_k):
     bq, d = q_ref.shape[2], q_ref.shape[3]
     b = pl.program_id(0)
@@ -155,7 +155,11 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0, 0, :, :].astype(jnp.float32)
     do = do_ref[0, 0, :, :].astype(jnp.float32)
     lse = lse_ref[0, 0, :, 0:1]
-    delta = delta_ref[0, 0, :, 0:1]
+    # delta recomputed in-kernel from the o/do tiles: one (bq, d) pass
+    # instead of materializing a (B, H, S, 128) fp32 lane-broadcast buffer
+    # in HBM (136 MB per layer at the encode shape)
+    delta = jnp.sum(o_ref[0, 0, :, :].astype(jnp.float32) * do, axis=1,
+                    keepdims=True)
     num_k = pl.cdiv(length, block_k)
     if causal:
         last_q = (i + 1) * bq - 1
@@ -193,7 +197,7 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 dk_ref, dv_ref, *, sm_scale, causal, block_q, seq_q):
     bk, d = k_ref.shape[2], k_ref.shape[3]
     b = pl.program_id(0)
@@ -211,7 +215,9 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
+        delta = jnp.sum(
+            o_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+            * do, axis=1, keepdims=True)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         p = jnp.exp(s - lse)
@@ -389,22 +395,18 @@ def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
                       block_q, block_k, interpret=False):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    delta = jnp.broadcast_to(delta[..., None], (b, h, sq, NUM_LANES))
 
     lm_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES),
                            lambda b_, h_, i, *_: (b_, h_, i, 0))
+    qblk = pl.BlockSpec((1, 1, block_q, d),
+                        lambda b_, h_, i, *_: (b_, h_, i, 0))
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, causal=causal,
                           block_k=block_k, seq_k=sk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h, sq // block_q),
-            in_specs=_specs_qkv(block_q, sk, d) + [
-                pl.BlockSpec((1, 1, block_q, d),
-                             lambda b_, h_, i, *_: (b_, h_, i, 0)),
-                lm_spec, lm_spec,
-            ],
+            in_specs=_specs_qkv(block_q, sk, d) + [qblk, qblk, lm_spec],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
                                    lambda b_, h_, i, *_: (b_, h_, i, 0)),
         ),
@@ -412,8 +414,9 @@ def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, k, v, o, do, lse)
 
+    full_q = pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, *_: (b_, h_, 0, 0))
     full_lm = pl.BlockSpec((1, 1, sq, NUM_LANES),
                            lambda b_, h_, j, *_: (b_, h_, 0, 0))
     dk, dv = pl.pallas_call(
@@ -423,13 +426,12 @@ def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
             num_scalar_prefetch=1,
             grid=(b, h, sk // block_k),
             in_specs=[
-                pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, *_: (b_, h_, 0, 0)),
+                full_q,
                 pl.BlockSpec((1, 1, block_k, d),
                              lambda b_, h_, j, *_: (b_, h_, j, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
                              lambda b_, h_, j, *_: (b_, h_, j, 0)),
-                pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, *_: (b_, h_, 0, 0)),
-                full_lm, full_lm,
+                full_q, full_q, full_lm,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, d),
@@ -445,7 +447,7 @@ def flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal, sm_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, k, v, o, do, lse)
     return dq, dk, dv
 
 
