@@ -189,6 +189,62 @@ def bench_serve():
     }))
 
 
+def bench_serve_qwen():
+    """Decode throughput at the Qwen2.5-VL-3B text config (GQA kvh=2,
+    d=128) — the reference's RL-rollout regime (vllm_rollout_spmd.py;
+    assets/baselines.md measures 1200-1400 tok/s/GPU for the 7B on H100)."""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
+    new_tokens = int(os.environ.get("BENCH_SERVE_NEW", 256))
+    cfg = Qwen25VLConfig.b3()
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 150000, size=(1, 100)), "int32")
+    pos = jnp.broadcast_to(jnp.arange(100), (3, 1, 100)).astype("int32")
+    t0 = time.time()
+
+    # init + bf16 cast fused in ONE jit so each fp32 leaf is freed as it is
+    # cast — materializing the fp32 tree then casting peaks at 3x the bf16
+    # footprint and OOMs the 3B config on a 16 GB chip
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(key, ids, positions=pos)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            p)
+
+    params = init_bf16(jax.random.PRNGKey(0))
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    engine = Engine(model, params, num_slots=slots, max_len=2048,
+                    prompt_buckets=(128,), eos_token_ids=(),
+                    decode_chunk=32)
+    prompts = [dict(input_ids=rng.integers(1, 150000, size=(100,))
+                    .astype(np.int32)) for _ in range(slots)]
+    sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
+    t0 = time.time()
+    engine.generate(prompts, sampling=sp)
+    log(f"compile+first batch {time.time()-t0:.0f}s")
+    t0 = time.time()
+    outs = engine.generate([dict(input_ids=p["input_ids"]) for p in prompts],
+                           sampling=sp)
+    dt = time.time() - t0
+    total = sum(len(o) for o in outs)
+    log(f"{total} tokens in {dt:.2f}s")
+    print(json.dumps({
+        "metric": "serving_decode_throughput_qwen3b",
+        "value": round(total / dt, 1), "unit": "tok/s/chip",
+        "detail": {"slots": slots, "params_b": round(float(n_params)/1e9, 2),
+                   "new_tokens": new_tokens},
+    }))
+
+
 def bench_rl():
     import dataclasses as dc
     import jax
@@ -270,4 +326,5 @@ def bench_rl():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
-    {"train": bench_train, "serve": bench_serve, "rl": bench_rl}[mode]()
+    {"train": bench_train, "serve": bench_serve,
+     "serve_qwen": bench_serve_qwen, "rl": bench_rl}[mode]()
