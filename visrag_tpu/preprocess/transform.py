@@ -61,6 +61,33 @@ def patchify(arr: np.ndarray, patch_size: int = 14,
     return out, mask, (gh, gw)
 
 
+def patchify_normalized(arr_u8: np.ndarray, patch_size: int = 14,
+                        max_patches: int = MAX_PATCHES):
+    """(H, W, 3) uint8 → normalized fp32 patch rows: ToTensor + Inception
+    normalize + patchify fused in the native kernel (numpy fallback is
+    normalize_image→patchify, bit-identical)."""
+    h, w, c = arr_u8.shape
+    ps = patch_size
+    assert h % ps == 0 and w % ps == 0, (h, w)
+    gh, gw = h // ps, w // ps
+    n = gh * gw
+    if n > max_patches:
+        raise ValueError(f"slice grid {gh}x{gw}={n} exceeds MAX_PATCHES")
+    out = np.zeros((max_patches, c * ps * ps), np.float32)
+    from ..native import patchify_f32_native
+    if not patchify_f32_native(arr_u8, ps,
+                               np.asarray(INCEPTION_MEAN, np.float32),
+                               np.asarray(INCEPTION_STD, np.float32), out):
+        arr = (arr_u8.astype(np.float32) / 255.0
+               - np.array(INCEPTION_MEAN, np.float32)) / np.array(
+                   INCEPTION_STD, np.float32)
+        p = arr.transpose(2, 0, 1).reshape(c, gh, ps, gw, ps)
+        out[:n] = p.transpose(1, 3, 0, 2, 4).reshape(n, c * ps * ps)
+    mask = np.zeros((max_patches,), np.int32)
+    mask[:n] = 1
+    return out, mask, (gh, gw)
+
+
 @functools.lru_cache(maxsize=4096)
 def _bicubic_resample_matrix_1d(src: int, dst: int) -> np.ndarray:
     """(dst, src) 1-D bicubic-antialias resize operator, exact parity with
@@ -86,7 +113,9 @@ def patchify_u8(arr: np.ndarray, patch_size: int = 14,
     The device-input path: keeps pixels in uint8 (4× less host copy + host→
     device transfer than f32 patches) and defers ToTensor+Inception
     normalization to the jitted step (preprocess.device.finish_encode_batch).
-    Patch layout matches patchify: row-major patches, (c, ph, pw) inside."""
+    Patch layout matches patchify: row-major patches, (c, ph, pw) inside.
+    Runs the native C++/OpenMP kernel (visrag_tpu/native) when the toolchain
+    is available — one parallel pass instead of numpy's transpose chain."""
     h, w, c = arr.shape
     ps = patch_size
     assert h % ps == 0 and w % ps == 0, (h, w)
@@ -94,10 +123,11 @@ def patchify_u8(arr: np.ndarray, patch_size: int = 14,
     n = gh * gw
     if n > max_patches:
         raise ValueError(f"slice grid {gh}x{gw}={n} exceeds MAX_PATCHES")
-    p = arr.reshape(gh, ps, gw, ps, c).transpose(0, 2, 4, 1, 3)
-    p = p.reshape(n, c * ps * ps)
     out = np.zeros((max_patches, c * ps * ps), np.uint8)
-    out[:n] = p
+    from ..native import patchify_u8_native
+    if not patchify_u8_native(arr, ps, out):
+        p = arr.reshape(gh, ps, gw, ps, c).transpose(0, 2, 4, 1, 3)
+        out[:n] = p.reshape(n, c * ps * ps)
     mask = np.zeros((max_patches,), np.int32)
     mask[:n] = 1
     return out, mask, (gh, gw)
@@ -176,8 +206,9 @@ def prepare_page(img: Image.Image, *, max_slice_nums: int = 9,
             out.append(dict(pixels=pixels, mask=mask, pos_a=a, pos_b=b,
                             grid_h=gh, grid_w=gw))
         else:
-            arr = normalize_image(im)
-            patches, mask, (gh, gw) = patchify(arr, patch_size, max_patches)
+            patches, mask, (gh, gw) = patchify_normalized(
+                np.asarray(im.convert("RGB"), dtype=np.uint8), patch_size,
+                max_patches)
             out.append(dict(
                 patches=patches, mask=mask,
                 pos_matrix=pos_resample_matrix(gh, gw, src_grid, max_patches),
