@@ -5,9 +5,10 @@ tok/s/GPU, sec/step, MFU — src/rsgrpo/assets/baselines.md) so the TPU build's
 training/serving story is numbers, not vibes. Each mode prints ONE JSON line
 (same contract as bench.py, different metrics).
 
-  python tools/bench_suite.py train   # contrastive retriever step (remat)
-  python tools/bench_suite.py serve   # engine decode tok/s (paged KV)
-  python tools/bench_suite.py rl      # RS-GRPO packed PPO update tok/s
+  python tools/bench_suite.py train       # contrastive retriever step
+  python tools/bench_suite.py serve       # decode tok/s (MHA, paged KV)
+  python tools/bench_suite.py serve_qwen  # decode tok/s (Qwen-3B GQA)
+  python tools/bench_suite.py rl          # RS-GRPO packed PPO update tok/s
 
 Single-chip sizes: the flagship retriever at full 40-layer depth does not
 fit one v5e's 16 GB with AdamW state (the reference trains it on 8 GPUs
