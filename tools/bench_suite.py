@@ -225,7 +225,8 @@ def bench_serve_qwen():
 
     engine = Engine(model, params, num_slots=slots, max_len=2048,
                     prompt_buckets=(128,), eos_token_ids=(),
-                    decode_chunk=32)
+                    decode_chunk=32,
+                    decode_unroll=int(os.environ.get("BENCH_UNROLL", 1)))
     prompts = [dict(input_ids=rng.integers(1, 150000, size=(100,))
                     .astype(np.int32)) for _ in range(slots)]
     sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)

@@ -64,7 +64,8 @@ class Engine:
                  prompt_buckets: Sequence[int] = (512, 1024, 2048, 4096),
                  eos_token_ids: Sequence[int] = (),
                  cache_dtype=jnp.bfloat16, decode_chunk: int = 16,
-                 cache_blocks: Optional[int] = None):
+                 cache_blocks: Optional[int] = None,
+                 decode_unroll: int = 1):
         self.model = model
         self.params = params
         self.num_slots = num_slots
@@ -72,6 +73,11 @@ class Engine:
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_len]
         self.eos = set(int(e) for e in eos_token_ids)
         self.chunk = decode_chunk
+        # lax.scan unroll for the decode chunk: >1 trades compile time and
+        # program size for fewer loop iterations (the axon relay appears to
+        # add per-iteration sync overhead to device loops; on local TPU the
+        # default is fine)
+        self.unroll = max(1, decode_unroll)
         tc = model.cfg.text
         self.vocab = tc.vocab_size
         # paged KV pool (vLLM paged-attention role): cache_blocks bounds
@@ -258,7 +264,7 @@ class Engine:
         init = (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
                 gen_left, jnp.zeros((B,), jnp.float32))
         rngs = jax.random.split(rng, n_steps)
-        carry, toks = jax.lax.scan(step, init, rngs)
+        carry, toks = jax.lax.scan(step, init, rngs, unroll=self.unroll)
         (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
          gen_left, logp_acc) = carry
         packed = jnp.concatenate([
