@@ -111,7 +111,7 @@ def bench_train():
     _ = jax.tree_util.tree_leaves(trainer.params)[0].block_until_ready()
     _ = float(np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])[0, 0])
     dt = (time.time() - t0) / iters
-    # analytic fwd flops (dense + attention), bwd = 2x fwd, remat adds ~1 fwd
+    # analytic fwd flops (dense + attention)
     seq = qb["input_ids"].shape[2]          # (num_micro, micro, seq)
     maxp = pb["patch_mask"].shape[2]
     lm_params_dense = 2.4e9 * lm_layers / 40
@@ -126,7 +126,7 @@ def bench_train():
     log(f"step {dt*1e3:.0f} ms, loss {hist[-1][1]['loss']:.4f}")
     print(json.dumps({
         "metric": "retriever_train_step",
-        "value": round(mfu * 100, 1), "unit": "% MFU (4x-fwd analytic)",
+        "value": round(mfu * 100, 1), "unit": "% MFU (5x-fwd analytic, GradCache)",
         "detail": {"ms_per_step": round(dt * 1e3, 1), "pages": pages,
                    "slices": n_slices, "lm_layers": lm_layers},
     }))
