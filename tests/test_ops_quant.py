@@ -34,6 +34,37 @@ def test_int8_dense_matches_reference_math():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_int8_gemm_blocks_aligned_for_odd_shapes():
+    """Clamped block dims are rounded up to the (8, 128) Mosaic tiling for
+    m/n/k that are not multiples — and the padded result is still exact."""
+    from visrag_tpu.ops.matmul_int8 import int8_matmul_fused
+    from visrag_tpu.ops.quant import quant_rowwise, quant_weight_colwise
+    rng = np.random.default_rng(9)
+    m, k, n = 13, 200, 70              # none aligned; all < default blocks
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = (rng.normal(size=(k, n)) * 0.1).astype(np.float32)
+    xq, xs = quant_rowwise(jnp.asarray(x))
+    wq, ws = quant_weight_colwise(jnp.asarray(w))
+    out = int8_matmul_fused(xq, xs, wq, ws, out_dtype=jnp.float32,
+                            interpret=True)
+    assert out.shape == (m, n)
+    ref = _np_ref(x, w)
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quant_training_config_rejected():
+    """quant='int8' + remat=True (training) must be rejected at config time
+    — int8 has no VJP and the XLA fallback's round() zeroes gradients."""
+    import pytest
+    from visrag_tpu.models.minicpm import MiniCPMConfig
+    from visrag_tpu.models.siglip_vit import SiglipViTConfig
+    with pytest.raises(ValueError):
+        MiniCPMConfig.tiny(quant="int8", remat=True)
+    with pytest.raises(ValueError):
+        SiglipViTConfig.tiny(quant="int8", remat=True)
+
+
 def test_int8_quant_roundtrip_error_bound():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(32, 256)).astype(np.float32)

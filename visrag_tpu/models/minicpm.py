@@ -53,6 +53,15 @@ class MiniCPMConfig:
     # "flash"/"xla" force.
     attn_impl: str = "auto"
 
+    def __post_init__(self):
+        # int8 is inference-only: the Pallas GEMM has no VJP and the XLA
+        # fallback's round() has zero gradient — training under quant would
+        # silently produce broken grads. remat is the training signal.
+        if self.quant != "none" and self.remat:
+            raise ValueError(
+                "quant='int8' is inference-only (no VJP); remat=True marks a "
+                "training config — use quant='none' for training")
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads

@@ -62,6 +62,13 @@ class SiglipViTConfig:
     # than the GEMM saves at (m, 2048)x(2048, 1152)).
     quant: str = "none"
 
+    def __post_init__(self):
+        # mirror MiniCPMConfig: int8 has no VJP — block training configs
+        if self.quant != "none" and self.remat:
+            raise ValueError(
+                "quant='int8' is inference-only (no VJP); remat=True marks a "
+                "training config — use quant='none' for training")
+
     @property
     def patch_dim(self) -> int:
         return 3 * self.patch_size * self.patch_size

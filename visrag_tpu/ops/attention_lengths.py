@@ -10,10 +10,14 @@ lengths via scalar prefetch and:
     touched (≈20% of ViT work at 950/1152 valid patches);
   * applies masks only on blocks that need them (boundary block, causal
     diagonal crossers) via lax.cond — interior blocks skip the compare/select
-    VPU chain entirely (the kernel is VPU-bound, so this is the hot path);
-  * zeroes fully-padded query rows in the epilogue.
+    VPU chain entirely (the kernel is VPU-bound, so this is the hot path).
 
-Outputs match ops/attention.mha_reference with seg = (pos < length) exactly.
+CONTRACT: query rows at positions >= length are NOT zeroed — fully-masked
+rows come out as the mean of the in-length V rows (all scores masked to the
+same value → uniform softmax). Every caller must mask padded rows downstream
+(they all do: pooling masks, loss masks, the proj-GEMM outputs of pad rows
+are never read). Valid rows (< length) match ops/attention.mha_reference
+with seg = (pos < length) exactly.
 """
 
 from __future__ import annotations

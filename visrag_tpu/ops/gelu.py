@@ -24,6 +24,13 @@ except at exact ties (none exist in the sweep).
 The tanh approximation is NOT usable here: it differs from erf GELU on 322
 of 65280 finite bf16 inputs (and is catastrophically wrong in the negative
 tail where tanh saturates to exactly -1).
+
+GRADIENT: autodiff differentiates the polynomial, not erf — the backward
+pass is the derivative of the minimax fit, within ~1e-4 relative of the
+exact gelu'(x) = Phi(x) + x*phi(x) (tested in tests/test_ops_gelu.py).
+That is ~20x below bf16 resolution, fine for bf16 training; the polynomial
+bwd is also cheaper than an exact-erf bwd would be. Use jax.nn.gelu
+(approximate=False) if a future caller needs fp32-exact gradients.
 """
 
 from __future__ import annotations

@@ -99,7 +99,14 @@ def int8_matmul_fused(xq, xs, wq, ws, bias=None, *, out_dtype=jnp.bfloat16,
     n = wq.shape[1]
     xs = xs.reshape(m)
     bias = jnp.zeros((n,), jnp.float32) if bias is None else bias
-    bm_, bn_, bk_ = min(bm, m), min(bn, n), min(bk, k)
+    # Clamp blocks to the problem size, then round UP to Mosaic's (8, 128)
+    # sublane/lane tiling — min() alone can produce misaligned blocks for
+    # m % 8 != 0 or n/k % 128 != 0, which interpret mode (CPU tests) accepts
+    # but real lowering rejects. _pad_to below pads operands to the rounded
+    # blocks, so the extra rows/cols are exact zeros.
+    bm_ = _round_up(min(bm, m), NUM_SUBLANES)
+    bn_ = _round_up(min(bn, n), NUM_LANES)
+    bk_ = _round_up(min(bk, k), NUM_LANES)
 
     xq_p = _pad_to(_pad_to(xq, 0, bm_), 1, bk_)
     wq_p = _pad_to(_pad_to(wq, 0, bk_), 1, bn_)
