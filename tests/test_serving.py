@@ -224,6 +224,126 @@ def test_paged_decode_attention_matches_dense():
                                rtol=2e-2, atol=8e-3)
 
 
+def test_paged_decode_attention_tp_shard_map():
+    """TP paged decode: the shard_map path (pools sharded over kv heads, q
+    over heads) == the single-device dense reference — both the XLA inner
+    path and the Pallas kernel in interpret mode."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.serving.kv_cache import decode_attention
+    from visrag_tpu.serving.paged_kv import paged_decode_attention
+
+    mesh = build_mesh(MeshConfig(model=2, data=4))
+    rng = np.random.default_rng(11)
+    slots, h, kvh, d, bs, mb = 3, 8, 2, 64, 128, 4
+    max_len = bs * mb
+    q = jnp.asarray(rng.normal(size=(slots, h, d)), jnp.float32)
+    dense_k = jnp.asarray(rng.normal(size=(slots, max_len, kvh, d)),
+                          jnp.float32)
+    dense_v = jnp.asarray(rng.normal(size=(slots, max_len, kvh, d)),
+                          jnp.float32)
+    lengths = jnp.asarray([5, 300, 512], jnp.int32)
+    want = decode_attention(q, dense_k, dense_v, lengths)
+
+    perm = rng.permutation(slots * mb)
+    table = np.asarray(perm).reshape(slots, mb).astype(np.int32)
+    k_pool = np.zeros((slots * mb, kvh, bs, d), np.float32)
+    v_pool = np.zeros_like(k_pool)
+    for s in range(slots):
+        for j in range(mb):
+            k_pool[table[s, j]] = np.asarray(dense_k)[
+                s, j * bs:(j + 1) * bs].transpose(1, 0, 2)
+            v_pool[table[s, j]] = np.asarray(dense_v)[
+                s, j * bs:(j + 1) * bs].transpose(1, 0, 2)
+    got = paged_decode_attention(q, jnp.asarray(k_pool), jnp.asarray(v_pool),
+                                 jnp.asarray(table), lengths, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    got_k = paged_decode_attention(q, jnp.asarray(k_pool),
+                                   jnp.asarray(v_pool), jnp.asarray(table),
+                                   lengths, mesh=mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+    # tp that does not divide kvh must be rejected (caller falls to GSPMD)
+    bad = build_mesh(MeshConfig(model=4, data=2))
+    with pytest.raises(ValueError):
+        paged_decode_attention(q, jnp.asarray(k_pool), jnp.asarray(v_pool),
+                               jnp.asarray(table), lengths, mesh=bad)
+
+
+def test_engine_tp_matches_single_device(tiny_model):
+    """A MeshConfig(model=2) engine produces token-identical greedy output
+    to the single-device engine (VERDICT next-round #1: TP-sharded serving).
+    Covers sharded params, kvh-sharded pools, and the shard_map decode."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(21)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,)).astype(np.int32))
+               for n in (6, 9, 4)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    eng1 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    want = eng1.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+
+    mesh = build_mesh(MeshConfig(model=2, data=1),
+                      devices=jax.devices()[:2])
+    eng2 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,),
+                  mesh=mesh)
+    assert eng2._attn_mesh is not None       # kvh=2 → shard_map path active
+    got = eng2.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    assert got == want
+
+
+def test_engine_prompt_group_single_prefill(tiny_model):
+    """n-sampling groups prefill each prompt ONCE (VERDICT next-round #2):
+    greedy forks are token-identical to an independent request — exercising
+    the partial-block copy (prompt len not a block multiple) — and all
+    blocks return to the pool (refcount correctness)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(31)
+    # block_size = gcd(128, 16, 64) = 16; length 11 → partial-block copy
+    p1 = rng.integers(0, 100, size=(11,)).astype(np.int32)
+    # length 16 → exact block boundary, no-copy fork path
+    p2 = rng.integers(0, 100, size=(16,)).astype(np.int32)
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    eng0 = Engine(model, params, num_slots=2, max_len=64,
+                  prompt_buckets=(16,))
+    want = eng0.generate([dict(input_ids=p1), dict(input_ids=p2)],
+                         sampling=sp)
+    assert eng0.prefill_count == 2
+
+    eng = Engine(model, params, num_slots=3, max_len=64, prompt_buckets=(16,))
+    outs = eng.generate([dict(input_ids=p1), dict(input_ids=p2)],
+                        sampling=sp, n=8)
+    assert eng.prefill_count == 2            # 1 per group, not 16
+    assert len(outs) == 16
+    for o in outs[:8]:
+        assert o == want[0]
+    for o in outs[8:]:
+        assert o == want[1]
+    # every block back in the pool (+1 held null block)
+    assert len(eng.allocator.free) + 1 == len(eng.allocator.ref)
+    assert all(r == 0 for i, r in enumerate(eng.allocator.ref)
+               if i != eng.null_block)
+
+
+def test_engine_prompt_group_sampled_forks_differ(tiny_model):
+    """Hot-temperature forks draw independent first tokens from the shared
+    prompt-end logits (vLLM n-sampling semantics, not n copies of one
+    sample)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(32)
+    prompt = rng.integers(0, 100, size=(9,)).astype(np.int32)
+    eng = Engine(model, params, num_slots=4, max_len=64, prompt_buckets=(16,))
+    outs = eng.generate([dict(input_ids=prompt)],
+                        sampling=SamplingParams(temperature=5.0,
+                                                max_tokens=4),
+                        rng=jax.random.PRNGKey(3), n=8)
+    assert len(outs) == 8 and len(set(map(tuple, outs))) > 1
+
+
 def test_engine_block_recycling(tiny_model):
     """A pool smaller than slots×max_len serves more requests than its
     capacity by recycling blocks as requests finish."""

@@ -53,6 +53,51 @@ def single_device_mesh() -> Mesh:
     return build_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     process_id: Optional[int] = None,
+                     num_processes: Optional[int] = None):
+    """Multi-host (DCN) bootstrap — the torchrun / Ray-cluster role
+    (reference visrag_scripts/train_retriever/train.sh torchrun block;
+    rsgrpo/verl/trainer/main.py:110-121 ray.init). Call once per process
+    BEFORE any device use; after it, jax.devices() spans every host and the
+    single-controller programs below scale unchanged (the mesh's `replica`
+    axis rides DCN, everything else ICI).
+
+    Flags beat env vars (VISRAG_COORDINATOR / VISRAG_PROCESS_ID /
+    VISRAG_NUM_PROCESSES). No coordinator configured → single-host no-op.
+    Returns (process_id, num_processes)."""
+    import os
+    coordinator = coordinator or os.environ.get("VISRAG_COORDINATOR")
+    if coordinator is None:
+        return 0, 1
+    process_id = int(process_id if process_id is not None
+                     else os.environ["VISRAG_PROCESS_ID"])
+    num_processes = int(num_processes if num_processes is not None
+                        else os.environ["VISRAG_NUM_PROCESSES"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return process_id, num_processes
+
+
+def multihost_mesh_config(cfg: MeshConfig, num_processes: int) -> MeshConfig:
+    """Derive the mesh layout for an n-process run: the replica axis spans
+    processes (weights replicated across DCN slices — HSDP outer axis), the
+    data axis fills each process's local chips. An explicitly-set replica
+    axis wins; it must then be a multiple of the process count so each
+    DCN slice holds whole replicas."""
+    import dataclasses
+    if num_processes <= 1:
+        return cfg
+    if cfg.replica in (1, -1, 0):
+        return dataclasses.replace(cfg, replica=num_processes)
+    if cfg.replica % num_processes != 0:
+        raise ValueError(
+            f"replica={cfg.replica} not a multiple of num_processes="
+            f"{num_processes}: replicas would straddle DCN slices")
+    return cfg
+
+
 # ---------------------------------------------------------------------------
 # Sharding helpers
 # ---------------------------------------------------------------------------
@@ -100,9 +145,16 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2 ** 16):
 # torch (out, in) layout: column-parallel ops shard the OUT dim, their
 # row-parallel counterparts shard the IN dim so the pair needs one psum
 # (inserted by GSPMD). Everything else replicates over `model`.
+# Name sets cover both HF-style (q_proj/...) and this repo's module names
+# (attn_q/attn_k/attn_v + mlp_gate/mlp_up in the Qwen text stack — sharding
+# the attention OUT dims over `model` keeps q/k/v head-aligned with the
+# kvh-sharded KV pools, so the paged decode kernel's shard_map needs no
+# collectives; see serving/paged_kv.paged_decode_attention).
 _TP_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "attn_qkv",
-           "mlp_fc1", "kv_proj", "lm_head")
-_TP_ROW = ("o_proj", "down_proj", "attn_proj", "mlp_fc2", "out_proj")
+           "mlp_fc1", "kv_proj", "lm_head",
+           "attn_q", "attn_k", "attn_v", "mlp_gate", "mlp_up")
+_TP_ROW = ("o_proj", "down_proj", "attn_proj", "mlp_fc2", "out_proj",
+           "attn_o", "mlp_down")
 
 
 def tp_param_spec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:

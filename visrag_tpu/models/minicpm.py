@@ -140,10 +140,12 @@ class MiniCPMAttention(nn.Module):
         out = self.o_proj(o.reshape(b, s, -1))
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, positions, kc, vc, lengths_incl, block_table=None):
+    def decode(self, x, positions, kc, vc, lengths_incl, block_table=None,
+               mesh=None):
         """One-token step on THIS layer's cache arrays — dense (B, L, kvh, d)
         or a paged per-layer pool when block_table is given (see
-        qwen25_vl.QwenAttention.decode)."""
+        qwen25_vl.QwenAttention.decode). mesh: optional TP mesh threaded to
+        the paged kernel (serving/paged_kv.paged_decode_attention)."""
         b = x.shape[0]
         q, k, v = self._qkv(x, positions)
         pos = lengths_incl - 1
@@ -158,7 +160,7 @@ class MiniCPMAttention(nn.Module):
             kc = write_token(kc, block_table, pos, k[:, 0])
             vc = write_token(vc, block_table, pos, v[:, 0])
             o = paged_decode_attention(q[:, 0], kc, vc, block_table,
-                                       lengths_incl)
+                                       lengths_incl, mesh=mesh)
         return (self.o_proj(o[:, None].reshape(b, 1, -1)), kc, vc)
 
 
@@ -187,10 +189,11 @@ class MiniCPMBlock(nn.Module):
         out = x + m * self.depth_scale
         return (out, kv) if return_kv else out
 
-    def decode(self, x, positions, kc, vc, lengths_incl, block_table=None):
+    def decode(self, x, positions, kc, vc, lengths_incl, block_table=None,
+               mesh=None):
         a, kc, vc = self.self_attn.decode(
             self.input_layernorm(x), positions, kc, vc, lengths_incl,
-            block_table)
+            block_table, mesh=mesh)
         x = x + a * self.depth_scale
         m = self.mlp(self.post_attention_layernorm(x))
         return x + m * self.depth_scale, kc, vc
@@ -243,7 +246,7 @@ class MiniCPMModel(nn.Module):
         return (out, kvs) if return_kv else out
 
     def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl,
-               block_table=None):
+               block_table=None, mesh=None):
         """One decode step; k_cache/v_cache are TUPLES of per-layer arrays.
         Returns (hidden, k_cache, v_cache) with this token's K/V written at
         lengths_incl-1 (donate the caches)."""
@@ -251,7 +254,8 @@ class MiniCPMModel(nn.Module):
         kcs, vcs = list(k_cache), list(v_cache)
         for i, layer in enumerate(self.layers):
             x, kcs[i], vcs[i] = layer.decode(x, positions, kcs[i], vcs[i],
-                                             lengths_incl, block_table)
+                                             lengths_incl, block_table,
+                                             mesh=mesh)
         return self.norm(x), tuple(kcs), tuple(vcs)
 
     def embed_only(self, input_ids):

@@ -164,10 +164,11 @@ class MiniCPMVForGeneration(nn.Module):
         return self._logits(hidden), k, v
 
     def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,
-               block_table=None):
+               block_table=None, mesh=None):
         embeds = self.backbone.llm.embed_only(token_ids)
         if positions.ndim == 3:
             positions = positions[0]
         hidden, k_cache, v_cache = self.backbone.llm.decode(
-            embeds, positions, k_cache, v_cache, lengths_incl, block_table)
+            embeds, positions, k_cache, v_cache, lengths_incl, block_table,
+            mesh=mesh)
         return self._logits(hidden)[:, 0], k_cache, v_cache

@@ -246,22 +246,31 @@ class QwenTextBlock(nn.Module):
         y = self.mlp_down(nn.silu(self.mlp_gate(y)) * self.mlp_up(y))
         return x + y
 
-    def __call__(self, x, cos, sin, seg, lengths, return_kv=False):
+    def __call__(self, x, cos, sin, seg, lengths, return_kv=False,
+                 sp_mesh=None):
         q, k, v = self._qkv(x, cos, sin)
-        if lengths is not None:
+        if sp_mesh is not None:
+            # Ulysses sequence parallelism over the mesh's `seq` axis
+            # (reference dp_actor.py:109-116 when ulysses_size > 1)
+            from ..parallel.ulysses import sp_flash_attention
+            o = sp_flash_attention(q, k, v, q_seg=seg, kv_seg=seg,
+                                   lengths=lengths, causal=True, mesh=sp_mesh)
+        elif lengths is not None:
             o = flash_attention(q, k, v, lengths=lengths, causal=True)
         else:
             o = flash_attention(q, k, v, seg, seg, causal=True)
         out = self._mlp_residual(x, o)
         return (out, (k, v)) if return_kv else out
 
-    def decode(self, x, cos, sin, kc, vc, lengths_incl, block_table=None):
+    def decode(self, x, cos, sin, kc, vc, lengths_incl, block_table=None,
+               mesh=None):
         """x (B, 1, E); lengths_incl counts INCLUDING this step's token.
         kc/vc: THIS layer's cache — dense (B, L_max, kvh, d) when block_table
         is None, else a paged per-layer pool (n_blocks, kvh, bs, d) indexed
         by block_table (B, max_blk). Per-layer arrays (not a layer-stacked
         slab) keep XLA's scatter in-place under donation. Writes this token's
-        K/V at lengths_incl-1 and returns (out, kc, vc)."""
+        K/V at lengths_incl-1 and returns (out, kc, vc). mesh: optional TP
+        mesh for the paged kernel (see paged_kv.paged_decode_attention)."""
         q, k, v = self._qkv(x, cos, sin)
         b = x.shape[0]
         pos = lengths_incl - 1
@@ -276,7 +285,7 @@ class QwenTextBlock(nn.Module):
             kc = write_token(kc, block_table, pos, k[:, 0])
             vc = write_token(vc, block_table, pos, v[:, 0])
             o = paged_decode_attention(q[:, 0], kc, vc, block_table,
-                                       lengths_incl)
+                                       lengths_incl, mesh=mesh)
         out = self._mlp_residual(x, o[:, None])
         return out, kc, vc
 
@@ -308,8 +317,13 @@ class QwenTextModel(nn.Module):
         return mrope_cos_sin(positions, inv_freq, c.mrope_section)
 
     def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
-                 attention_mask=None, segment_ids=None, return_kv=False):
-        """positions: (3, B, S) mrope streams (or (B, S) → broadcast)."""
+                 attention_mask=None, segment_ids=None, return_kv=False,
+                 sp_mesh=None):
+        """positions: (3, B, S) mrope streams (or (B, S) → broadcast).
+        sp_mesh: optional mesh with a seq axis > 1 — hidden states are
+        sequence-sharded across layers and attention runs Ulysses
+        (parallel/ulysses.sp_flash_attention); activation memory scales
+        S/seq per device (the reference's 15k-token RS-GRPO prompts)."""
         c = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -325,18 +339,26 @@ class QwenTextModel(nn.Module):
             lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
         x = inputs_embeds.astype(c.dtype)
+        if sp_mesh is not None and dict(sp_mesh.shape).get("seq", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(sp_mesh, P(("replica", "data"), "seq",
+                                            None)))
+        else:
+            sp_mesh = None
         kvs = []
         for layer in self.layers:
             if return_kv:
-                x, kv = layer(x, cos, sin, seg, lengths, return_kv=True)
+                x, kv = layer(x, cos, sin, seg, lengths, return_kv=True,
+                              sp_mesh=sp_mesh)
                 kvs.append(kv)
             else:
-                x = layer(x, cos, sin, seg, lengths)
+                x = layer(x, cos, sin, seg, lengths, sp_mesh=sp_mesh)
         out = self.norm(x)
         return (out, kvs) if return_kv else out
 
     def decode(self, inputs_embeds, positions, k_cache, v_cache, lengths_incl,
-               block_table=None):
+               block_table=None, mesh=None):
         """One decode step. inputs_embeds (B, 1, E); positions (3, B, 1);
         k_cache/v_cache are TUPLES of per-layer dense stacks or paged pools
         (see QwenAttention.decode), donated. Returns
@@ -347,7 +369,8 @@ class QwenTextModel(nn.Module):
         kcs, vcs = list(k_cache), list(v_cache)
         for i, layer in enumerate(self.layers):
             x, kcs[i], vcs[i] = layer.decode(x, cos, sin, kcs[i], vcs[i],
-                                             lengths_incl, block_table)
+                                             lengths_incl, block_table,
+                                             mesh=mesh)
         return self.norm(x), tuple(kcs), tuple(vcs)
 
 
@@ -411,13 +434,14 @@ class Qwen25VL(nn.Module):
 
     def __call__(self, input_ids, attention_mask=None, positions=None,
                  vision_batch=None, slot_map=None, segment_ids=None,
-                 vision_embeds=None):
+                 vision_embeds=None, sp_mesh=None):
         """vision_embeds: precomputed (N_tokens, E) table (frozen-tower RL
-        update path) — bypasses the vision tower; slot_map indexes into it."""
+        update path) — bypasses the vision tower; slot_map indexes into it.
+        sp_mesh: Ulysses sequence parallelism (see QwenTextModel)."""
         embeds = self._embed(input_ids, vision_batch, slot_map, vision_embeds)
         hidden = self.model(inputs_embeds=embeds, positions=positions,
                             attention_mask=attention_mask,
-                            segment_ids=segment_ids)
+                            segment_ids=segment_ids, sp_mesh=sp_mesh)
         return self.compute_logits(hidden), hidden
 
     def prefill(self, input_ids, attention_mask=None, positions=None,
@@ -433,9 +457,10 @@ class Qwen25VL(nn.Module):
         return self.compute_logits(hidden), k, v
 
     def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,
-               block_table=None):
+               block_table=None, mesh=None):
         """token_ids (B, 1); → (logits (B, V), k_cache, v_cache)."""
         embeds = self.model.embed_tokens(token_ids)
         hidden, k_cache, v_cache = self.model.decode(
-            embeds, positions, k_cache, v_cache, lengths_incl, block_table)
+            embeds, positions, k_cache, v_cache, lengths_incl, block_table,
+            mesh=mesh)
         return self.compute_logits(hidden)[:, 0], k_cache, v_cache

@@ -50,10 +50,32 @@ class Request:
     vision_batch: Optional[dict] = None
     slot_map: Optional[np.ndarray] = None
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    group: Optional["PromptGroup"] = None   # n-sampling fork group
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     cum_logprob: float = 0.0
     done: bool = False
+
+
+@dataclasses.dataclass
+class PromptGroup:
+    """Shared prompt state for n-sampling: the prompt is prefilled ONCE (by
+    the group leader) and the n decode forks reuse its KV blocks read-only —
+    vLLM's SamplingParams(n=...) semantics (the reference's RS-GRPO rollout
+    repeat-interleaves AFTER generation, vllm_rollout_spmd.py:200-206; the
+    old engine prefilled each of the n byte-identical prompts separately,
+    n× the prefill FLOPs). Forks copy only the PARTIAL last prompt block
+    (their first decode token writes into it); full prompt blocks are
+    refcount-shared. The group holds one reference on the shared + partial
+    blocks until every fork is placed."""
+    prompt_len: int
+    shared: List[int]                # full prompt blocks (len = s // bs)
+    hold: List[int]                  # shared (+ partial src) held until done
+    partial_src: int                 # leader's partial block id, -1 if none
+    last_logits: object = None       # (vocab,) device array at prompt end
+    prompt_row: object = None        # (vocab,) bool device seen-row
+    forks_left: int = 0              # followers not yet placed
+    ready: bool = False
 
 
 class Engine:
@@ -65,7 +87,18 @@ class Engine:
                  eos_token_ids: Sequence[int] = (),
                  cache_dtype=jnp.bfloat16, decode_chunk: int = 16,
                  cache_blocks: Optional[int] = None,
-                 decode_unroll: int = 1):
+                 decode_unroll: int = 1, mesh=None):
+        """mesh: optional tensor-parallel mesh (axis "model" > 1) — the
+        vLLM tensor_parallel_size role (reference vllm_rollout_spmd.py:
+        106-127, fsdp_workers.py:331-350). Params are sharded with the
+        Megatron column/row rules (mesh.shard_params_tp), KV pools are
+        sharded over the kv-head axis, and the paged decode kernel runs
+        per-shard under shard_map (zero-collective GQA: each shard owns
+        whole kv groups). Host control logic is unchanged — the JAX single
+        controller addresses all shards through GSPMD. Requires model-axis
+        size to divide num_key_value_heads (e.g. Qwen-3B kvh=2 → tp≤2,
+        Qwen-7B kvh=4 → tp≤4 — enough to fit the 15.5 GB EVisRAG-7B bf16
+        weights on 16 GB v5e chips)."""
         self.model = model
         self.params = params
         self.num_slots = num_slots
@@ -80,6 +113,25 @@ class Engine:
         self.unroll = max(1, decode_unroll)
         tc = model.cfg.text
         self.vocab = tc.vocab_size
+        # tensor parallelism: shard params + pools over the mesh's model axis
+        self.mesh = mesh
+        self.tp = 1 if mesh is None else int(dict(mesh.shape).get("model", 1))
+        self._attn_mesh = None      # threaded to the paged kernel's shard_map
+        self._kv_shard = None       # NamedSharding pinned on the pools
+        if self.tp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..mesh import shard_params_tp
+            self.params = shard_params_tp(params, mesh)
+            h = tc.num_attention_heads
+            kvh = tc.num_key_value_heads
+            if kvh % self.tp == 0 and h % self.tp == 0:
+                self._attn_mesh = mesh
+                self._kv_shard = NamedSharding(
+                    mesh, P(None, "model", None, None))
+            else:
+                # GQA narrower than tp: replicate KV, let GSPMD partition
+                # the XLA decode-attention path over q heads
+                self._kv_shard = NamedSharding(mesh, P())
         # paged KV pool (vLLM paged-attention role): cache_blocks bounds
         # total tokens in flight; default = the dense slab's capacity
         import math as _math
@@ -92,11 +144,14 @@ class Engine:
         n_blocks = (cache_blocks or num_slots * self.max_blocks) + 1
         from .paged_kv import pool_shape
         shape = pool_shape(n_blocks, bs, tc.num_key_value_heads, tc.head_dim)
+
+        def _pool():
+            z = jnp.zeros(shape, cache_dtype)
+            return jax.device_put(z, self._kv_shard) \
+                if self._kv_shard is not None else z
         # per-layer tuples (see paged_kv.pool_shape: aliasing/in-place writes)
-        self.k_cache = tuple(jnp.zeros(shape, cache_dtype)
-                             for _ in range(tc.num_hidden_layers))
-        self.v_cache = tuple(jnp.zeros(shape, cache_dtype)
-                             for _ in range(tc.num_hidden_layers))
+        self.k_cache = tuple(_pool() for _ in range(tc.num_hidden_layers))
+        self.v_cache = tuple(_pool() for _ in range(tc.num_hidden_layers))
         self.allocator = BlockAllocator(n_blocks)
         # idle slots write into a dedicated scratch block (never read) so
         # they can't scribble over another request's allocation
@@ -121,26 +176,44 @@ class Engine:
 
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(6, 7, 8),
                                     static_argnums=(11,))
+        self._fork_jit = jax.jit(self._fork_fn, donate_argnums=(2, 3, 4),
+                                 static_argnums=(9,))
         self._chunk_jit = jax.jit(self._decode_chunk_fn,
                                   donate_argnums=(1, 2, 3),
                                   static_argnums=(14,))
+        self.prefill_count = 0      # full-model prompt passes (group = 1)
 
     # ---- request management ------------------------------------------
 
     def add_request(self, input_ids, positions=None, vision_batch=None,
                     slot_map=None,
-                    sampling: Optional[SamplingParams] = None) -> int:
-        rid = self._next_id
-        self._next_id += 1
+                    sampling: Optional[SamplingParams] = None, n: int = 1):
+        """Queue one prompt. n > 1 queues an n-sampling group — the prompt
+        is prefilled once and n independent decode forks share its KV blocks
+        (returns the list of n request ids; n == 1 returns a single id)."""
         input_ids = np.asarray(input_ids, np.int32)
         if positions is None:
             positions = np.broadcast_to(np.arange(len(input_ids)),
                                         (3, len(input_ids)))
-        self.queue.append(Request(rid, input_ids, np.asarray(positions),
-                                  vision_batch=vision_batch,
-                                  slot_map=slot_map,
-                                  sampling=sampling or SamplingParams()))
-        return rid
+        positions = np.asarray(positions)
+        sampling = sampling or SamplingParams()
+        group = None
+        if n > 1:
+            group = PromptGroup(prompt_len=len(input_ids),
+                                shared=[], hold=[], partial_src=-1,
+                                forks_left=n - 1)
+        rids = []
+        for i in range(n):
+            rid = self._next_id
+            self._next_id += 1
+            self.queue.append(Request(
+                rid, input_ids, positions,
+                # vision runs once, in the leader's prefill
+                vision_batch=vision_batch if i == 0 else None,
+                slot_map=slot_map if i == 0 else None,
+                sampling=sampling, group=group))
+            rids.append(rid)
+        return rids if n > 1 else rids[0]
 
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
@@ -159,15 +232,44 @@ class Engine:
                                         positions=pos, vision_batch=vb,
                                         slot_map=sm, method=self.model.prefill)
         k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
-        row = jnp.zeros((self.vocab,), jnp.bool_)
-        row = row.at[ids[0]].max(mask[0] > 0)
+        prow = jnp.zeros((self.vocab,), jnp.bool_)
+        prow = prow.at[ids[0]].max(mask[0] > 0)
         last = jax.lax.dynamic_slice(logits, (0, length - 1, 0),
                                      (1, 1, self.vocab))[:, 0]
         tok, logp = sample_vec(last, rng, temp[None], top_p[None],
-                               rep_pen[None], row[None])
-        row = row.at[tok[0]].set(True)
+                               rep_pen[None], prow[None])
+        row = prow.at[tok[0]].set(True)
         seen = jax.lax.dynamic_update_slice(seen, row[None], (slot, 0))
+        k_cache, v_cache = self._pin_pools(k_cache, v_cache)
+        # last/prow ride back for n-sampling groups: forks sample their own
+        # first token from the same prompt-end logits (no re-prefill)
+        return tok[0], logp[0], last[0], prow, k_cache, v_cache, seen
+
+    def _fork_fn(self, logits, prow, k_cache, v_cache, seen, state, src, dst,
+                 rng, do_copy):
+        """Place one decode fork of a prompt group: sample its first token
+        from the group's prompt-end logits, install its seen row, and (when
+        the prompt ends mid-block) copy the leader's partial block src → the
+        fork's own block dst in every layer pool."""
+        slot, temp, top_p, rep_pen = state
+        tok, logp = sample_vec(logits[None], rng, temp[None], top_p[None],
+                               rep_pen[None], prow[None])
+        row = prow.at[tok[0]].set(True)
+        seen = jax.lax.dynamic_update_slice(seen, row[None], (slot, 0))
+        if do_copy:
+            k_cache = tuple(p.at[dst].set(p[src]) for p in k_cache)
+            v_cache = tuple(p.at[dst].set(p[src]) for p in v_cache)
+        k_cache, v_cache = self._pin_pools(k_cache, v_cache)
         return tok[0], logp[0], k_cache, v_cache, seen
+
+    def _pin_pools(self, k_cache, v_cache):
+        """Pin the KV pools' TP sharding on jitted outputs so donation
+        round-trips without resharding copies (no-op when tp == 1)."""
+        if self._kv_shard is None:
+            return k_cache, v_cache
+        pin = lambda t: tuple(
+            jax.lax.with_sharding_constraint(p, self._kv_shard) for p in t)
+        return pin(k_cache), pin(v_cache)
 
     def _prefill_one(self, req: Request, slot: int, rng) -> int:
         s = len(req.input_ids)
@@ -197,10 +299,60 @@ class Engine:
         rows = jnp.asarray(blocks[:bucket // bs_blk], jnp.int32)
         state = (jnp.int32(slot), jnp.int32(s), jnp.float32(sp.temperature),
                  jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
-        tok, logp, self.k_cache, self.v_cache, self.seen = self._prefill_jit(
+        (tok, logp, last, prow, self.k_cache, self.v_cache,
+         self.seen) = self._prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(pos),
             jnp.asarray(mask), vb, sm, self.k_cache, self.v_cache, self.seen,
             rows, state, bucket, rng)
+        self.prefill_count += 1
+        g = req.group
+        if g is not None and not g.ready:
+            # group leader: publish shared prompt blocks + prompt-end state
+            nfull = s // bs_blk
+            g.shared = blocks[:nfull]
+            g.partial_src = blocks[nfull] if s % bs_blk else -1
+            g.hold = list(g.shared) + \
+                ([g.partial_src] if g.partial_src >= 0 else [])
+            self.allocator.retain(g.hold)
+            g.last_logits = last
+            g.prompt_row = prow
+            g.ready = True
+        return self._activate_slot(req, slot, tok, logp, s)
+
+    def _place_fork(self, req: Request, slot: int, rng) -> int:
+        """Place one decode fork of a prefilled prompt group: share the full
+        prompt blocks (refcounted), copy the partial last block if any, and
+        sample the fork's first token from the group's prompt-end logits —
+        no model forward at all."""
+        g = req.group
+        s = g.prompt_len
+        sp = req.sampling
+        bs_blk = self.block_size
+        budget = max(min(sp.max_tokens, self.max_len - s), 1)
+        need = -(-(s + budget) // bs_blk)
+        own = self.allocator.alloc(need - len(g.shared))
+        self.allocator.retain(g.shared)
+        blocks = list(g.shared) + own
+        self.slot_blocks[slot] = blocks
+        self.table[slot] = self.null_block
+        self.table[slot, :len(blocks)] = blocks
+        do_copy = g.partial_src >= 0
+        state = (jnp.int32(slot), jnp.float32(sp.temperature),
+                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
+        tok, logp, self.k_cache, self.v_cache, self.seen = self._fork_jit(
+            g.last_logits, g.prompt_row, self.k_cache, self.v_cache,
+            self.seen, state, jnp.int32(max(g.partial_src, 0)),
+            jnp.int32(own[0]), rng, do_copy)
+        g.forks_left -= 1
+        if g.forks_left == 0:
+            self.allocator.release(g.hold)
+            g.hold = []
+        return self._activate_slot(req, slot, tok, logp, s)
+
+    def _activate_slot(self, req: Request, slot: int, tok, logp,
+                       s: int) -> int:
+        """Common post-placement bookkeeping for prefills and forks."""
+        sp = req.sampling
         tok = int(tok)
         req.cum_logprob += float(logp)
         req.output_ids.append(tok)
@@ -217,12 +369,15 @@ class Engine:
         self.active[slot] = not done
         if done:
             req.done = True
-            self.slot_req[slot] = None
-            self.allocator.release(self.slot_blocks[slot])
-            self.slot_blocks[slot] = []
-            self.table[slot] = self.null_block
-            self.lengths[slot] = 0
+            self._finish_slot(slot)
         return tok
+
+    def _finish_slot(self, slot: int) -> None:
+        self.slot_req[slot] = None
+        self.allocator.release(self.slot_blocks[slot])
+        self.slot_blocks[slot] = []
+        self.table[slot] = self.null_block
+        self.lengths[slot] = 0
 
     # ---- decode --------------------------------------------------------
 
@@ -245,7 +400,8 @@ class Engine:
             pos3 = jnp.broadcast_to(cur_pos[None, :, None], (3, B, 1))
             logits, k_cache, v_cache = self.model.apply(
                 params, last_tok[:, None], pos3, k_cache, v_cache,
-                lengths_incl, table, method=self.model.decode)
+                lengths_incl, table, method=self.model.decode,
+                mesh=self._attn_mesh)
             tok, logp = sample_vec(logits, rng_t, temp, top_p, rep_pen, seen)
             tok = jnp.where(active, tok, last_tok)
             seen = seen.at[jnp.arange(B), tok].max(active)
@@ -267,6 +423,7 @@ class Engine:
         carry, toks = jax.lax.scan(step, init, rngs, unroll=self.unroll)
         (k_cache, v_cache, seen, lengths, last_tok, cur_pos, active,
          gen_left, logp_acc) = carry
+        k_cache, v_cache = self._pin_pools(k_cache, v_cache)
         packed = jnp.concatenate([
             toks.reshape(-1), lengths, cur_pos, gen_left,
             active.astype(jnp.int32), last_tok,
@@ -312,11 +469,7 @@ class Engine:
             req.cum_logprob += float(logp_acc[i])
             if not new_active[i]:
                 req.done = True
-                self.slot_req[i] = None
-                self.allocator.release(self.slot_blocks[i])
-                self.slot_blocks[i] = []
-                self.table[i] = self.null_block
-                self.lengths[i] = 0    # keep the table bucket tight
+                self._finish_slot(i)   # also zeroes lengths → tight bucket
         self.active = new_active & np.asarray(
             [r is not None for r in self.slot_req])
 
@@ -331,7 +484,11 @@ class Engine:
             while self.queue and self._free_slots():
                 rng, r1 = jax.random.split(rng)
                 req = self.queue.pop(0)
-                self._prefill_one(req, self._free_slots()[0], r1)
+                slot = self._free_slots()[0]
+                if req.group is not None and req.group.ready:
+                    self._place_fork(req, slot, r1)
+                else:
+                    self._prefill_one(req, slot, r1)
             if any(r is not None for r in self.slot_req):
                 rng, r2 = jax.random.split(rng)
                 self._decode_chunk(r2)
@@ -341,22 +498,30 @@ class Engine:
                     del pending[rid]
         return results
 
+    def _add_all(self, prompts: Sequence[dict], sampling, n: int) -> List[int]:
+        ids: List[int] = []
+        for p in prompts:
+            r = self.add_request(sampling=sampling, n=n, **p)
+            ids.extend(r if isinstance(r, list) else [r])
+        return ids
+
     def generate(self, prompts: Sequence[dict],
                  sampling: Optional[SamplingParams] = None,
-                 rng=None) -> List[List[int]]:
+                 rng=None, n: int = 1) -> List[List[int]]:
         """prompts: dicts with input_ids [+ positions, vision_batch,
-        slot_map]. Returns outputs in order."""
-        ids = [self.add_request(sampling=sampling, **p) for p in prompts]
+        slot_map]. Returns outputs in order; n > 1 returns n consecutive
+        samples per prompt (one prefill per prompt — see PromptGroup)."""
+        ids = self._add_all(prompts, sampling, n)
         results = self.run(rng)
         return [results[i] for i in ids]
 
     def generate_detailed(self, prompts: Sequence[dict],
                           sampling: Optional[SamplingParams] = None,
-                          rng=None) -> List[Request]:
+                          rng=None, n: int = 1) -> List[Request]:
         """Like generate() but returns the Request objects (output_ids +
         cum_logprob — the sequences_scores the weighted-selection strategy
         needs, reference weighted_selection/...:394-424)."""
-        ids = [self.add_request(sampling=sampling, **p) for p in prompts]
+        ids = self._add_all(prompts, sampling, n)
         by_id = {r.request_id: r for r in self.queue}
         self.run(rng)
         return [by_id[i] for i in ids]

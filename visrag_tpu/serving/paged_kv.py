@@ -48,19 +48,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class BlockAllocator:
-    """Host-side free-list allocator over the pool's block ids."""
+    """Host-side free-list allocator over the pool's block ids, with
+    refcounts so prompt blocks can be SHARED read-only across the n decode
+    forks of one prompt group (vLLM SamplingParams(n=...) semantics — the
+    reference's rollout relies on it, vllm_rollout_spmd.py:200-206)."""
 
     def __init__(self, n_blocks: int):
         self.free: List[int] = list(range(n_blocks - 1, -1, -1))
+        self.ref = [0] * n_blocks
 
     def alloc(self, n: int) -> List[int]:
         if n > len(self.free):
             raise RuntimeError(
                 f"KV pool exhausted: need {n} blocks, {len(self.free)} free")
-        return [self.free.pop() for _ in range(n)]
+        out = [self.free.pop() for _ in range(n)]
+        for b in out:
+            self.ref[b] = 1
+        return out
+
+    def retain(self, blocks: List[int]) -> None:
+        """Add one reference to each block (sharing an allocation)."""
+        for b in blocks:
+            assert self.ref[b] > 0, f"retain of free block {b}"
+            self.ref[b] += 1
 
     def release(self, blocks: List[int]) -> None:
-        self.free.extend(blocks)
+        """Drop one reference; blocks return to the free list at zero."""
+        for b in blocks:
+            self.ref[b] -= 1
+            if self.ref[b] == 0:
+                self.free.append(b)
 
 
 def pool_shape(n_blocks: int, block_size: int, kvh: int, d: int) -> tuple:
@@ -179,12 +196,40 @@ def _paged_kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
 
 def paged_decode_attention(q, k_pool, v_pool, table, lengths,
                            sm_scale: Optional[float] = None,
-                           interpret: bool = False):
+                           interpret: bool = False, mesh=None):
     """q (slots, H, d); k_pool/v_pool (n_blocks, kvh, block_size, d)
     head-major; table (slots, max_blk) int32 pool rows; lengths (slots,)
-    INCLUDING the current token. → (slots, H, d)."""
+    INCLUDING the current token. → (slots, H, d).
+
+    mesh: optional tensor-parallel mesh (axis "model"). When tp = |model|
+    divides both H and kvh, the call runs under shard_map with q sharded on
+    heads and the pools on kv heads — each shard attends its own GQA groups
+    with ZERO collectives (group g's queries and K/V land on the same shard),
+    and the Pallas kernel stays per-shard instead of being all-gathered by
+    GSPMD around an unpartitionable custom call. When kvh % tp != 0 the
+    caller should not pass a mesh (GSPMD partitions the XLA gather path
+    instead). The serving-TP role of vLLM's tensor_parallel_size
+    (reference vllm_rollout_spmd.py:106-127)."""
     s, h, d = q.shape
     nb, kvh, bs, _ = k_pool.shape
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        tp = dict(mesh.shape).get("model", 1)
+        if tp > 1:
+            if h % tp or kvh % tp:
+                raise ValueError(
+                    f"paged TP requires model={tp} to divide heads {h} and "
+                    f"kv heads {kvh}; drop the mesh to use the GSPMD path")
+            inner = functools.partial(paged_decode_attention,
+                                      sm_scale=sm_scale, interpret=interpret)
+            fn = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(P(None, "model", None),
+                          P(None, "model", None, None),
+                          P(None, "model", None, None),
+                          P(None, None), P(None)),
+                out_specs=P(None, "model", None), check_vma=False)
+            return fn(q, k_pool, v_pool, table, lengths)
     rep = h // kvh
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
