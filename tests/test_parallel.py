@@ -148,6 +148,26 @@ def test_hsdp_train_step_matches_fsdp():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_multihost_mesh_config_math():
+    """Multi-host bootstrap math: replica axis spans processes; explicit
+    replica must hold whole DCN slices; no coordinator → no-op init."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import (build_mesh, init_distributed,
+                                 multihost_mesh_config)
+
+    cfg = MeshConfig()
+    assert multihost_mesh_config(cfg, 1) is cfg
+    out = multihost_mesh_config(cfg, 4)
+    assert out.replica == 4
+    assert multihost_mesh_config(MeshConfig(replica=4), 2).replica == 4
+    with pytest.raises(ValueError):
+        multihost_mesh_config(MeshConfig(replica=3), 2)
+    assert init_distributed() == (0, 1)
+    # derived mesh on the virtual devices: 4 "processes" × 2 chips each
+    mesh = build_mesh(multihost_mesh_config(MeshConfig(), 4))
+    assert mesh.shape["replica"] == 4 and mesh.shape["data"] == 2
+
+
 def test_ring_attention_matches_full():
     """Ring attention over the seq axis == full attention (fwd + grads),
     causal and bidirectional."""

@@ -438,6 +438,29 @@ def test_rl_packed_update_matches_padded():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_rl_packed_update_sp_matches():
+    """actor.ulysses_size=4: the packed update (and compute_log_probs) on a
+    (data=2, seq=4) mesh produces the same params as the sp=1 update —
+    Ulysses SP wired into a real train path (VERDICT next-round #4)."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+
+    rng = np.random.default_rng(17)
+    batch = _synth_train_batch(rng)
+    t1 = _tiny_trainer(padding_free=True)
+    tsp = _tiny_trainer(mesh=build_mesh(MeshConfig(data=2, seq=4)),
+                        padding_free=True, ulysses_size=4)
+    assert tsp.sp == 4
+    for t in (t1, tsp):
+        b = dict(batch)
+        b["old_log_probs"] = t.compute_log_probs(t.params, b)
+        t.update_policy(b)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params["params"]),
+                    jax.tree_util.tree_leaves(tsp.params["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_make_batch_fresh_prompts():
     """Online filtering pulls NEW prompt groups per retry with globally
     unique uids (VERDICT weak #3 / next-step 6)."""
@@ -636,7 +659,10 @@ def test_rl_validate_save_resume(tmp_path):
     prompts = [dict(input_ids=rng.integers(0, 100, size=(6,)).astype(np.int32),
                     ground_truth="<answer>x</answer>") for _ in range(2)]
     tracker = Tracker(str(tmp_path / "logs"))
-    hist = t1.fit([prompts], val_prompts=prompts, tracker=tracker)
+    from visrag_tpu.data.datasets import StatefulIterator
+    it1 = StatefulIterator(lambda: iter([prompts]), cycle=True)
+    t1.data_iter = it1
+    hist = t1.fit(it1, val_prompts=prompts, tracker=tracker)
     tracker.close()
     m = hist[0][1]
     assert "val/reward_score" in m and np.isfinite(m["val/reward_score"])
@@ -649,8 +675,16 @@ def test_rl_validate_save_resume(tmp_path):
         t2.cfg.trainer, output_dir=str(tmp_path / "ckpts")))
     t2.params = {"params": jax.tree_util.tree_map(
         lambda x: x * 0, t2.params["params"])}
+    it2 = StatefulIterator(lambda: iter([prompts]), cycle=True)
+    t2.data_iter = it2
     assert t2.maybe_resume()
     assert t2.step == 1 and t2._uid_next == t1._uid_next
+    # data cursor + fit rng round-trip (VERDICT next-round #7)
+    assert it2.state() == it1.state()
+    assert t2._rng is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(t2._rng)),
+        np.asarray(jax.random.key_data(t1._rng)))
     for a, b in zip(jax.tree_util.tree_leaves(t1.params["params"]),
                     jax.tree_util.tree_leaves(t2.params["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))

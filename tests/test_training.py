@@ -160,6 +160,41 @@ def test_sft_step():
         np.testing.assert_array_equal(np.asarray(leaf_b), np.asarray(leaf_a))
 
 
+def test_sft_step_sp_matches_single():
+    """SFT with ulysses_size=4 on a (data=2, seq=4) mesh == the plain
+    single-device step (SP reachable from SFTConfig, VERDICT #4)."""
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.training.sft import SFTConfig, make_sft_step
+
+    ref, _ = _hf_tiny()
+    base = convert_qwen25_vl({k: v for k, v in ref.state_dict().items()})
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    rng = np.random.default_rng(3)
+    bs, S = 4, 16
+    ids = rng.integers(1, 100, size=(bs, S)).astype(np.int32)
+    rm = np.zeros((bs, S), np.int32)
+    rm[:, 6:12] = 1
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((bs, S), jnp.int32),
+             "response_mask": jnp.asarray(rm)}
+    outs = []
+    for mesh, sp in ((None, 1), (build_mesh(MeshConfig(data=2, seq=4)), 4)):
+        cfg = SFTConfig(lr=1e-3, warmup_steps=1, ulysses_size=sp)
+        params = {"params": jax.tree_util.tree_map(
+            lambda x: jnp.array(np.asarray(x)), base)}
+        tx, step = make_sft_step(model.apply, cfg, mesh=mesh)
+        opt_state = tx.init(params)
+        params, opt_state, m = step(params, opt_state, batch)
+        assert np.isfinite(float(m["loss"]))
+        outs.append([np.asarray(x) for x in jax.tree_util.tree_leaves(params)])
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_ocr_merge():
     from visrag_tpu.preprocess.ocr import merge_adjacent
     dets = [(0, 0, 10, 10, "hello"), (12, 1, 20, 11, "world"),

@@ -255,6 +255,11 @@ class ActorConfig:
     # padding-free packed update path (segment-id attention); micro-batches
     # carrying vision inputs fall back to the padded layout
     padding_free: bool = True
+    # Ulysses sequence parallelism degree for the update/logp forwards
+    # (reference ulysses_sequence_parallel_size, fsdp_workers.py:119-129);
+    # > 1 sizes the mesh's seq axis (driver/rl_main) and runs attention via
+    # parallel/ulysses.sp_flash_attention
+    ulysses_size: int = 1
 
 
 @dataclass

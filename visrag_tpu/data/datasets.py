@@ -153,6 +153,61 @@ def shard_round_robin(iterable: Iterable, batch_size: int, shard_index: int,
         yield from buf[lo:min(hi, len(buf))]
 
 
+class StatefulIterator:
+    """Checkpointable cursor over a re-creatable stream — the reference's
+    StatefulDataLoader role (rsgrpo ray_trainer.py:332-334, 368-373): resume
+    continues at the exact row instead of replaying/skipping by step count
+    (which silently diverges for streaming data).
+
+    make_iter() must return the SAME deterministic stream each call (a
+    file-backed dataset; seed any shuffle). state() is a small JSON dict;
+    set_state() fast-forwards a fresh stream lazily on the next next() —
+    cheap for these datasets because PIL.Image.open is lazy (no pixel
+    decode until the preprocess pipeline touches skipped rows' images).
+
+    cycle=True restarts the stream at StopIteration, incrementing .epoch
+    (row resets to 0) — the epoch loop for trainers."""
+
+    def __init__(self, make_iter: Callable[[], Iterable],
+                 cycle: bool = False):
+        self.make_iter = make_iter
+        self.cycle = cycle
+        self.epoch = 0
+        self.row = 0
+        self._it: Optional[Iterator] = None
+
+    def state(self) -> Dict[str, int]:
+        return {"epoch": self.epoch, "row": self.row}
+
+    def set_state(self, st: Dict[str, int]) -> None:
+        self.epoch = int(st["epoch"])
+        self.row = int(st["row"])
+        self._it = None     # fast-forward lazily on next __next__
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            if self._it is None:
+                self._it = iter(self.make_iter())
+                for _ in range(self.row):
+                    next(self._it)
+            try:
+                item = next(self._it)
+                self.row += 1
+                return item
+            except StopIteration:
+                if not self.cycle:
+                    raise
+                if self.row == 0:
+                    raise RuntimeError("StatefulIterator: empty stream "
+                                       "(cycle=True would spin forever)")
+                self.epoch += 1
+                self.row = 0
+                self._it = None
+
+
 def batched(iterable: Iterable, batch_size: int) -> Iterator[List]:
     buf: List = []
     for item in iterable:

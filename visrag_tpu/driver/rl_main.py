@@ -29,9 +29,18 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--set", action="append", default=[])
+    # multi-host bootstrap (the reference's ray.init / torchrun role)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multi-host runs)")
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
+
+    from ..mesh import init_distributed, multihost_mesh_config
+    pid, nproc = init_distributed(args.coordinator, args.process_id,
+                                  args.num_processes)
     from transformers import AutoProcessor
 
     from ..config import RLConfig, dump_config, load_config
@@ -67,8 +76,13 @@ def main(argv=None):
     dataset = RLHFDataset(args.data, encode_row,
                           max_prompt_length=cfg.rollout.max_prompt_length)
     tracker = Tracker(args.output_dir)
-    from ..mesh import build_mesh
-    mesh = build_mesh(cfg.mesh) if len(jax.devices()) > 1 else None
+    from ..mesh import build_mesh, multihost_mesh_config
+    if cfg.actor.ulysses_size > 1:
+        # size the mesh's seq axis from the SP knob (the reference's
+        # ulysses_sequence_parallel_size → device_mesh, fsdp_workers.py:119)
+        cfg.mesh.seq = cfg.actor.ulysses_size
+    mcfg_mesh = multihost_mesh_config(cfg.mesh, nproc)
+    mesh = build_mesh(mcfg_mesh) if len(jax.devices()) > 1 else None
     trainer = RLTrainer(
         model, params, cfg, tokenizer_decode=lambda ids: tok.decode(ids),
         tag_token_ids=tags, eos_token_ids=[tok.eos_token_id],
@@ -77,8 +91,15 @@ def main(argv=None):
                            cfg.rollout.max_response_length),
         mesh=mesh)
 
+    # checkpointable prompt cursor (StatefulDataLoader role): resume
+    # continues at the exact dataset row with the saved rng
+    from ..data.datasets import StatefulIterator
+    row_iter = StatefulIterator(lambda: iter(dataset), cycle=True)
+    trainer.data_iter = row_iter
+
     if trainer.maybe_resume():  # auto-resume (ray_trainer.py:346-373)
-        print(f"resumed from step {trainer.step}", file=sys.stderr)
+        print(f"resumed from step {trainer.step} "
+              f"(data cursor {row_iter.state()})", file=sys.stderr)
 
     val_prompts = None
     if args.val_data:
@@ -87,8 +108,8 @@ def main(argv=None):
         val_prompts = list(val_ds)
 
     def prompt_batches():
-        while True:  # epochs until total_steps
-            yield from batched(iter(dataset), cfg.trainer.rollout_batch_size)
+        # cycling row cursor: epochs until total_steps, checkpointable
+        yield from batched(row_iter, cfg.trainer.rollout_batch_size)
 
     trainer.fit(prompt_batches(), logger=lambda s, m: tracker.log(m, s),
                 val_prompts=val_prompts, tracker=tracker)

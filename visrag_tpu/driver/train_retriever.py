@@ -28,7 +28,16 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[],
                     help="dotlist overrides, e.g. train.lr=1e-5")
     ap.add_argument("--tiny", action="store_true")
+    # multi-host bootstrap (torchrun role; see mesh.init_distributed)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multi-host runs)")
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
     args = ap.parse_args(argv)
+
+    from ..mesh import init_distributed, multihost_mesh_config
+    pid, nproc = init_distributed(args.coordinator, args.process_id,
+                                  args.num_processes)
 
     from ..config import RetrieverTrainConfig, dump_config, load_config
     from ..data.datasets import MMDRTrainDataset, batched, qp_collate
@@ -48,8 +57,9 @@ def main(argv=None):
 
     model, params, pcfg = build_visrag_ret(cfg.model, tiny=args.tiny)
     tok = build_tokenizer(cfg.model.checkpoint)
-    mesh = build_mesh(cfg.mesh)
-    tracker = Tracker(args.output_dir)
+    mesh = build_mesh(multihost_mesh_config(cfg.mesh, nproc))
+    # non-zero processes run the same collectives but stay silent on disk
+    tracker = Tracker(args.output_dir) if pid == 0 else Tracker(None)
 
     slots = cfg.data.batch_size * pcfg.max_slices_per_page
 
@@ -79,29 +89,41 @@ def main(argv=None):
     except TypeError:
         total = max(cfg.train.max_steps, 1000)
 
+    # checkpointable row cursor (StatefulDataLoader role): resume continues
+    # at the exact dataset row rather than skipping batches by step count
+    from ..data.datasets import StatefulIterator
+    row_iter = StatefulIterator(lambda: iter(dataset), cycle=True)
+
     def batches():
-        for _ in range(cfg.train.epochs):
-            for items in batched(iter(dataset), cfg.data.batch_size):
-                if len(items) < cfg.data.batch_size:
-                    continue  # drop ragged tail (static shapes)
-                coll = qp_collate(items)
-                qb = build_encode_batch(tok, coll["queries"], pcfg,
-                                        n_slice_slots=slots)
-                pb = build_encode_batch(tok, coll["passages"], pcfg,
-                                        n_slice_slots=slots)
-                yield (EncodeBatch(**{k: jnp.asarray(v) for k, v in qb.items()}),
-                       EncodeBatch(**{k: jnp.asarray(v) for k, v in pb.items()}))
+        buf = []
+        for item in row_iter:
+            if row_iter.epoch >= cfg.train.epochs:
+                break
+            if row_iter.row == 1 and buf:
+                buf = []          # new epoch started: drop the ragged tail
+            buf.append(item)
+            if len(buf) < cfg.data.batch_size:
+                continue
+            coll = qp_collate(buf)
+            buf = []
+            qb = build_encode_batch(tok, coll["queries"], pcfg,
+                                    n_slice_slots=slots)
+            pb = build_encode_batch(tok, coll["passages"], pcfg,
+                                    n_slice_slots=slots)
+            yield (EncodeBatch(**{k: jnp.asarray(v) for k, v in qb.items()}),
+                   EncodeBatch(**{k: jnp.asarray(v) for k, v in pb.items()}))
 
     trainer = RetrieverTrainer(encode, train_params, cfg.train, mesh=mesh,
                                total_steps=total,
                                logger=lambda s, m: tracker.log(m, s))
+    trainer.data_iter = row_iter
     done_steps = trainer.maybe_resume(args.output_dir)
-    batch_iter = batches()
     if done_steps:
-        import itertools
-        print(f"resumed from step {done_steps}", file=sys.stderr)
-        batch_iter = itertools.islice(batch_iter, done_steps, None)
-    trainer.train(batch_iter, checkpoint_dir=args.output_dir)
+        # the data cursor inside the checkpoint already fast-forwards
+        # row_iter to the exact next batch — no islice step-skipping
+        print(f"resumed from step {done_steps} "
+              f"(data cursor {row_iter.state()})", file=sys.stderr)
+    trainer.train(batches(), checkpoint_dir=args.output_dir)
     from ..training.checkpoint import save_checkpoint
     final = trainer.params if lora_merge_fn is None \
         else lora_merge_fn(trainer.params)   # save merged weights

@@ -55,6 +55,54 @@ def ulysses_attention(q, k, v, *, q_seg=None, kv_seg=None, lengths=None,
     return heads_to_seq(o, axis_name)
 
 
+def sp_flash_attention(q, k, v, *, q_seg=None, kv_seg=None, lengths=None,
+                       causal=False, mesh: Mesh = None):
+    """GSPMD-callable Ulysses attention: shard_map over the mesh's `seq`
+    axis with batch kept on (replica, data) — the integration point that
+    lets a model's attention run sequence-parallel inside an ordinary jitted
+    train step (the reference wires this via monkey_patch.py:28-67 +
+    dp_actor.py:109-116 when ulysses_size > 1).
+
+    q/k/v: GLOBAL (B, S, H, D) arrays (GSPMD reshards to (B/dp, S/n) blocks
+    per device); q_seg/kv_seg (B, S) or lengths (B,) are batch-sharded but
+    full-sequence. GQA kv heads are repeated up to a multiple of the SP
+    degree first (reference flash_attention_utils.py:93-141 repeat_kv).
+    Requires S and H divisible by the seq-axis size."""
+    n = dict(mesh.shape).get(SEQ, 1)
+    if n <= 1:
+        return flash_attention(q, k, v, q_seg, kv_seg, lengths=lengths,
+                               causal=causal)
+    b, s, h, d = q.shape
+    validate_heads(h, n)
+    if s % n:
+        raise ValueError(f"seq {s} not divisible by sp={n}; pad first "
+                         "(pad_seq_for_ulysses)")
+    hk = k.shape[2]
+    if hk % n:
+        import math
+        rep = n // math.gcd(hk, n)
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if lengths is not None and q_seg is None:
+        # normalize to segment masks so one shard_map signature serves both
+        q_seg = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+        kv_seg = q_seg
+    if q_seg is None:
+        q_seg = jnp.ones((b, s), jnp.int32)
+        kv_seg = q_seg
+    BA = ("replica", "data")
+
+    def inner(q, k, v, qs, ks):
+        return ulysses_attention(q, k, v, q_seg=qs, kv_seg=ks, causal=causal)
+
+    fn = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(BA, SEQ), P(BA, SEQ), P(BA, SEQ), P(BA, None),
+                  P(BA, None)),
+        out_specs=P(BA, SEQ), check_vma=False)
+    return fn(q, k, v, q_seg, kv_seg)
+
+
 def pad_seq_for_ulysses(x: jax.Array, seq_size: int, axis: int = 1):
     """Pad the sequence axis to a multiple of the SP degree
     (ulysses_pad_and_slice_inputs role, reference ulysses.py:273-320)."""

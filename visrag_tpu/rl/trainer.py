@@ -112,6 +112,15 @@ class RLTrainer:
                                              alg.kl_target, alg.kl_horizon)
         self.dp = 1 if mesh is None else (mesh.shape[REPLICA] *
                                           mesh.shape[DATA])
+        # Ulysses SP: mesh seq axis > 1 runs the update/logp forwards
+        # sequence-parallel (cfg.actor.ulysses_size sizes the mesh axis in
+        # driver/rl_main; reference fsdp_workers.py:119-129)
+        self.sp = 1 if mesh is None else int(dict(mesh.shape).get("seq", 1))
+        if cfg.actor.ulysses_size > 1 and self.sp != cfg.actor.ulysses_size:
+            raise ValueError(
+                f"actor.ulysses_size={cfg.actor.ulysses_size} but the mesh "
+                f"seq axis is {self.sp} — size the mesh with "
+                "MeshConfig(seq=ulysses_size)")
         if mesh is not None:
             params = {"params": shard_params_fsdp(params["params"], mesh)}
             if ref_params is not None:
@@ -127,6 +136,12 @@ class RLTrainer:
         self.engine_kwargs.update(engine_kwargs or {})
         self._engine: Optional[Engine] = None
         self._uid_next = 0
+        # optional data.StatefulIterator over prompt batches: its cursor +
+        # the fit loop's rng ride in checkpoints so resume consumes the
+        # exact same batch sequence (StatefulDataLoader role,
+        # ray_trainer.py:332-334, 368-373)
+        self.data_iter = None
+        self._rng = None
 
         self.tx = optax.chain(optax.clip_by_global_norm(cfg.actor.grad_clip),
                               optax.adamw(cfg.actor.lr, weight_decay=1e-2))
@@ -181,10 +196,15 @@ class RLTrainer:
         return {k: batch[k] for k in ("vision_batch", "slot_map",
                                       "vision_embeds") if k in batch}
 
+    @property
+    def _sp_mesh(self):
+        return self.mesh if self.sp > 1 else None
+
     def _logp_fn(self, params, batch):
         logits, _ = self.model.apply(params, batch["input_ids"],
                                      attention_mask=batch["attention_mask"],
                                      positions=batch["positions"],
+                                     sp_mesh=self._sp_mesh,
                                      **self._vision_kwargs(batch))
         labels = jnp.roll(batch["input_ids"], -1, axis=1)
         logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
@@ -212,6 +232,7 @@ class RLTrainer:
                 {"params": p}, batch["input_ids"],
                 attention_mask=batch["attention_mask"],
                 positions=batch["positions"],
+                sp_mesh=self._sp_mesh,
                 **self._vision_kwargs(batch))
             labels = jnp.roll(batch["input_ids"], -1, axis=1)
             logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
@@ -232,6 +253,7 @@ class RLTrainer:
                 {"params": p}, batch["input_ids"],
                 positions=batch["positions"],
                 segment_ids=batch["segment_ids"],
+                sp_mesh=self._sp_mesh,
                 **{k: batch[k] for k in ("vision_embeds", "slot_map")
                    if k in batch})
             labels = jnp.roll(batch["input_ids"], -1, axis=1)
@@ -303,7 +325,13 @@ class RLTrainer:
                 uids.append(uid)
                 gts.append(p.get("ground_truth", ""))
                 prompt_idx.append(pi)
-        outs = self._engine.generate(expanded, sampling=sampling, rng=rng)
+        # ONE prefill per prompt group; the n samples fork the prompt KV
+        # blocks (the reference's vLLM SamplingParams(n) — the engine's
+        # PromptGroup; outputs come back n-consecutive per prompt, matching
+        # `expanded`'s layout)
+        outs = self._engine.generate(
+            [{k: v for k, v in p.items() if k != "ground_truth"}
+             for p in prompts], sampling=sampling, rng=rng, n=n)
 
         max_len = max(len(p["input_ids"]) + len(o)
                       for p, o in zip(expanded, outs))
@@ -693,6 +721,11 @@ class RLTrainer:
             tree["critic_opt_state"] = self.critic.opt_state
         extra = {"step": self.step, "uid_next": self._uid_next,
                  "kl_coef": (self.kl_ctrl.kl_coef if self.kl_ctrl else None)}
+        if self.data_iter is not None:
+            extra["data"] = self.data_iter.state()
+        if self._rng is not None:
+            extra["rng"] = np.asarray(
+                jax.random.key_data(self._rng)).tolist()
         return save_checkpoint(self.cfg.trainer.output_dir, self.step, tree,
                                extra=extra, best_metric=best_metric,
                                save_limit=self.cfg.trainer.save_limit)
@@ -719,6 +752,11 @@ class RLTrainer:
         self._uid_next = int(extra["uid_next"])
         if self.kl_ctrl is not None and extra.get("kl_coef") is not None:
             self.kl_ctrl.kl_coef = extra["kl_coef"]
+        if self.data_iter is not None and extra.get("data") is not None:
+            self.data_iter.set_state(extra["data"])
+        if extra.get("rng") is not None:
+            self._rng = jax.random.wrap_key_data(
+                jnp.asarray(extra["rng"], jnp.uint32))
         return True
 
     # ---- outer loop ------------------------------------------------------
@@ -727,8 +765,11 @@ class RLTrainer:
             logger: Optional[Callable[[int, dict], None]] = None,
             val_prompts: Optional[List[dict]] = None, tracker=None):
         """prompt_iter yields lists of prompt dicts (one rollout batch per
-        step; with online filtering each step may consume several)."""
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        step; with online filtering each step may consume several). A
+        checkpoint-resumed run continues with the saved rng (and, when
+        self.data_iter is the prompt iterator, the saved data cursor)."""
+        if rng is None:
+            rng = self._rng if self._rng is not None else jax.random.PRNGKey(0)
         it = iter(prompt_iter)
         history = []
         self._val_score: Optional[float] = None
@@ -782,6 +823,9 @@ class RLTrainer:
                 self._val_score = vm["val/reward_score"]
                 m.update(vm)
             if t.save_freq > 0 and self.step % t.save_freq == 0:
+                # stash the NEXT iteration's rng: a resumed run then draws
+                # the same randomness an uninterrupted run would
+                self._rng = rng
                 self.save(best_metric=self._val_score)
             history.append((self.step, m))
             if logger:

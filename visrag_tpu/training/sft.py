@@ -29,17 +29,22 @@ class SFTConfig:
     grad_clip: float = 1.0
     freeze_vision_tower: bool = True
     vision_key: str = "visual"
+    # Ulysses SP degree for the forward (reference full_sft.sh runs under
+    # DeepSpeed; long-context SFT here shards the sequence axis instead) —
+    # requires a mesh with seq=ulysses_size and a model accepting sp_mesh
+    ulysses_size: int = 1
 
 
-def sft_loss(model_apply: Callable, params, batch) -> tuple:
+def sft_loss(model_apply: Callable, params, batch, sp_mesh=None) -> tuple:
     """batch: input_ids (B,S), attention_mask, response_mask (1 on tokens the
     model must predict), + optional positions/vision_batch/slot_map."""
+    kw = {"sp_mesh": sp_mesh} if sp_mesh is not None else {}
     logits, _ = model_apply(
         params, batch["input_ids"],
         attention_mask=batch.get("attention_mask"),
         positions=batch.get("positions"),
         vision_batch=batch.get("vision_batch"),
-        slot_map=batch.get("slot_map"))
+        slot_map=batch.get("slot_map"), **kw)
     labels = jnp.roll(batch["input_ids"], -1, axis=1)
     logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
     # token t predicts t+1 → shift response mask left
@@ -50,12 +55,16 @@ def sft_loss(model_apply: Callable, params, batch) -> tuple:
     return loss, {"loss": loss, "token_accuracy": acc}
 
 
-def make_sft_step(model_apply: Callable, cfg: SFTConfig):
+def make_sft_step(model_apply: Callable, cfg: SFTConfig, mesh=None):
     schedule = optax.join_schedules(
         [optax.linear_schedule(0.0, cfg.lr, max(cfg.warmup_steps, 1)),
          optax.constant_schedule(cfg.lr)], [max(cfg.warmup_steps, 1)])
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                      optax.adamw(schedule, weight_decay=cfg.weight_decay))
+    sp_mesh = mesh if (cfg.ulysses_size > 1 and mesh is not None) else None
+    if sp_mesh is not None and dict(mesh.shape).get("seq", 1) != cfg.ulysses_size:
+        raise ValueError(f"ulysses_size={cfg.ulysses_size} needs a mesh with "
+                         f"seq={cfg.ulysses_size}")
 
     def freeze_mask(grads):
         if not cfg.freeze_vision_tower:
@@ -68,7 +77,8 @@ def make_sft_step(model_apply: Callable, cfg: SFTConfig):
     @jax.jit
     def step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: sft_loss(model_apply, p, batch), has_aux=True)(params)
+            lambda p: sft_loss(model_apply, p, batch, sp_mesh=sp_mesh),
+            has_aux=True)(params)
         grads = freeze_mask(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -101,6 +101,10 @@ class RetrieverTrainer:
         self.step_fn = make_train_step(encode, cfg, self.tx, mesh)
         self.logger = logger or (lambda step, m: None)
         self.step = 0
+        # optional data.StatefulIterator: its cursor rides in every
+        # checkpoint so resume continues at the exact row (the reference's
+        # StatefulDataLoader state, ray_trainer.py:332-334)
+        self.data_iter = None
 
     def place_batch(self, batch):
         if self.mesh is None:
@@ -137,18 +141,23 @@ class RetrieverTrainer:
 
     def save(self, checkpoint_dir: str) -> str:
         from .checkpoint import save_checkpoint
+        extra = {"step": self.step}
+        if self.data_iter is not None:
+            extra["data"] = self.data_iter.state()
         return save_checkpoint(
             checkpoint_dir, self.step,
             {"params": self.params, "opt_state": self.opt_state},
-            extra={"step": self.step},
+            extra=extra,
             save_limit=getattr(self.cfg, "save_limit", None))
 
     def maybe_resume(self, checkpoint_dir: str) -> int:
         """Auto-resume params/optimizer/step from the newest checkpoint
         (the reference resumes via HF Trainer checkpoints; weak spot:
-        find_latest_ckpt existed but nothing called it on start). Returns
-        the number of already-consumed steps (0 = fresh start) so the
-        driver can skip that many batches."""
+        find_latest_ckpt existed but nothing called it on start). When
+        self.data_iter is set and the checkpoint carries a data cursor, the
+        iterator is fast-forwarded to the exact row and the caller must NOT
+        skip batches; otherwise returns the consumed step count so legacy
+        drivers can skip that many batches."""
         from .checkpoint import find_latest_ckpt, load_checkpoint
         path = find_latest_ckpt(checkpoint_dir)
         if path is None:
@@ -158,4 +167,6 @@ class RetrieverTrainer:
         self.params = tree["params"]
         self.opt_state = tree["opt_state"]
         self.step = int(extra["step"]) if extra else 0
+        if self.data_iter is not None and extra and "data" in extra:
+            self.data_iter.set_state(extra["data"])
         return self.step
