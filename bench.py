@@ -48,7 +48,7 @@ def main():
     if not on_tpu:
         log("WARNING: no TPU visible; running a tiny config for smoke only")
         cfg = VisRAGRetConfig.tiny()
-        seq_len, slice_slots = 128, 4
+        seq_len, slice_slots = 128, 16
     else:
         quant = os.environ.get("BENCH_QUANT", "none")  # "int8" opt-in
         cfg = VisRAGRetConfig(
@@ -67,7 +67,9 @@ def main():
         seq_len=seq_len, query_num=cfg.backbone.query_num,
         patch_size=cfg.backbone.vit.patch_size,
         src_grid=cfg.backbone.vit.pos_grid,
-        scale_resolution=cfg.backbone.scale_resolution,
+        # tiny CPU smoke: cap the resize target so 30x40 pages don't
+        # upscale to a 448-class grid past the 64-patch buffer
+        scale_resolution=cfg.backbone.scale_resolution if on_tpu else 8,
         max_patches=64 if not on_tpu else 1152)
 
     # ---- synthetic realistic page batch ---------------------------------
@@ -109,6 +111,8 @@ def main():
         f"({n_slices} slices)")
 
     from visrag_tpu.preprocess.device import finish_encode_batch
+    from visrag_tpu.preprocess.transform import bicubic_table
+    pos_table = bicubic_table(pcfg.src_grid)   # jit-closure constant
     raw = {k: jnp.asarray(v) for k, v in batch_np.items()}
     eb = raw  # finished inside the jitted step below
 
@@ -117,7 +121,7 @@ def main():
 
     @jax.jit
     def init_bf16(key):
-        p = model.init(key, finish_encode_batch(eb))
+        p = model.init(key, finish_encode_batch(eb, pos_table))
         return jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, p)
@@ -129,7 +133,8 @@ def main():
     # ---- compile + measure ---------------------------------------------
     # NB: under the axon remote relay block_until_ready does not actually
     # synchronize; force a host fetch of the final output to time execution.
-    apply = jax.jit(lambda p, raw: model.apply(p, finish_encode_batch(raw)))
+    apply = jax.jit(
+        lambda p, raw: model.apply(p, finish_encode_batch(raw, pos_table)))
     t0 = time.time()
     _ = np.asarray(apply(params, eb))
     log(f"compile+first step: {time.time()-t0:.1f}s")
@@ -160,12 +165,62 @@ def main():
     log(f"approx MFU: {mfu*100:.1f}% (lm {(lm_dense+lm_attn)/1e12:.1f}TF + "
         f"vit {(vit_dense+vit_attn)/1e12:.1f}TF per batch, incl. attention)")
 
-    print(json.dumps({
+    # ---- sustained end-to-end: fresh batches through the prefetch
+    # pipeline (host rasterize+patchify+tokenize overlapped with device
+    # steps — the reference's hot loop is always end-to-end, SURVEY §3.2)
+    sustained_batches = int(os.environ.get(
+        "BENCH_SUSTAINED", "24" if on_tpu else "0"))
+    sustained_pps = None
+    if sustained_batches:
+        from visrag_tpu.retrieval.encode import encode_dataset
+
+        # attribution probe: host→device upload cost of one raw batch (the
+        # axon relay sustains ~30-50 MB/s; PCIe-attached hosts do GB/s — if
+        # sustained_frac is low, compare these two lines before blaming the
+        # pipeline)
+        up_mb = sum(v.nbytes for v in batch_np.values()) / 1e6
+        t0 = time.time()
+        probe = {k: jax.device_put(v) for k, v in batch_np.items()}
+        _ = np.asarray(probe["input_ids"])[0, 0]
+        log(f"upload probe: {up_mb:.0f} MB raw batch in "
+            f"{time.time()-t0:.2f}s (device step is {dt:.2f}s)")
+        del probe
+
+        def gen():
+            for b in range(sustained_batches):
+                r = np.random.default_rng(100 + b)
+                pgs = []
+                for i in range(batch_pages):
+                    w, h = sizes[i % len(sizes)] if on_tpu else (30, 40)
+                    arr = r.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+                    pgs.append(("", Image.fromarray(arr)))
+                bn = build_encode_batch(tok, pgs, pcfg,
+                                        n_slice_slots=slice_slots,
+                                        device_mode=True)
+                yield ([str(b * batch_pages + i)
+                        for i in range(batch_pages)],
+                       {"raw": {k: jnp.asarray(v) for k, v in bn.items()}})
+
+        t0 = time.time()
+        ids, reps = encode_dataset(lambda p, raw: apply(p, raw), gen(),
+                                   params=params, prefetch_depth=2)
+        dt_s = time.time() - t0
+        assert len(ids) == sustained_batches * batch_pages
+        sustained_pps = len(ids) / dt_s
+        log(f"sustained end-to-end: {len(ids)} pages in {dt_s:.1f}s → "
+            f"{sustained_pps:.2f} pages/s "
+            f"({sustained_pps / pages_per_s * 100:.0f}% of device-only)")
+
+    out = {
         "metric": "visrag_ret_embed_throughput",
         "value": round(pages_per_s, 3),
         "unit": "pages/s/chip",
         "vs_baseline": round(pages_per_s / 166.7, 4),
-    }))
+    }
+    if sustained_pps is not None:
+        out["sustained_pages_s"] = round(sustained_pps, 3)
+        out["sustained_frac"] = round(sustained_pps / pages_per_s, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

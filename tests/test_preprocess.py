@@ -177,3 +177,41 @@ def test_device_mode_matches_host_pipeline():
     for k in ("input_ids", "attention_mask", "patch_mask", "grid_h",
               "grid_w", "slot_map"):
         np.testing.assert_array_equal(np.asarray(getattr(eb, k)), host[k])
+
+
+def test_layout_preserving_ocr_matches_reference():
+    """layout_preserving_text == the reference's tostr_layout_preserving
+    (AST-extracted oracle) on fuzzed box layouts (VERDICT next-round #10)."""
+    import numpy as np
+    from ref_oracle import load_functions
+    from visrag_tpu.preprocess.ocr import layout_preserving_text
+
+    fns = load_functions(
+        "visrag_scripts/demo/ocr_pipeline/layout_preserving/demo.py",
+        ["calculate_spaces_and_newlines", "tostr_layout_preserving"],
+        extra_ns={"MIN_SCORE": 0.6})
+
+    class FakeResult:
+        def __init__(self, rects, texts):
+            # axis-aligned quad per rect: (x0,y0, x1,y0, x1,y1, x0,y1)
+            self.boxes = [[x0, y0, x1, y0, x1, y1, x0, y1]
+                          for (x0, y0, x1, y1) in rects]
+            self.text = texts
+            self.rec_scores = [1.0] * len(texts)
+
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        n = int(rng.integers(1, 12))
+        rects, texts, dets = [], [], []
+        for i in range(n):
+            x0 = float(rng.integers(0, 800))
+            y0 = float(rng.integers(0, 1000))
+            w = float(rng.integers(20, 200))
+            h = float(rng.integers(8, 24))
+            t = f"w{trial}_{i}"
+            rects.append((x0, y0, x0 + w, y0 + h))
+            texts.append(t)
+            dets.append((x0, y0, x0 + w, y0 + h, t))
+        want = fns["tostr_layout_preserving"](FakeResult(rects, texts))
+        got = layout_preserving_text(dets)
+        assert got == want, (trial, got, want)

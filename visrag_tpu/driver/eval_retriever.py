@@ -60,7 +60,10 @@ def main(argv=None):
     model, params, pcfg = build_visrag_ret(mcfg, tiny=args.tiny)
     tok = build_tokenizer(args.checkpoint)
     from ..preprocess.device import finish_encode_batch
-    apply = jax.jit(lambda p, raw: model.apply(p, finish_encode_batch(raw)))
+    from ..preprocess.transform import bicubic_table
+    pos_table = bicubic_table(pcfg.src_grid)   # jit-closure constant
+    apply = jax.jit(
+        lambda p, raw: model.apply(p, finish_encode_batch(raw, pos_table)))
 
     def encode_file(path, template, out_prefix):
         ds = InferenceDataset(path, template=template)

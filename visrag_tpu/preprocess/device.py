@@ -1,37 +1,70 @@
 """Device-side input pipeline: finish raw encode batches inside the jit.
 
 The SURVEY throughput recipe (§7.3) calls for a fused host→HBM input
-pipeline. Host work stops at uint8 patch extraction + tiny factorized pos
-operators (pipeline.build_encode_batch(device_mode=True)); this module's
+pipeline. Host work stops at uint8 patch extraction + per-slice grid dims
+(pipeline.build_encode_batch(device_mode=True)); this module's
 `finish_encode_batch` runs under jit and does
 
   * ToTensor + Inception normalization (uint8 → f32, (x/255 − .5)/.5) —
     fused by XLA into the patch-embed matmul's input;
-  * the bicubic pos-resample outer product pos_matrix[p] = A[p] ⊗ B[p]
-    (transform.pos_factor_rows), reconstructing the dense operator on
-    device instead of shipping 27× the bytes.
+  * the bicubic pos-resample operator, built ON DEVICE from
+    (grid_h, grid_w) + the `bicubic_table` compile-time constant
+    (transform.bicubic_table): two gathers pick the per-patch 1-D factors
+    A[p] = T[gh, p // gw], B[p] = T[gw, p % gw], then the outer product
+    A ⊗ B reconstructs the dense operator. The batch ships NO pos arrays —
+    at the bench shape that is 28 MB/batch of host→device traffic and the
+    pos_factor host work gone.
 
 Outputs are bit-compatible with the classic host-built EncodeBatch up to
-f32 rounding of the outer product.
+f32 rounding of the outer product (the table holds the same torch-parity
+1-D operators the host path used).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.visrag_ret import EncodeBatch
+from .transform import bicubic_table
 
 
-def finish_encode_batch(raw: dict) -> EncodeBatch:
+def finish_encode_batch(raw: dict, pos_table=None,
+                        src_grid: int = 27) -> EncodeBatch:
     """raw: dict from build_encode_batch(device_mode=True), as device arrays
-    (uint8 pixels pass through jnp.asarray unchanged). Jittable."""
+    (uint8 pixels pass through jnp.asarray unchanged). Jittable.
+
+    pos_table: (max_dst+1, max_dst, src_grid) numpy/jnp constant from
+    transform.bicubic_table — pass it from OUTSIDE the jit (a closure
+    constant) so it is embedded in the program, not shipped per batch.
+    Defaults to bicubic_table(src_grid) (src_grid must then match the
+    model's pos grid). Legacy raw dicts carrying pos_a/pos_b still work.
+    """
     pixels = jnp.asarray(raw["pixels"])
     patches = (pixels.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-    pos_a = jnp.asarray(raw["pos_a"])
-    pos_b = jnp.asarray(raw["pos_b"])
-    n, p, g = pos_a.shape
-    pos_matrix = jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(n, p,
-                                                                   g * g)
+    if "pos_a" in raw:          # legacy factorized-host path
+        pos_a = jnp.asarray(raw["pos_a"])
+        pos_b = jnp.asarray(raw["pos_b"])
+        n, p, g = pos_a.shape
+        pos_matrix = jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(
+            n, p, g * g)
+    else:
+        table = jnp.asarray(pos_table if pos_table is not None
+                            else bicubic_table(src_grid))
+        maxd = table.shape[1]
+        g = table.shape[2]
+        gh = jnp.asarray(raw["grid_h"])
+        gw = jnp.asarray(raw["grid_w"])
+        p = pixels.shape[1]
+        rows = jnp.arange(p, dtype=jnp.int32)
+        gw_safe = jnp.maximum(gw, 1)[:, None]
+        ih = jnp.minimum(rows[None, :] // gw_safe, maxd - 1)
+        iw = jnp.minimum(rows[None, :] % gw_safe, maxd - 1)
+        valid = (rows[None, :] < (gh * gw)[:, None])
+        pos_a = table[gh[:, None], ih] * valid[..., None]
+        pos_b = table[gw[:, None], iw]
+        pos_matrix = jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(
+            pos_a.shape[0], p, g * g)
     return EncodeBatch(
         input_ids=jnp.asarray(raw["input_ids"]),
         attention_mask=jnp.asarray(raw["attention_mask"]),

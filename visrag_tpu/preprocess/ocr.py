@@ -62,8 +62,41 @@ def merge_adjacent(dets: Sequence[Detection], *, y_tol: float = 0.6,
     return out
 
 
+def layout_preserving_text(dets: Sequence[Detection], *,
+                           space_threshold: float = 45.0,
+                           line_threshold: float = 15.0) -> str:
+    """PP-OCR layout-preserving merge — parity with the reference's
+    tostr_layout_preserving + calculate_spaces_and_newlines
+    (visrag_scripts/demo/ocr_pipeline/layout_preserving/demo.py:42-77),
+    fuzz-tested against the AST-extracted originals: boxes sort by
+    (center_y, center_x); consecutive boxes within line_threshold vertically
+    join with max(1, |dx|/space_threshold) spaces, otherwise with
+    max(1, |dy|/line_threshold) newlines — horizontal gaps and paragraph
+    breaks survive into the text the text-RAG baseline retrieves over."""
+    boxes = [((x0 + x1) / 2.0, (y0 + y1) / 2.0, text)
+             for (x0, y0, x1, y1, text) in dets]
+    boxes.sort(key=lambda b: (b[1], b[0]))
+    parts: List[str] = []
+    prev = None
+    for cx, cy, text in boxes:
+        if prev is not None:
+            px, py = prev
+            if abs(cy - py) < line_threshold:
+                parts.append(" " * max(1, int(abs(cx - px) / space_threshold)))
+            else:
+                parts.append("\n" * max(1, int(abs(cy - py) / line_threshold)))
+        parts.append(text)
+        prev = (cx, cy)
+    return "".join(parts)
+
+
 def page_to_text(img: Image.Image,
-                 backend: Optional[Callable[[Image.Image], List[Detection]]] = None
-                 ) -> str:
+                 backend: Optional[Callable[[Image.Image], List[Detection]]] = None,
+                 layout: str = "lines") -> str:
+    """layout="lines": baseline-merged lines (merge_adjacent);
+    layout="preserve": the reference's layout-preserving spacing."""
     backend = backend or tesseract_backend
-    return "\n".join(merge_adjacent(backend(img)))
+    dets = backend(img)
+    if layout == "preserve":
+        return layout_preserving_text(dets)
+    return "\n".join(merge_adjacent(dets))

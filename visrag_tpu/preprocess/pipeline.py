@@ -96,11 +96,13 @@ def build_encode_batch(tok: TokenizerLike,
     (e.g. batch_size * max_slices_per_page); defaults to exactly what the
     batch needs (≥1).
 
-    device_mode=True returns the RAW input-pipeline dict instead —
-    uint8 `pixels` and factorized `pos_a`/`pos_b` — for
-    preprocess.device.finish_encode_batch to normalize/expand inside the
-    jitted encode step: ~4× less host copy work and ~10× less host→device
-    transfer than fp32 patches + dense pos matrices.
+    device_mode=True returns the RAW input-pipeline dict instead — uint8
+    `pixels` plus per-slice grid dims — for
+    preprocess.device.finish_encode_batch to normalize inside the jitted
+    encode step, which also rebuilds the pos-resample operators on device
+    from the bicubic_table constant (the batch ships NO pos arrays at all):
+    ~4× less host copy work and ~37× less host→device transfer than fp32
+    patches + dense pos matrices.
     """
     cfg = cfg or PipelineConfig()
     with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
@@ -116,8 +118,6 @@ def build_encode_batch(tok: TokenizerLike,
 
     if device_mode:
         pixels = np.zeros((n_slots, cfg.max_patches, patch_dim), np.uint8)
-        pos_a = np.zeros((n_slots, cfg.max_patches, cfg.src_grid), np.float32)
-        pos_b = np.zeros((n_slots, cfg.max_patches, cfg.src_grid), np.float32)
     else:
         patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
         pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
@@ -142,8 +142,6 @@ def build_encode_batch(tok: TokenizerLike,
         for s in slices:
             if device_mode:
                 pixels[offset] = s["pixels"]
-                pos_a[offset] = s["pos_a"]
-                pos_b[offset] = s["pos_b"]
             else:
                 patches[offset] = s["patches"]
                 pos_matrix[offset] = s["pos_matrix"]
@@ -157,5 +155,5 @@ def build_encode_batch(tok: TokenizerLike,
                   patch_mask=patch_mask, grid_h=grid_h, grid_w=grid_w,
                   slot_map=np.stack(slot_maps, axis=0))
     if device_mode:
-        return dict(common, pixels=pixels, pos_a=pos_a, pos_b=pos_b)
+        return dict(common, pixels=pixels)
     return dict(common, patches=patches, pos_matrix=pos_matrix)

@@ -151,6 +151,24 @@ def pos_factor_rows(grid_h: int, grid_w: int, src_grid: int = 27,
     return a, b
 
 
+@functools.lru_cache(maxsize=8)
+def bicubic_table(src_grid: int = 27, max_dst: int = 256) -> np.ndarray:
+    """(max_dst+1, max_dst, src_grid) f32 stack of every 1-D bicubic resize
+    operator up to max_dst: table[d, :d] = the (d, src) operator, rows >= d
+    zero (max_dst=256 covers the 48:1-aspect worst case: sqrt(1152·48) ≈
+    235). A ~7 MB per-process compile-time constant that lets the jitted
+    input pipeline
+    build pos operators ON DEVICE from (grid_h, grid_w) alone — the batch
+    ships no pos factors at all (28 MB/batch at the bench shape; the host
+    stops at uint8 pixels + grid dims). Same torch-parity 1-D operators as
+    pos_factor_rows, so outputs are bit-identical."""
+    out = np.zeros((max_dst + 1, max_dst, src_grid), np.float32)
+    for d in range(1, max_dst + 1):
+        out[d, :d] = _bicubic_resample_matrix_1d(src_grid, d).astype(
+            np.float32)
+    return out
+
+
 @functools.lru_cache(maxsize=4096)
 def pos_resample_matrix(grid_h: int, grid_w: int, src_grid: int = 27,
                         max_patches: int = MAX_PATCHES) -> np.ndarray:
@@ -202,8 +220,10 @@ def prepare_page(img: Image.Image, *, max_slice_nums: int = 9,
         if device_mode:
             arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
             pixels, mask, (gh, gw) = patchify_u8(arr, patch_size, max_patches)
-            a, b = pos_factor_rows(gh, gw, src_grid, max_patches)
-            out.append(dict(pixels=pixels, mask=mask, pos_a=a, pos_b=b,
+            # pos operators are built ON DEVICE from (gh, gw) + the
+            # bicubic_table constant (preprocess.device.finish_encode_batch)
+            # — nothing pos-shaped ships with the batch
+            out.append(dict(pixels=pixels, mask=mask,
                             grid_h=gh, grid_w=gw))
         else:
             patches, mask, (gh, gw) = patchify_normalized(
