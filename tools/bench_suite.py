@@ -108,8 +108,14 @@ def bench_train():
     t0 = time.time()
     hist = trainer.train([(qb, pb)] * iters)
     # force completion
-    _ = jax.tree_util.tree_leaves(trainer.params)[0].block_until_ready()
-    _ = float(np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])[0, 0])
+    # force completion with a TINY on-device reduction — fetching a whole
+    # param leaf here (the old code) pulled the ~565 MB embedding table
+    # through the ~30 MB/s relay INSIDE the timed region and inflated the
+    # step time ~2.3x (6.28 s measured vs 2.84 s real; block_until_ready
+    # alone does not sync under the relay). The per-step metric float()s in
+    # trainer.train already forced each step, so this only drains the tail.
+    leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+    _ = float(jnp.sum(leaf[:1, :8]))
     dt = (time.time() - t0) / iters
     # analytic fwd flops (dense + attention)
     seq = qb["input_ids"].shape[2]          # (num_micro, micro, seq)
