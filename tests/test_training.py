@@ -322,3 +322,50 @@ def test_sft_sharded_matches_single():
                      jax.tree_util.tree_leaves(params)])
     for a, b in zip(*outs):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_remat_mlp_matches_full_remat():
+    """remat='mlp' (selective: attention saved, MLP recomputed) produces
+    the same grads as whole-block remat and no remat — on the ViT and the
+    MiniCPM LM (params keep their names: transplant trees load unchanged)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from visrag_tpu.models.minicpm import MiniCPMConfig, MiniCPMModel
+    from visrag_tpu.models.siglip_vit import SiglipViT, SiglipViTConfig
+
+    rng = np.random.default_rng(9)
+    # ViT
+    mk = lambda r: SiglipViTConfig.tiny(embed_dim=32, depth=2, num_heads=2,
+                                        mlp_dim=64, pos_grid=4, patch_size=2,
+                                        dtype=jnp.float32, remat=r)
+    patches = jnp.asarray(rng.normal(size=(2, 16, 12)), jnp.float32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    pos = jnp.asarray(rng.normal(size=(2, 16, 16)) * 0.1, jnp.float32)
+    params = SiglipViT(mk(False)).init(jax.random.PRNGKey(0), patches, mask,
+                                       pos)
+    grads = []
+    for r in (False, True, "mlp"):
+        g = jax.grad(lambda p: jnp.sum(
+            SiglipViT(mk(r)).apply(p, patches, mask, pos) ** 2))(params)
+        grads.append(jax.tree_util.tree_leaves(g))
+    for a, b, c in zip(*grads):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5,
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-5,
+                                   atol=2e-6)
+
+    # MiniCPM LM
+    mkl = lambda r: MiniCPMConfig.tiny(remat=r)
+    ids = jnp.asarray(rng.integers(1, 255, size=(2, 16)), jnp.int32)
+    lp = MiniCPMModel(mkl(False)).init(jax.random.PRNGKey(1), ids)
+    lgrads = []
+    for r in (False, True, "mlp"):
+        g = jax.grad(lambda p: jnp.sum(
+            MiniCPMModel(mkl(r)).apply(p, ids) ** 2))(lp)
+        lgrads.append(jax.tree_util.tree_leaves(g))
+    for a, b, c in zip(*lgrads):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5,
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-5,
+                                   atol=2e-6)

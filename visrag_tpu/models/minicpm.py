@@ -42,7 +42,9 @@ class MiniCPMConfig:
     max_position_embeddings: int = 4096
     is_causal: bool = True
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    # False | True (whole-block remat) | "mlp" (remat only the MLP — the
+    # attention fwd is never recomputed in bwd; see SiglipViTConfig.remat)
+    remat: Any = False
     # "int8": w8a8 projections + MLP (2x MXU rate; inference-only, opt-in —
     # see ops/quant.py and SiglipViTConfig.quant)
     quant: str = "none"
@@ -185,9 +187,15 @@ class MiniCPMBlock(nn.Module):
         if return_kv:
             a, kv = a
         x = x + a * self.depth_scale
-        m = self.mlp(self.post_attention_layernorm(x))
+        if self.cfg.remat == "mlp":
+            m = nn.remat(MiniCPMBlock._mlp_part)(self, x)
+        else:
+            m = self._mlp_part(x)
         out = x + m * self.depth_scale
         return (out, kv) if return_kv else out
+
+    def _mlp_part(self, x):
+        return self.mlp(self.post_attention_layernorm(x))
 
     def decode(self, x, positions, kc, vc, lengths_incl, block_table=None,
                mesh=None):
@@ -209,7 +217,7 @@ class MiniCPMModel(nn.Module):
                                      param_dtype=jnp.float32, dtype=c.dtype,
                                      name="embed_tokens")
         block = MiniCPMBlock
-        if c.remat:
+        if c.remat and c.remat != "mlp":
             block = nn.remat(MiniCPMBlock)  # see siglip_vit: CSE undoes remat
         self.layers = [block(c, name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]

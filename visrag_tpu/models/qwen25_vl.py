@@ -82,7 +82,8 @@ class QwenTextConfig:
     mrope_section: Tuple[int, ...] = (16, 24, 24)
     tie_word_embeddings: bool = True
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    # False | True (whole-block) | "mlp" (selective; SiglipViTConfig.remat)
+    remat: Any = False
 
     @property
     def head_dim(self) -> int:
@@ -242,9 +243,17 @@ class QwenTextBlock(nn.Module):
     def _mlp_residual(self, x, attn_out):
         b, s, _ = x.shape
         x = x + self.attn_o(attn_out.reshape(b, s, -1))
-        y = self.post_attention_layernorm(x)
-        y = self.mlp_down(nn.silu(self.mlp_gate(y)) * self.mlp_up(y))
+        if self.cfg.remat == "mlp":
+            # selective remat (see SiglipViTConfig.remat): bwd recomputes
+            # only the MLP; attention activations stay saved
+            y = nn.remat(QwenTextBlock._mlp_part)(self, x)
+        else:
+            y = self._mlp_part(x)
         return x + y
+
+    def _mlp_part(self, x):
+        y = self.post_attention_layernorm(x)
+        return self.mlp_down(nn.silu(self.mlp_gate(y)) * self.mlp_up(y))
 
     def __call__(self, x, cos, sin, seg, lengths, return_kv=False,
                  sp_mesh=None):
@@ -299,7 +308,7 @@ class QwenTextModel(nn.Module):
                                      param_dtype=jnp.float32, dtype=c.dtype,
                                      name="embed_tokens")
         block = QwenTextBlock
-        if c.remat:
+        if c.remat and c.remat != "mlp":
             block = nn.remat(QwenTextBlock)
         self.layers = [block(c, name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]

@@ -42,7 +42,11 @@ class SiglipViTConfig:
     pos_grid: int = 27         # 384/14 native grid
     ln_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    # False: no remat (inference). True: remat whole blocks (min memory —
+    # bwd recomputes attention too). "mlp": remat only the MLP sub-part;
+    # attention activations/residuals stay saved (≈145 MB/block at the
+    # encode shape) and the bwd skips the attention-forward recompute.
+    remat: Any = False
     # "auto"/"flat": FLAT fused-qkv layout — the qkv GEMM emits
     # (N*P, 3*H*128) with the head-dim pad carried in the weights, the flash
     # kernel reads head panels straight out of it via block index maps, and
@@ -220,6 +224,18 @@ class ViTBlock(nn.Module):
             o = Dense(e, e, use_bias=True, dtype=c.dtype,
                       name="attn_proj")(o.reshape(n, p, e))
         x = x + o
+        if c.remat == "mlp":
+            # selective remat: only the MLP recomputes in bwd; attention
+            # activations (incl. the flash kernel's o/lse residuals) stay
+            # saved, so the bwd never re-runs the attention forward — the
+            # expensive recompute under whole-block remat. Params keep their
+            # names (_mlp_part creates norm2/mlp_fc1/mlp_fc2 in this scope).
+            return x + nn.remat(ViTBlock._mlp_part)(self, x)
+        return x + self._mlp_part(x)
+
+    def _mlp_part(self, x):
+        c = self.cfg
+        e = c.embed_dim
         y = LayerNorm(e, c.ln_eps, c.dtype, name="norm2")(x)
         # int8 covers qkv + fc1 only: fc2's large-K kernel (202 TOP/s) plus
         # the gelu-output quant pass measured a wash vs the bf16 GEMM, so
@@ -227,9 +243,8 @@ class ViTBlock(nn.Module):
         C1 = QuantDense if c.quant == "int8" else Dense
         y = C1(e, c.mlp_dim, use_bias=True, dtype=c.dtype, name="mlp_fc1")(y)
         y = fast_gelu(y)
-        y = Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype,
-                  name="mlp_fc2")(y)
-        return x + y
+        return Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype,
+                     name="mlp_fc2")(y)
 
     def _flat_attention(self, y, lengths, h, d):
         """Transpose-free attention path: fused qkv GEMM → flat kernel →
@@ -290,10 +305,11 @@ class SiglipViT(nn.Module):
         x = x + pos_i
         lengths = jnp.sum(mask.astype(jnp.int32), axis=1)  # contiguous prefix
         block = ViTBlock
-        if c.remat:
+        if c.remat and c.remat != "mlp":
             # prevent_cse must stay True (default): with False, XLA CSE merges the
             # bwd recompute back into the fwd and every block's activations
-            # stay live - measured 31.9 GB vs 11.9 GB on the retriever step
+            # stay live - measured 31.9 GB vs 11.9 GB on the retriever step.
+            # (remat="mlp" remats inside the block instead — ViTBlock._mlp_part)
             block = nn.remat(ViTBlock)
         for i in range(c.depth):
             x = block(c, name=f"blocks_{i}")(x, lengths)

@@ -394,12 +394,15 @@ def _flash_core_fwd(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q,
                     block_k, interpret=False):
     o, lse = _flash_fwd(q, k, v, qs_lanes, ks_sub, causal, sm_scale, block_q,
                         block_k, interpret)
-    return o, (q, k, v, qs_lanes, ks_sub, o, lse)
+    # lse residual compressed to lane 0 (the kernels only read lane 0;
+    # the broadcast form is 128x the bytes — see attention_lengths._core_fwd)
+    return o, (q, k, v, qs_lanes, ks_sub, o, lse[..., 0:1])
 
 
 def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     from .attention_lengths import _bwd_block
     q, k, v, qs_lanes, ks_sub, o, lse = res
+    lse = jnp.broadcast_to(lse, (*lse.shape[:-1], NUM_LANES))
     # bwd kernels hold more VMEM residents — re-pick smaller divisor blocks
     bq = _bwd_block(q.shape[2], cap=block_q)
     bk = _bwd_block(k.shape[2], cap=block_k)

@@ -468,7 +468,12 @@ def _core_fwd(q, k, v, lengths, causal, sm_scale, block_q, block_k,
               interpret=False):
     o, lse = flash_fwd_lengths(q, k, v, lengths, causal, sm_scale, block_q,
                                block_k, interpret)
-    return o, (q, k, v, lengths, o, lse)
+    # the kernel emits lse LANE-BROADCAST (B, H, S, 128) f32 for tiled
+    # reads, but only lane 0 carries data — store the residual compressed
+    # (128x smaller: at 16k-token packed RL batches the broadcast form is
+    # ~134 MB/layer of saved activations; under remat="mlp" it OOM'd the
+    # retriever step). The bwd re-broadcasts before the kernels.
+    return o, (q, k, v, lengths, o, lse[..., 0:1])
 
 
 def _bwd_block(s_padded: int, cap: int = 512) -> int:
@@ -488,6 +493,7 @@ def _bwd_block(s_padded: int, cap: int = 512) -> int:
 
 def _core_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     q, k, v, lengths, o, lse = res
+    lse = jnp.broadcast_to(lse, (*lse.shape[:-1], NUM_LANES))
     bq = _bwd_block(q.shape[2])
     bk = _bwd_block(k.shape[2])
     dq, dk, dv = flash_bwd_lengths(q, k, v, lengths, o, lse, do, causal,
@@ -534,12 +540,13 @@ def _flat_fwd(qkv, lengths, n, seq, heads, d, causal, sm_scale, block_q,
     o, lse = flash_fwd_lengths_flat(qkv, lengths, n, seq, heads, d, causal,
                                     sm_scale, block_q, block_k, interpret,
                                     need_lse=True)
-    return o, (qkv, lengths, o, lse)
+    return o, (qkv, lengths, o, lse[..., 0:1])   # see _core_fwd
 
 
 def _flat_bwd(n, seq, heads, d, causal, sm_scale, block_q, block_k,
               interpret, res, do):
     qkv, lengths, o, lse = res
+    lse = jnp.broadcast_to(lse, (*lse.shape[:-1], NUM_LANES))
     q, k, v = _flat_to_stacked(qkv, n, seq, heads, d)
     o4 = jnp.swapaxes(o.reshape(n, seq, heads, d), 1, 2)
     do4 = jnp.swapaxes(do.reshape(n, seq, heads, d), 1, 2)
