@@ -215,3 +215,20 @@ def test_layout_preserving_ocr_matches_reference():
         want = fns["tostr_layout_preserving"](FakeResult(rects, texts))
         got = layout_preserving_text(dets)
         assert got == want, (trial, got, want)
+
+
+def test_office_conversion_gated():
+    """Office formats route through the LibreOffice gate with a clear error
+    when soffice is absent (the reference's doc2pdf/ppt2pdf are win32com-
+    bound; file2img parity at the dispatch level)."""
+    import shutil
+    import pytest
+    from visrag_tpu.preprocess.rasterize import file_to_images, OFFICE_EXTS
+
+    assert ".docx" in OFFICE_EXTS and ".pptx" in OFFICE_EXTS
+    if shutil.which("soffice") or shutil.which("libreoffice"):
+        pytest.skip("LibreOffice present; conversion exercised elsewhere")
+    with pytest.raises(RuntimeError, match="soffice"):
+        list(file_to_images("/tmp/nonexistent.docx"))
+    with pytest.raises(ValueError, match="unsupported"):
+        list(file_to_images("/tmp/nonexistent.xyz"))

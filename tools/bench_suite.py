@@ -9,6 +9,7 @@ training/serving story is numbers, not vibes. Each mode prints ONE JSON line
   python tools/bench_suite.py serve       # decode tok/s (MHA, paged KV)
   python tools/bench_suite.py serve_qwen  # decode tok/s (Qwen-3B GQA)
   python tools/bench_suite.py rl          # RS-GRPO packed PPO update tok/s
+  python tools/bench_suite.py rollout     # n-sampling groups vs n prefills
 
 Single-chip sizes: the flagship retriever at full 40-layer depth does not
 fit one v5e's 16 GB with AdamW state (the reference trains it on 8 GPUs
@@ -47,10 +48,13 @@ def bench_train():
     lm_layers = int(os.environ.get("BENCH_TRAIN_LM_LAYERS", 8))
     pages = int(os.environ.get("BENCH_TRAIN_PAGES", 4))
     micro = int(os.environ.get("BENCH_TRAIN_MICRO", 1))  # pages per micro
+    # "true" = whole-block remat; "mlp" = selective (attention saved)
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "true")
+    remat = True if remat == "true" else remat
     cfg = VisRAGRetConfig(backbone=MiniCPMVConfig(
-        llm=MiniCPMConfig(dtype=jnp.bfloat16, remat=True,
+        llm=MiniCPMConfig(dtype=jnp.bfloat16, remat=remat,
                           num_hidden_layers=lm_layers, is_causal=False),
-        vit=SiglipViTConfig(dtype=jnp.bfloat16, remat=True),
+        vit=SiglipViTConfig(dtype=jnp.bfloat16, remat=remat),
         resampler=ResamplerConfig(dtype=jnp.bfloat16)))
     model = VisRAGRet(cfg)
     pcfg = PipelineConfig(seq_len=576, query_num=cfg.backbone.query_num,
@@ -265,9 +269,11 @@ def bench_rl():
     resp_len = int(os.environ.get("BENCH_RL_RESP", 512))
     bsz = int(os.environ.get("BENCH_RL_BATCH", 16))
     from visrag_tpu.models.qwen25_vl import QwenTextConfig
+    remat = os.environ.get("BENCH_RL_REMAT", "true")
+    remat = True if remat == "true" else remat
     tcfg = QwenTextConfig(num_hidden_layers=layers, intermediate_size=5504,
                           num_key_value_heads=4, vocab_size=32064,
-                          dtype=jnp.bfloat16, remat=True)
+                          dtype=jnp.bfloat16, remat=remat)
     qcfg = dc.replace(Qwen25VLConfig.tiny(), text=tcfg)
     model = Qwen25VL(qcfg)
     rng = np.random.default_rng(0)
@@ -332,7 +338,80 @@ def bench_rl():
     }))
 
 
+def bench_rollout():
+    """n-sampling rollout: prompt groups (ONE prefill per prompt, forked
+    decode slots sharing the prompt KV blocks) vs the old expanded path
+    (n independent requests re-prefilling the same prompt). Prefill-heavy
+    regime: 1024-token prompts, 16 new tokens, n=8 — the EVisRAG rollout
+    shape in miniature (reference vllm_rollout_spmd.py SamplingParams(n))."""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import (Qwen25VL, Qwen25VLConfig,
+                                             QwenTextConfig,
+                                             QwenVisionConfig)
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    n = int(os.environ.get("BENCH_ROLLOUT_N", 8))
+    plen = int(os.environ.get("BENCH_ROLLOUT_PROMPT", 1024))
+    new = int(os.environ.get("BENCH_ROLLOUT_NEW", 16))
+    n_prompts = int(os.environ.get("BENCH_ROLLOUT_PROMPTS", 2))
+    tcfg = QwenTextConfig(vocab_size=32064, hidden_size=2048,
+                          intermediate_size=5504, num_hidden_layers=12,
+                          num_attention_heads=16, num_key_value_heads=4,
+                          dtype=jnp.bfloat16)
+    cfg = Qwen25VLConfig(vision=QwenVisionConfig.tiny(out_hidden_size=2048),
+                         text=tcfg)
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 30000, size=(1, 8)), "int32")
+    pos = jnp.broadcast_to(jnp.arange(8), (3, 1, 8)).astype("int32")
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, positions=pos)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+    prompts = [dict(input_ids=rng.integers(1, 30000, size=(plen,))
+                    .astype(np.int32)) for _ in range(n_prompts)]
+    sp = SamplingParams(temperature=1.0, max_tokens=new)
+
+    def run(grouped: bool):
+        eng = Engine(model, params, num_slots=n, max_len=2048,
+                     prompt_buckets=(plen,), decode_chunk=new)
+        if grouped:
+            eng.generate(prompts, sampling=sp, n=n)          # warm/compile
+        else:
+            eng.generate([p for p in prompts for _ in range(n)], sampling=sp)
+        t0 = time.time()
+        if grouped:
+            outs = eng.generate(prompts, sampling=sp, n=n)
+        else:
+            outs = eng.generate([p for p in prompts for _ in range(n)],
+                                sampling=sp)
+        dt = time.time() - t0
+        assert len(outs) == n_prompts * n
+        return dt, eng.prefill_count
+
+    dt_old, pf_old = run(grouped=False)
+    dt_new, pf_new = run(grouped=True)
+    log(f"expanded: {dt_old:.2f}s ({pf_old} prefills) | grouped: "
+        f"{dt_new:.2f}s ({pf_new} prefills)")
+    print(json.dumps({
+        "metric": "rollout_group_speedup",
+        "value": round(dt_old / dt_new, 2), "unit": "x (n-sampling groups)",
+        "detail": {"n": n, "prompt_len": plen, "new_tokens": new,
+                   "prefills": {"expanded": pf_old // 2, "grouped":
+                                pf_new // 2},
+                   "s_expanded": round(dt_old, 2),
+                   "s_grouped": round(dt_new, 2)},
+    }))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     {"train": bench_train, "serve": bench_serve,
-     "serve_qwen": bench_serve_qwen, "rl": bench_rl}[mode]()
+     "serve_qwen": bench_serve_qwen, "rl": bench_rl,
+     "rollout": bench_rollout}[mode]()

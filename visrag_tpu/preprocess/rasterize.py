@@ -62,6 +62,38 @@ def text_to_images(path: str, *, page_chars: int = 3000,
         yield img
 
 
+OFFICE_EXTS = (".doc", ".docx", ".ppt", ".pptx", ".xls", ".xlsx", ".odt",
+               ".odp", ".ods", ".rtf")
+
+
+def office_to_pdf(path: str, out_dir: Optional[str] = None) -> str:
+    """Office document → PDF via LibreOffice headless — the cross-platform
+    stand-in for the reference's Windows-COM converters
+    (visrag_scripts/file2img/{doc,ppt}2pdf.py use win32com.client Word/
+    PowerPoint, which cannot exist off Windows). Gated on a `soffice`
+    binary; raises a clear error naming the dependency otherwise."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    soffice = shutil.which("soffice") or shutil.which("libreoffice")
+    if soffice is None:
+        raise RuntimeError(
+            f"converting {os.path.basename(path)!r} needs LibreOffice "
+            "(`soffice` not on PATH; the reference's doc2pdf/ppt2pdf are "
+            "win32com-bound) — install libreoffice or convert to PDF "
+            "upstream")
+    out_dir = out_dir or tempfile.mkdtemp(prefix="visrag_office_")
+    subprocess.run([soffice, "--headless", "--convert-to", "pdf",
+                    "--outdir", out_dir, path], check=True,
+                   capture_output=True, timeout=300)
+    pdf = os.path.join(
+        out_dir, os.path.splitext(os.path.basename(path))[0] + ".pdf")
+    if not os.path.exists(pdf):
+        raise RuntimeError(f"LibreOffice produced no PDF for {path!r}")
+    return pdf
+
+
 def file_to_images(path: str, dpi: int = 200) -> Iterator[Image.Image]:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".pdf":
@@ -70,6 +102,7 @@ def file_to_images(path: str, dpi: int = 200) -> Iterator[Image.Image]:
         yield from text_to_images(path)
     elif ext in (".png", ".jpg", ".jpeg", ".webp", ".bmp"):
         yield Image.open(path).convert("RGB")
+    elif ext in OFFICE_EXTS:
+        yield from pdf_to_images(office_to_pdf(path), dpi)
     else:
-        raise ValueError(f"unsupported document type {ext!r} (office formats "
-                         "must be converted to PDF first)")
+        raise ValueError(f"unsupported document type {ext!r}")
