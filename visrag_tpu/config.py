@@ -260,6 +260,9 @@ class ActorConfig:
     # > 1 sizes the mesh's seq axis (driver/rl_main) and runs attention via
     # parallel/ulysses.sp_flash_attention
     ulysses_size: int = 1
+    # "ulysses" | "ring": SP attention backend (ring = context parallelism
+    # via ppermute k/v rotation — beyond the reference, no head-count bound)
+    sp_backend: str = "ulysses"
 
 
 @dataclass

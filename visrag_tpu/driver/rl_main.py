@@ -81,6 +81,12 @@ def main(argv=None):
         # size the mesh's seq axis from the SP knob (the reference's
         # ulysses_sequence_parallel_size → device_mesh, fsdp_workers.py:119)
         cfg.mesh.seq = cfg.actor.ulysses_size
+        if cfg.actor.sp_backend != "ulysses":
+            import dataclasses as _dc
+            mcfg = _dc.replace(
+                mcfg, text=_dc.replace(mcfg.text,
+                                       sp_backend=cfg.actor.sp_backend))
+            model = Qwen25VL(mcfg)
     mcfg_mesh = multihost_mesh_config(cfg.mesh, nproc)
     mesh = build_mesh(mcfg_mesh) if len(jax.devices()) > 1 else None
     trainer = RLTrainer(

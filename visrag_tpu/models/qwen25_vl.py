@@ -84,6 +84,9 @@ class QwenTextConfig:
     dtype: Any = jnp.bfloat16
     # False | True (whole-block) | "mlp" (selective; SiglipViTConfig.remat)
     remat: Any = False
+    # sequence-parallel attention backend when an sp_mesh is passed:
+    # "ulysses" (all_to_all head sharding) | "ring" (ppermute k/v rotation)
+    sp_backend: str = "ulysses"
 
     @property
     def head_dim(self) -> int:
@@ -259,11 +262,13 @@ class QwenTextBlock(nn.Module):
                  sp_mesh=None):
         q, k, v = self._qkv(x, cos, sin)
         if sp_mesh is not None:
-            # Ulysses sequence parallelism over the mesh's `seq` axis
-            # (reference dp_actor.py:109-116 when ulysses_size > 1)
+            # sequence parallelism over the mesh's `seq` axis (reference
+            # dp_actor.py:109-116 when ulysses_size > 1); cfg.sp_backend
+            # picks Ulysses all_to_all or ring ppermute
             from ..parallel.ulysses import sp_flash_attention
             o = sp_flash_attention(q, k, v, q_seg=seg, kv_seg=seg,
-                                   lengths=lengths, causal=True, mesh=sp_mesh)
+                                   lengths=lengths, causal=True, mesh=sp_mesh,
+                                   backend=self.cfg.sp_backend)
         elif lengths is not None:
             o = flash_attention(q, k, v, lengths=lengths, causal=True)
         else:

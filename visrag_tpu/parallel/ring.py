@@ -58,6 +58,7 @@ def ring_attention(q, k, v, mesh: Mesh, *, causal: bool = False,
         segment_ids = jnp.ones((b, s_full), jnp.int32)
 
     def local(q, k, v, seg):
+        bl = q.shape[0]                      # local batch (B / replica·data)
         idx = jax.lax.axis_index(SEQ)
         q_pos = idx * s_loc + jnp.arange(s_loc)
         q_seg = seg
@@ -82,15 +83,17 @@ def ring_attention(q, k, v, mesh: Mesh, *, causal: bool = False,
             seg_t = jax.lax.ppermute(seg_t, SEQ, perm)
             return k_t, v_t, seg_t, acc, m_new, l
 
-        acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
-        m0 = jnp.full((b, s_loc, h), -1e30, jnp.float32)
-        l0 = jnp.zeros((b, s_loc, h), jnp.float32)
+        acc0 = jnp.zeros((bl, s_loc, h, d), jnp.float32)
+        m0 = jnp.full((bl, s_loc, h), -1e30, jnp.float32)
+        l0 = jnp.zeros((bl, s_loc, h), jnp.float32)
         carry = (k, v, seg, acc0, m0, l0)
         carry = jax.lax.fori_loop(0, n, step, carry)
         _, _, _, acc, m, l = carry
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
-    spec = P(None, SEQ, None, None)
-    sspec = P(None, SEQ)
+    # batch rides the (replica, data) axes so a DP-sharded train batch needs
+    # no gather; a data=1 mesh (the unit tests) degenerates to the old spec
+    spec = P(("replica", "data"), SEQ, None, None)
+    sspec = P(("replica", "data"), SEQ)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec, sspec),
                      out_specs=spec, check_rep=False)(q, k, v, segment_ids)

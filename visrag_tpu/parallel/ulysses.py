@@ -56,7 +56,8 @@ def ulysses_attention(q, k, v, *, q_seg=None, kv_seg=None, lengths=None,
 
 
 def sp_flash_attention(q, k, v, *, q_seg=None, kv_seg=None, lengths=None,
-                       causal=False, mesh: Mesh = None):
+                       causal=False, mesh: Mesh = None,
+                       backend: str = "ulysses"):
     """GSPMD-callable Ulysses attention: shard_map over the mesh's `seq`
     axis with batch kept on (replica, data) — the integration point that
     lets a model's attention run sequence-parallel inside an ordinary jitted
@@ -67,22 +68,20 @@ def sp_flash_attention(q, k, v, *, q_seg=None, kv_seg=None, lengths=None,
     per device); q_seg/kv_seg (B, S) or lengths (B,) are batch-sharded but
     full-sequence. GQA kv heads are repeated up to a multiple of the SP
     degree first (reference flash_attention_utils.py:93-141 repeat_kv).
-    Requires S and H divisible by the seq-axis size."""
+    Requires S and H divisible by the seq-axis size.
+
+    backend: "ulysses" (all_to_all head sharding — one collective pair,
+    needs heads % sp == 0) or "ring" (parallel/ring.py ppermute k/v
+    rotation — context parallelism beyond the reference, no head-count
+    constraint; k/v repeat to full heads first under GQA)."""
     n = dict(mesh.shape).get(SEQ, 1)
     if n <= 1:
         return flash_attention(q, k, v, q_seg, kv_seg, lengths=lengths,
                                causal=causal)
     b, s, h, d = q.shape
-    validate_heads(h, n)
     if s % n:
         raise ValueError(f"seq {s} not divisible by sp={n}; pad first "
                          "(pad_seq_for_ulysses)")
-    hk = k.shape[2]
-    if hk % n:
-        import math
-        rep = n // math.gcd(hk, n)
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
     if lengths is not None and q_seg is None:
         # normalize to segment masks so one shard_map signature serves both
         q_seg = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
@@ -90,6 +89,20 @@ def sp_flash_attention(q, k, v, *, q_seg=None, kv_seg=None, lengths=None,
     if q_seg is None:
         q_seg = jnp.ones((b, s), jnp.int32)
         kv_seg = q_seg
+    hk = k.shape[2]
+    if backend == "ring":
+        from .ring import ring_attention
+        if hk != h:
+            k = jnp.repeat(k, h // hk, axis=2)
+            v = jnp.repeat(v, h // hk, axis=2)
+        return ring_attention(q, k, v, mesh, causal=causal,
+                              segment_ids=q_seg.astype(jnp.int32))
+    validate_heads(h, n)
+    if hk % n:
+        import math
+        rep = n // math.gcd(hk, n)
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
     BA = ("replica", "data")
 
     def inner(q, k, v, qs, ks):
