@@ -72,12 +72,26 @@ def main():
         scale_resolution=cfg.backbone.scale_resolution if on_tpu else 8,
         max_patches=64 if not on_tpu else 1152)
 
-    # ---- synthetic realistic page batch ---------------------------------
+    # ---- page batch: synthetic mix, or real corpus rows (BENCH_DATA) ----
+    # BENCH_DATA=<parquet dir/file in the reference's train_dataset format>
+    # replaces the noise pages with real document images through the real
+    # dataset reader (MMDRTrainDataset passages are ("", image) — empty
+    # document-side text is the faithful input, openmatch train_dataset.py).
     rng = np.random.default_rng(0)
     sizes = [(826, 1169), (1654, 2339), (1280, 720), (900, 900)]
     tok = MockTokenizer()
+    data_path = os.environ.get("BENCH_DATA")
+    real_pages = None
+    if data_path and on_tpu:
+        from visrag_tpu.data.datasets import MMDRTrainDataset
+        real_pages = [ex["passages"][0] for ex in MMDRTrainDataset(data_path)]
+        log(f"real data: {len(real_pages)} pages from {data_path}, sizes "
+            f"{[p[1].size for p in real_pages[:8]]}")
     pages = []
     for i in range(batch_pages):
+        if real_pages is not None:
+            pages.append(real_pages[i % len(real_pages)])
+            continue
         w, h = sizes[i % len(sizes)]
         if not on_tpu:
             w, h = 30, 40
@@ -186,11 +200,20 @@ def main():
             f"{time.time()-t0:.2f}s (device step is {dt:.2f}s)")
         del probe
 
+        # three-stage pipeline: thread A builds numpy batches, thread B
+        # (encode_dataset's own prefetch worker) uploads through the relay,
+        # main thread enqueues device steps — build ∥ upload ∥ compute.
+        from visrag_tpu.retrieval.encode import prefetch
+
         def gen():
             for b in range(sustained_batches):
                 r = np.random.default_rng(100 + b)
                 pgs = []
                 for i in range(batch_pages):
+                    if real_pages is not None:
+                        pgs.append(real_pages[(b * batch_pages + i)
+                                              % len(real_pages)])
+                        continue
                     w, h = sizes[i % len(sizes)] if on_tpu else (30, 40)
                     arr = r.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
                     pgs.append(("", Image.fromarray(arr)))
@@ -198,15 +221,36 @@ def main():
                                         n_slice_slots=slice_slots,
                                         device_mode=True)
                 yield ([str(b * batch_pages + i)
-                        for i in range(batch_pages)],
-                       {"raw": {k: jnp.asarray(v) for k, v in bn.items()}})
+                        for i in range(batch_pages)], bn)
 
-        t0 = time.time()
-        ids, reps = encode_dataset(lambda p, raw: apply(p, raw), gen(),
-                                   params=params, prefetch_depth=2)
-        dt_s = time.time() - t0
-        assert len(ids) == sustained_batches * batch_pages
-        sustained_pps = len(ids) / dt_s
+        def upload(it):
+            for ids_b, bn in it:
+                yield ids_b, {"raw": {k: jnp.asarray(v) for k, v in bn.items()}}
+
+        def run_staged():
+            return encode_dataset(lambda p, raw: apply(p, raw),
+                                  upload(prefetch(gen(), 2)),
+                                  params=params, prefetch_depth=2)
+
+        def run_single():  # build+upload fused in one worker (pre-r2 shape)
+            return encode_dataset(lambda p, raw: apply(p, raw), upload(gen()),
+                                  params=params, prefetch_depth=2)
+
+        runs = [("staged", run_staged)]
+        if os.environ.get("BENCH_SUSTAINED_AB"):  # same-process A/B — the
+            # relay's MB/s drifts run-to-run, so only in-process comparisons
+            # of the two pipelines are meaningful
+            runs = [("single", run_single), ("staged", run_staged),
+                    ("single2", run_single), ("staged2", run_staged)]
+        for name, fn in runs:
+            t0 = time.time()
+            ids, reps = fn()
+            dt_s = time.time() - t0
+            assert len(ids) == sustained_batches * batch_pages
+            sustained_pps = len(ids) / dt_s
+            if len(runs) > 1:
+                log(f"sustained[{name}]: {len(ids)} pages in {dt_s:.1f}s → "
+                    f"{sustained_pps:.2f} pages/s")
         log(f"sustained end-to-end: {len(ids)} pages in {dt_s:.1f}s → "
             f"{sustained_pps:.2f} pages/s "
             f"({sustained_pps / pages_per_s * 100:.0f}% of device-only)")

@@ -168,3 +168,37 @@ def test_retriever_kill_resume_batch_sequence(tmp_path):
     np.testing.assert_allclose(np.asarray(t_c.params["w"]),
                                np.asarray(t_a.params["w"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_iter_rows_directory_shards(tmp_path):
+    """Directory of numbered shards == the reference train_dataset layout
+    (examples/training_data/{0.parquet, metadata.json})."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from visrag_tpu.data.datasets import dataset_length, iter_rows
+
+    pq.write_table(pa.table({"query": ["a", "b"], "source": ["s", "s"]}),
+                   tmp_path / "0.parquet")
+    pq.write_table(pa.table({"query": ["c"], "source": ["s"]}),
+                   tmp_path / "1.parquet")
+    (tmp_path / "metadata.json").write_text(json.dumps({"length": 3}))
+    rows = list(iter_rows(str(tmp_path)))
+    assert [r["query"] for r in rows] == ["a", "b", "c"]
+    assert dataset_length(str(tmp_path)) == 3
+
+
+def test_mmdr_dataset_reads_reference_example():
+    """The real reference example corpus loads end-to-end (real JPEG pages)."""
+    import os
+    path = "/root/reference/examples/training_data"
+    if not os.path.isdir(path):
+        pytest.skip("reference example data not present")
+    from visrag_tpu.data.datasets import MMDRTrainDataset
+    ds = MMDRTrainDataset(path)
+    rows = list(ds)
+    assert len(rows) == len(ds) == 2
+    for ex in rows:
+        text, img = ex["passages"][0]
+        assert text == "" and img.size[0] > 100 and img.size[1] > 100
+        assert ex["query"][0]

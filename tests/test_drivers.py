@@ -139,3 +139,31 @@ def test_tracker_and_flops(tmp_path):
     with t("phase"):
         pass
     assert "timing_s/phase" in t.metrics()
+
+
+def test_get_tokenizer_corrections(monkeypatch):
+    """Pad-token and gemma-EOS corrections (ref verl/utils/tokenizer.py)."""
+    import transformers
+    from visrag_tpu.driver.common import get_processor, get_tokenizer
+
+    class Stub:
+        def __init__(self, bos, eos, pad_id):
+            self.bos_token, self.eos_token = bos, eos
+            self.pad_token_id, self.pad_token = pad_id, None
+            self.chat_template = None
+
+    stub = Stub("<s>", "</s>", None)
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        staticmethod(lambda p, **kw: stub))
+    tok = get_tokenizer("x", override_chat_template="TPL")
+    assert tok.pad_token == "</s>" and tok.chat_template == "TPL"
+
+    gem = Stub("<bos>", "<eos>", 0)
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        staticmethod(lambda p, **kw: gem))
+    assert get_tokenizer("x").eos_token == "<end_of_turn>"
+
+    # AutoProcessor falling back to a bare tokenizer → None (text-only ckpt)
+    monkeypatch.setattr(transformers.AutoProcessor, "from_pretrained",
+                        staticmethod(lambda p, **kw: stub))
+    assert get_processor("x") is None

@@ -152,6 +152,35 @@ def test_encode_dataset_writer(tmp_path):
     np.testing.assert_allclose(reps[:, 0], np.repeat(np.arange(5) * 4.0, 2))
 
 
+def test_encode_dataset_staged_prefetch():
+    """Chained prefetch stages (build thread ∥ upload thread ∥ consume) keep
+    ordering and results identical to the direct path (bench.py sustained
+    pipeline shape)."""
+    import threading
+    from visrag_tpu.retrieval.encode import encode_dataset, prefetch
+
+    def fake_step(**batch):
+        return jnp.asarray(batch["x"].sum(axis=1, keepdims=True))
+
+    def gen():
+        for i in range(7):
+            yield ([f"id{i}"], dict(x=np.ones((1, 4), np.float32) * i))
+
+    stage_threads = []
+
+    def upload(it):
+        for ids_b, b in it:
+            stage_threads.append(threading.get_ident())
+            yield ids_b, {k: jnp.asarray(v) for k, v in b.items()}
+
+    ids, reps = encode_dataset(fake_step, upload(prefetch(gen(), 2)))
+    assert ids == [f"id{i}" for i in range(7)]
+    np.testing.assert_allclose(reps[:, 0], np.arange(7) * 4.0)
+    # the upload stage body ran inside encode_dataset's prefetch worker,
+    # not the main thread (i.e. the stages really are separate threads)
+    assert set(stage_threads) and threading.get_ident() not in set(stage_threads)
+
+
 def test_self_retrieve():
     """Query↔query retrieval (dense_retriever.py:100-161): each query's top
     hit is itself; duplicates surface at near-1.0 cosine."""

@@ -10,6 +10,7 @@ training/serving story is numbers, not vibes. Each mode prints ONE JSON line
   python tools/bench_suite.py serve_qwen  # decode tok/s (Qwen-3B GQA)
   python tools/bench_suite.py rl          # RS-GRPO packed PPO update tok/s
   python tools/bench_suite.py rollout     # n-sampling groups vs n prefills
+  python tools/bench_suite.py retrieve    # live-query retrieval p50/p99 ms
 
 Single-chip sizes: the flagship retriever at full 40-layer depth does not
 fit one v5e's 16 GB with AdamW state (the reference trains it on 8 GPUs
@@ -410,8 +411,117 @@ def bench_rollout():
     }))
 
 
+def bench_retrieve():
+    """Retrieval serving latency (the BASELINE.json p50 headline): one live
+    query → flagship VisRAG-Ret text encode (full-width 2.4B LM, wmean pool,
+    L2) fused in ONE jit with exact top-10 over an HBM-resident corpus
+    (bf16, 1M × 2304 by default ≈ 4.6 GB). Reports round-trip p50/p99 (incl.
+    the ~45 ms relay fixed latency — a local host would not pay it) and the
+    amortized on-device latency (enqueue-N/fetch-last)."""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.minicpm import MiniCPMConfig
+    from visrag_tpu.models.minicpmv import MiniCPMVConfig
+    from visrag_tpu.models.resampler import ResamplerConfig
+    from visrag_tpu.models.siglip_vit import SiglipViTConfig
+    from visrag_tpu.models.visrag_ret import (EncodeBatch, VisRAGRet,
+                                              VisRAGRetConfig)
+    from visrag_tpu.preprocess.pipeline import PipelineConfig, build_encode_batch
+    from visrag_tpu.preprocess.tokenize import MockTokenizer
+    from visrag_tpu.retrieval.search import topk_single
+
+    on_tpu = jax.default_backend() != "cpu"
+    n_docs = int(os.environ.get("BENCH_DOCS", "1000000" if on_tpu else "512"))
+    k = 10
+    if on_tpu:
+        cfg = VisRAGRetConfig(backbone=MiniCPMVConfig(
+            llm=MiniCPMConfig(dtype=jnp.bfloat16),
+            vit=SiglipViTConfig(dtype=jnp.bfloat16),
+            resampler=ResamplerConfig(dtype=jnp.bfloat16)))
+    else:
+        cfg = VisRAGRetConfig.tiny()
+    model = VisRAGRet(cfg)
+    # text-only query batch: the dummy slice buffer stays at 64 patches (the
+    # ViT's share of a query encode is negligible by construction)
+    pcfg = PipelineConfig(seq_len=128, query_num=cfg.backbone.query_num,
+                          patch_size=cfg.backbone.vit.patch_size,
+                          src_grid=cfg.backbone.vit.pos_grid,
+                          scale_resolution=8, max_patches=64)
+    tok = MockTokenizer()
+    qtext = ("Represent this query for retrieving relevant documents: "
+             "which countries have a Chinese speaking population?")
+    qb = {key: jnp.asarray(v) for key, v in build_encode_batch(
+        tok, [(qtext, None)], pcfg, n_slice_slots=1).items()}
+
+    t0 = time.time()
+
+    @jax.jit
+    def init_bf16(key):  # cast inside the jit — a separate f32 init
+        # materializes 12.6 GB of fp32 params and OOMs the 16 GB chip
+        p = model.init(key, EncodeBatch(**qb))
+        if not on_tpu:
+            return p
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p)
+
+    params = init_bf16(jax.random.PRNGKey(0))
+    dim = int(jax.eval_shape(
+        lambda p, b: model.apply(p, EncodeBatch(**b)), params, qb).shape[1])
+    log(f"init: {time.time()-t0:.1f}s, dim {dim}, corpus {n_docs} docs")
+
+    @jax.jit
+    def make_corpus(key):
+        chunks = []
+        for i in range(8):
+            c = jax.random.normal(jax.random.fold_in(key, i),
+                                  (n_docs // 8, dim), jnp.float32)
+            c /= jnp.linalg.norm(c, axis=1, keepdims=True)
+            chunks.append(c.astype(jnp.bfloat16))
+        return jnp.concatenate(chunks, axis=0)
+
+    corpus = make_corpus(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def retrieve(p, batch, corp):
+        reps = model.apply(p, EncodeBatch(**batch))
+        return topk_single(reps, corp, k)
+
+    t0 = time.time()
+    s, i = retrieve(params, qb, corpus)
+    _ = np.asarray(s), np.asarray(i)
+    log(f"compile+first query: {time.time()-t0:.1f}s")
+
+    # round-trip latency: fetch results every query (what a serving frontend
+    # sees through this relay; subtract the fixed relay RTT for local hosts)
+    lats = []
+    for _ in range(50):
+        t0 = time.time()
+        s, i = retrieve(params, qb, corpus)
+        _ = np.asarray(s)[0, 0], np.asarray(i)[0, 0]
+        lats.append(time.time() - t0)
+    lats_ms = np.array(lats) * 1e3
+    p50, p99 = np.percentile(lats_ms, 50), np.percentile(lats_ms, 99)
+
+    # amortized device time: enqueue 50, fetch last
+    t0 = time.time()
+    for _ in range(50):
+        s, i = retrieve(params, qb, corpus)
+    _ = np.asarray(s)[0, 0]
+    amortized_ms = (time.time() - t0) / 50 * 1e3
+    log(f"p50 {p50:.1f} ms, p99 {p99:.1f} ms round-trip; "
+        f"{amortized_ms:.1f} ms amortized device")
+    print(json.dumps({
+        "metric": "retrieval_latency_p50", "value": round(float(p50), 2),
+        "unit": "ms",
+        "detail": {"n_docs": n_docs, "k": k, "dim": dim,
+                   "p99_ms": round(float(p99), 2),
+                   "amortized_device_ms": round(float(amortized_ms), 2)},
+    }))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     {"train": bench_train, "serve": bench_serve,
      "serve_qwen": bench_serve_qwen, "rl": bench_rl,
-     "rollout": bench_rollout}[mode]()
+     "rollout": bench_rollout, "retrieve": bench_retrieve}[mode]()

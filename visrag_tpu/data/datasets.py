@@ -54,7 +54,19 @@ def to_pil(image_field) -> Optional[Image.Image]:
 
 
 def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
-    """Extension-dispatch row iterator: .parquet / .tsv / .jsonl / .json."""
+    """Extension-dispatch row iterator: .parquet / .tsv / .jsonl / .json, or a
+    directory of numbered shards in those formats (the reference's
+    train_dataset layout: examples/training_data/{0.parquet, metadata.json})."""
+    if os.path.isdir(path):
+        shards = sorted(
+            f for f in os.listdir(path)
+            if os.path.splitext(f)[1].lower() in
+            (".parquet", ".tsv", ".txt", ".jsonl") and f != "metadata.json")
+        if not shards:
+            raise ValueError(f"no data shards in directory {path!r}")
+        for f in shards:
+            yield from iter_rows(os.path.join(path, f), streaming)
+        return
     ext = os.path.splitext(path)[1].lower()
     if ext == ".parquet":
         import pyarrow.parquet as pq
@@ -82,7 +94,8 @@ def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
 def dataset_length(path: str) -> Optional[int]:
     """metadata.json {"length": N} next to the data files
     (train_dataset.py:84-102; examples/training_data/metadata.json)."""
-    meta = os.path.join(os.path.dirname(path), "metadata.json")
+    meta = os.path.join(path if os.path.isdir(path) else os.path.dirname(path),
+                        "metadata.json")
     if os.path.exists(meta):
         with open(meta) as f:
             return json.load(f).get("length")

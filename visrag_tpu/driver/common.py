@@ -15,13 +15,43 @@ from ..preprocess.pipeline import PipelineConfig
 from ..preprocess.tokenize import HFTokenizerAdapter, MockTokenizer
 
 
+def get_tokenizer(model_path: str, override_chat_template: Optional[str] = None,
+                  **kwargs):
+    """HF tokenizer with the RL-load-bearing corrections the reference applies
+    (rsgrpo/verl/utils/tokenizer.py:21-38): optional chat-template override,
+    gemma2/3 ambiguous-EOS fix (<end_of_turn>), and pad_token := eos_token
+    when the checkpoint ships none (Qwen/Llama) — without it, padded RL
+    batches tokenize differently from the reference."""
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(model_path, **kwargs)
+    if override_chat_template is not None:
+        tok.chat_template = override_chat_template
+    if tok.bos_token == "<bos>" and tok.eos_token == "<eos>":
+        tok.eos_token = "<end_of_turn>"
+    if tok.pad_token_id is None:
+        tok.pad_token = tok.eos_token
+    return tok
+
+
+def get_processor(model_path: str, override_chat_template: Optional[str] = None,
+                  **kwargs):
+    """HF multimodal processor, or None for text-only checkpoints where
+    AutoProcessor silently falls back to a bare tokenizer
+    (tokenizer.py:41-52)."""
+    from transformers import AutoProcessor
+    processor = AutoProcessor.from_pretrained(model_path, **kwargs)
+    if override_chat_template is not None:
+        processor.chat_template = override_chat_template
+    if processor is not None and "Processor" not in type(processor).__name__:
+        processor = None
+    return processor
+
+
 def build_tokenizer(checkpoint: str):
     """HF tokenizer from a checkpoint dir if present, else the deterministic
     mock (for smoke runs without downloaded weights)."""
     if checkpoint and os.path.exists(os.path.join(checkpoint, "tokenizer_config.json")):
-        from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(checkpoint, use_fast=True)
-        return HFTokenizerAdapter(tok)
+        return HFTokenizerAdapter(get_tokenizer(checkpoint, use_fast=True))
     return MockTokenizer()
 
 

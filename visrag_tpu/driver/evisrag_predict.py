@@ -36,8 +36,6 @@ def main(argv=None):
 
     import jax.numpy as jnp
     from PIL import Image
-    from transformers import AutoProcessor
-
     from ..generation.prompts import build_prompt
     from ..models.hf_loader import convert_qwen25_vl, load_safetensors_dir
     from ..models.mrope import get_rope_index
@@ -46,7 +44,8 @@ def main(argv=None):
     from ..serving.engine import Engine
     from ..serving.sampling import SamplingParams
 
-    processor = AutoProcessor.from_pretrained(args.checkpoint)
+    from .common import get_processor
+    processor = get_processor(args.checkpoint)
     tok = processor.tokenizer
     state = load_safetensors_dir(args.checkpoint)
     params = {"params": convert_qwen25_vl(state)}

@@ -79,15 +79,14 @@ def _minicpmv_backend(checkpoint: str, max_new_tokens: int,
     → (text, cum_logprob)."""
     import jax.numpy as jnp
     import numpy as np
-    from transformers import AutoTokenizer
-
     from ..models.hf_loader import convert_minicpmv, load_safetensors_dir
     from ..models.minicpmv import MiniCPMVForGeneration, MiniCPMVGenConfig
     from ..preprocess.pipeline import PipelineConfig, build_encode_batch
     from ..serving.engine import Engine
     from ..serving.sampling import SamplingParams
 
-    tok = AutoTokenizer.from_pretrained(checkpoint, trust_remote_code=True)
+    from .common import get_tokenizer
+    tok = get_tokenizer(checkpoint, trust_remote_code=True)
     params = {"params": convert_minicpmv(load_safetensors_dir(checkpoint))}
     cfg = MiniCPMVGenConfig()
     model = MiniCPMVForGeneration(cfg)

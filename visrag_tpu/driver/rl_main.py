@@ -41,8 +41,6 @@ def main(argv=None):
     from ..mesh import init_distributed, multihost_mesh_config
     pid, nproc = init_distributed(args.coordinator, args.process_id,
                                   args.num_processes)
-    from transformers import AutoProcessor
-
     from ..config import RLConfig, dump_config, load_config
     from ..data.datasets import RLHFDataset, batched
     from ..models.hf_loader import convert_qwen25_vl, load_safetensors_dir
@@ -54,7 +52,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     dump_config(cfg, os.path.join(args.output_dir, "run_config.json"))
 
-    processor = AutoProcessor.from_pretrained(args.checkpoint)
+    from .common import get_processor
+    processor = get_processor(args.checkpoint)
     tok = processor.tokenizer
     state = load_safetensors_dir(args.checkpoint)
     params = {"params": convert_qwen25_vl(state)}

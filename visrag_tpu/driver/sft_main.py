@@ -35,8 +35,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from transformers import AutoProcessor
-
     from ..config import MeshConfig
     from ..data.datasets import batched, iter_rows
     from ..mesh import build_mesh, shard_params_fsdp
@@ -54,7 +52,8 @@ def main(argv=None):
             field.type) and not isinstance(field.type, str) else v})
 
     os.makedirs(args.output_dir, exist_ok=True)
-    processor = AutoProcessor.from_pretrained(args.checkpoint)
+    from .common import get_processor
+    processor = get_processor(args.checkpoint)
     tok = processor.tokenizer
     state = load_safetensors_dir(args.checkpoint)
     params = convert_qwen25_vl(state)

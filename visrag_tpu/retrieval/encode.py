@@ -40,8 +40,22 @@ def make_encode_step(model_apply: Callable, mesh: Optional[Mesh] = None):
     return step, place
 
 
-def _prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
-    """Host-side pipeline: preprocess batch n+1 while TPU runs batch n."""
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Host-side pipeline: preprocess batch n+1 while TPU runs batch n.
+
+    Stages compose: `encode_dataset` wraps its input in one prefetch stage, so
+    a generator whose body is itself expensive (e.g. host→device upload) can be
+    split from the raw preprocessing by chaining —
+
+        raw = prefetch(build_batches(), depth)      # thread A: rasterize etc.
+        def upload(it):
+            for ids, b in it:
+                yield ids, jax.device_put(b)        # runs in thread B (below)
+        encode_dataset(step, upload(raw), ...)      # thread B: upload stage
+
+    giving build ∥ upload ∥ device-compute triple overlap (the upload stage's
+    body executes inside encode_dataset's own prefetch worker).
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
@@ -128,7 +142,7 @@ def encode_dataset(step, batches: Iterable[Tuple[Sequence[str], dict]],
     """
     writer = writer or EmbeddingWriter()
     first = True
-    for ids, batch in _prefetch(iter(batches), prefetch_depth):
+    for ids, batch in prefetch(iter(batches), prefetch_depth):
         if place is not None:
             batch = place(batch)
         reps = step(params, **batch) if params is not None else step(**batch)
