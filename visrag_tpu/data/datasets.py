@@ -38,19 +38,26 @@ def get_idx(obj: Dict[str, Any]) -> str:
 
 
 def to_pil(image_field) -> Optional[Image.Image]:
-    """HF image structs come as {'bytes': ..} or PIL or base64 str."""
+    """HF image structs come as {'bytes': ..} or PIL or base64 str.
+
+    Decodes EAGERLY (.load()): Image.open is lazy, and a lazily-loaded image
+    handed to the threadpooled preprocess pipeline races its first decode
+    across threads (PIL's self.fp is not thread-safe)."""
     if image_field is None:
         return None
     if isinstance(image_field, Image.Image):
-        return image_field
-    if isinstance(image_field, dict) and image_field.get("bytes"):
-        return Image.open(io.BytesIO(image_field["bytes"]))
-    if isinstance(image_field, (bytes, bytearray)):
-        return Image.open(io.BytesIO(image_field))
-    if isinstance(image_field, str):
+        img = image_field
+    elif isinstance(image_field, dict) and image_field.get("bytes"):
+        img = Image.open(io.BytesIO(image_field["bytes"]))
+    elif isinstance(image_field, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(image_field))
+    elif isinstance(image_field, str):
         import base64
-        return Image.open(io.BytesIO(base64.b64decode(image_field)))
-    raise TypeError(f"cannot decode image field {type(image_field)}")
+        img = Image.open(io.BytesIO(base64.b64decode(image_field)))
+    else:
+        raise TypeError(f"cannot decode image field {type(image_field)}")
+    img.load()
+    return img
 
 
 def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
