@@ -121,6 +121,95 @@ def _minicpmv_backend(checkpoint: str, max_new_tokens: int,
     return generate_fn
 
 
+def _minicpmv26_backend(checkpoint: str, max_new_tokens: int,
+                        max_slice_nums: int):
+    """MiniCPM-V 2.6 (SigLIP + Qwen2-7B) on the TPU serving engine —
+    multi-image capable (the reference runs task_type multi_image with 2.6,
+    generate.py:122-145,243-267). generate_fn(prompt, images) →
+    (text, cum_logprob)."""
+    import jax.numpy as jnp
+    from ..models.hf_loader import convert_minicpmv26, load_safetensors_dir
+    from ..models.minicpmv26 import (MiniCPMV26Config,
+                                     MiniCPMV26ForGeneration)
+    from ..preprocess.pipeline import (PipelineConfig,
+                                       build_multi_image_batch)
+    from ..preprocess.tokenize import HFTokenizerAdapter, tokenize_prompt
+    from ..serving.engine import Engine
+    from ..serving.sampling import SamplingParams
+    from .common import get_tokenizer
+
+    hf_tok = get_tokenizer(checkpoint, trust_remote_code=True)
+    tok = HFTokenizerAdapter(hf_tok)
+    params = {"params": convert_minicpmv26(load_safetensors_dir(checkpoint))}
+    cfg = MiniCPMV26Config(max_slice_nums=max_slice_nums)
+    model = MiniCPMV26ForGeneration(cfg)
+    eos = [i for i in (hf_tok.eos_token_id,
+                       hf_tok.convert_tokens_to_ids("<|im_end|>"))
+           if isinstance(i, int) and i >= 0]
+    engine = Engine(model, params, num_slots=4, max_len=8192,
+                    prompt_buckets=(2048, 4096, 8192), eos_token_ids=eos)
+    pcfg = PipelineConfig(
+        seq_len=8192, query_num=cfg.query_num, patch_size=cfg.patch_size,
+        src_grid=cfg.vit.pos_grid, scale_resolution=cfg.scale_resolution,
+        max_slice_nums=cfg.max_slice_nums, max_patches=1152)
+    sampling = SamplingParams(temperature=0.0, max_tokens=max_new_tokens)
+
+    def generate_fn(prompt, images):
+        if images:
+            b = build_multi_image_batch(
+                tok, images,
+                lambda phs: ("<|im_start|>user\n" + "\n".join(phs) + "\n" +
+                             prompt + "<|im_end|>\n<|im_start|>assistant\n"),
+                pcfg)
+            s = int(b["attention_mask"][0].sum())
+            vb = {k: jnp.asarray(b[k]) for k in
+                  ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+            reqs = [dict(input_ids=b["input_ids"][0, :s], vision_batch=vb,
+                         slot_map=b["slot_map"][0, :s])]
+        else:
+            ids = tokenize_prompt(
+                tok, "<|im_start|>user\n" + prompt +
+                "<|im_end|>\n<|im_start|>assistant\n", pcfg.seq_len,
+                add_bos=False)
+            reqs = [dict(input_ids=ids)]
+        req = engine.generate_detailed(reqs, sampling=sampling)[0]
+        return hf_tok.decode(req.output_ids, skip_special_tokens=True), \
+            req.cum_logprob
+
+    return generate_fn
+
+
+def _minicpm_backend(checkpoint: str, max_new_tokens: int):
+    """Plain MiniCPM-2B text backend (the OCR-text baseline,
+    generate.py:249-251). generate_fn(prompt, []) → (text, cum_logprob)."""
+    from ..models.hf_loader import convert_minicpm_lm, load_safetensors_dir
+    from ..models.minicpm import MiniCPMForGeneration, MiniCPMGenConfig
+    from ..preprocess.tokenize import HFTokenizerAdapter, tokenize_prompt
+    from ..serving.engine import Engine
+    from ..serving.sampling import SamplingParams
+    from .common import get_tokenizer
+
+    hf_tok = get_tokenizer(checkpoint, trust_remote_code=True)
+    cfg = MiniCPMGenConfig()
+    model = MiniCPMForGeneration(cfg)
+    params = {"params": convert_minicpm_lm(
+        load_safetensors_dir(checkpoint))}
+    engine = Engine(model, params, num_slots=4, max_len=4096,
+                    prompt_buckets=(1024, 2048, 4096),
+                    eos_token_ids=[hf_tok.eos_token_id])
+    sampling = SamplingParams(temperature=0.0, max_tokens=max_new_tokens)
+
+    def generate_fn(prompt, images):
+        assert not images, "minicpm backend is text-only (task_type text)"
+        ids = tokenize_prompt(HFTokenizerAdapter(hf_tok), prompt, 4096)
+        req = engine.generate_detailed([dict(input_ids=ids)],
+                                       sampling=sampling)[0]
+        return hf_tok.decode(req.output_ids, skip_special_tokens=True), \
+            req.cum_logprob
+
+    return generate_fn
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset-name", required=True)
@@ -137,7 +226,7 @@ def main(argv=None):
     ap.add_argument("--topk", type=int, default=3)
     ap.add_argument("--table-dir", default=None)
     ap.add_argument("--backend", default="minicpmv",
-                    choices=["minicpmv", "gpt4o"])
+                    choices=["minicpmv", "minicpmv26", "minicpm", "gpt4o"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--openai-api-key", default=None)
     ap.add_argument("--max-new-tokens", type=int, default=20)
@@ -181,6 +270,12 @@ def main(argv=None):
         def generate_fn(prompt, images):
             assert not images, "gpt4o backend here is text-only (task text)"
             return call(prompt, args.max_new_tokens), 0.0
+    elif args.backend == "minicpmv26":
+        generate_fn = _minicpmv26_backend(args.checkpoint,
+                                          args.max_new_tokens,
+                                          args.max_slice_nums)
+    elif args.backend == "minicpm":
+        generate_fn = _minicpm_backend(args.checkpoint, args.max_new_tokens)
     else:
         generate_fn = _minicpmv_backend(args.checkpoint, args.max_new_tokens,
                                         args.max_slice_nums)

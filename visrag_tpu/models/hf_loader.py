@@ -214,25 +214,94 @@ def convert_qwen25_vl(state: Mapping[str, "np.ndarray"]) -> dict:
                 _set(params, "visual.merger_fc2.weight", v)
             elif rest == "merger.mlp.2.bias":
                 _set(params, "visual.merger_fc2.bias", v)
-        elif (m := re.match(r"model\.layers\.(\d+)\.(.+)", name)):
-            i, sub = m.group(1), m.group(2)
-            rename = {
-                "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
-                "self_attn.v_proj": "attn_v", "self_attn.o_proj": "attn_o",
-                "mlp.gate_proj": "mlp_gate", "mlp.up_proj": "mlp_up",
-                "mlp.down_proj": "mlp_down",
-                "input_layernorm": "input_layernorm",
-                "post_attention_layernorm": "post_attention_layernorm",
-            }
-            mod, _, leaf = sub.rpartition(".")
+        else:
+            _qwen_text_set(params, name, v)
+    return params
+
+
+def convert_siglip_vision_hf(state: Mapping[str, "np.ndarray"], *,
+                             prefix: str = "vpm.") -> dict:
+    """HF SiglipVisionModel/SiglipVisionTransformer state_dict → flax params
+    for models.siglip_vit.SiglipViT (the static-patchified tower). The
+    MiniCPM-V 2.6 checkpoint stores its vision tower in this layout (vs the
+    2.0 checkpoint's timm layout — convert_siglip_vit). HF keeps separate
+    q/k/v projections; SiglipViT uses the fused attn_qkv — concatenated
+    here in (q, k, v) row order."""
+    tmp: Dict[str, Dict[str, np.ndarray]] = {}
+    params: dict = {}
+    for name, t in state.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        v = _np(t)
+        # tolerate an extra "vision_model." nesting (SiglipVisionModel)
+        if name.startswith("vision_model."):
+            name = name[len("vision_model."):]
+        if name == "embeddings.patch_embedding.weight":
+            _set(params, "patch_embed_weight", v.reshape(v.shape[0], -1))
+        elif name == "embeddings.patch_embedding.bias":
+            _set(params, "patch_embed_bias", v)
+        elif name == "embeddings.position_embedding.weight":
+            _set(params, "pos_embed", v)
+        elif (m := re.match(
+                r"encoder\.layers\.(\d+)\.(.+?)\.(weight|bias)", name)):
+            i, mod, leaf = m.groups()
+            rename = {"layer_norm1": "norm1", "layer_norm2": "norm2",
+                      "self_attn.out_proj": "attn_proj",
+                      "mlp.fc1": "mlp_fc1", "mlp.fc2": "mlp_fc2"}
             if mod in rename:
-                _set(params, f"model.layers_{i}.{rename[mod]}.{leaf}", v)
-        elif name == "model.embed_tokens.weight":
-            _set(params, "model.embed_tokens.embedding", v)
-        elif name == "model.norm.weight":
-            _set(params, "model.norm.weight", v)
-        elif name == "lm_head.weight":
-            _set(params, "lm_head.weight", v)
+                _set(params, f"blocks_{i}.{rename[mod]}.{leaf}", v)
+            elif mod in ("self_attn.q_proj", "self_attn.k_proj",
+                         "self_attn.v_proj"):
+                tmp.setdefault(f"blocks_{i}.{leaf}", {})[mod[10]] = v
+        elif name.startswith("post_layernorm."):
+            _set(params, "norm." + name.split(".")[-1], v)
+    for path, qkv in tmp.items():
+        blk, leaf = path.rsplit(".", 1)
+        _set(params, f"{blk}.attn_qkv.{leaf}",
+             np.concatenate([qkv["q"], qkv["k"], qkv["v"]], axis=0))
+    return params
+
+
+def _qwen_text_set(params: dict, name: str, v: "np.ndarray") -> None:
+    """One HF Qwen2/Qwen2.5 text-stack entry → flax param path (shared by
+    convert_qwen25_vl and convert_minicpmv26)."""
+    if (m := re.match(r"model\.layers\.(\d+)\.(.+)", name)):
+        i, sub = m.group(1), m.group(2)
+        rename = {
+            "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
+            "self_attn.v_proj": "attn_v", "self_attn.o_proj": "attn_o",
+            "mlp.gate_proj": "mlp_gate", "mlp.up_proj": "mlp_up",
+            "mlp.down_proj": "mlp_down",
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm",
+        }
+        mod, _, leaf = sub.rpartition(".")
+        if mod in rename:
+            _set(params, f"model.layers_{i}.{rename[mod]}.{leaf}", v)
+    elif name == "model.embed_tokens.weight":
+        _set(params, "model.embed_tokens.embedding", v)
+    elif name == "model.norm.weight":
+        _set(params, "model.norm.weight", v)
+    elif name == "lm_head.weight":
+        _set(params, "lm_head.weight", v)
+
+
+def convert_minicpmv26(state: Mapping[str, "np.ndarray"]) -> dict:
+    """openbmb/MiniCPM-V-2_6 state_dict → flax params for
+    models.minicpmv26.MiniCPMV26ForGeneration. Checkpoint layout: 'llm.*'
+    Qwen2ForCausalLM, 'vpm.*' HF SiglipVisionModel, 'resampler.*'."""
+    params: dict = {}
+    for name, t in state.items():
+        if name.startswith("llm."):
+            _qwen_text_set(params, name[len("llm."):], _np(t))
+    vpm = convert_siglip_vision_hf(state, prefix="vpm.")
+    if vpm:
+        params["vpm"] = vpm
+    res = convert_resampler(state, prefix="resampler.")
+    if res:
+        params["resampler"] = res
     return params
 
 

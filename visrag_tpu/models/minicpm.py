@@ -286,3 +286,68 @@ class MiniCPMForCausalLM(nn.Module):
         logits = Dense(c.hidden_size, c.vocab_size, use_bias=False,
                        dtype=c.dtype, name="lm_head")(scaled)
         return logits, hidden
+
+
+@dataclasses.dataclass(frozen=True)
+class MiniCPMGenConfig:
+    """Text-only MiniCPM-2B generation on the serving engine — the
+    reference's 'MiniCPM' VisRAG-Gen backend for the OCR-text baseline
+    (visrag_scripts/generate/generate.py:28,249-251 loads the plain
+    AutoModelForCausalLM checkpoint; task_type 'text')."""
+    llm: MiniCPMConfig = MiniCPMConfig()
+
+    @property
+    def text(self):
+        """Engine cache-shape contract (serving.engine reads cfg.text)."""
+        return self.llm
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(llm=MiniCPMConfig.tiny())
+        d.update(kw)
+        return cls(**d)
+
+
+class MiniCPMForGeneration(nn.Module):
+    """MiniCPMForCausalLM with the engine's prefill/decode contract."""
+    cfg: MiniCPMGenConfig
+
+    def setup(self):
+        c = self.cfg.llm
+        self.model = MiniCPMModel(c, name="model")
+        self.lm_head = Dense(c.hidden_size, c.vocab_size, use_bias=False,
+                             dtype=c.dtype, name="lm_head")
+
+    def _logits(self, hidden):
+        c = self.cfg.llm
+        return self.lm_head(hidden / (c.hidden_size / c.dim_model_base))
+
+    def __call__(self, input_ids, attention_mask=None, positions=None,
+                 vision_batch=None, slot_map=None):
+        del vision_batch, slot_map  # text-only
+        if positions is not None and positions.ndim == 3:
+            positions = positions[0]
+        hidden = self.model(input_ids, attention_mask=attention_mask,
+                            positions=positions)
+        return self._logits(hidden), hidden
+
+    def prefill(self, input_ids, attention_mask=None, positions=None,
+                vision_batch=None, slot_map=None):
+        del vision_batch, slot_map
+        if positions is not None and positions.ndim == 3:
+            positions = positions[0]
+        hidden, kvs = self.model(input_ids, attention_mask=attention_mask,
+                                 positions=positions, return_kv=True)
+        k = jnp.stack([kv[0] for kv in kvs])
+        v = jnp.stack([kv[1] for kv in kvs])
+        return self._logits(hidden), k, v
+
+    def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,
+               block_table=None, mesh=None):
+        embeds = self.model.embed_only(token_ids)
+        if positions.ndim == 3:
+            positions = positions[0]
+        hidden, k_cache, v_cache = self.model.decode(
+            embeds, positions, k_cache, v_cache, lengths_incl, block_table,
+            mesh=mesh)
+        return self._logits(hidden)[:, 0], k_cache, v_cache

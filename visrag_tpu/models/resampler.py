@@ -32,6 +32,10 @@ class ResamplerConfig:
     num_heads: int = 18        # embed_dim // 128
     ln_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    # MiniCPM-V 2.0 adds a fixed 8×8 sincos pos embed to the queries
+    # (resampler.py:143-146); the 2.6 resampler drops it (only the adaptive
+    # key-side pos remains) — set False for the 2.6 composite.
+    query_pos: bool = True
 
     @classmethod
     def tiny(cls, **kw):
@@ -54,12 +58,14 @@ class Resampler(nn.Module):
 
         query = self.param("query", nn.initializers.truncated_normal(0.02),
                            (c.num_queries, c.embed_dim), jnp.float32)
-        # fixed 8×8 sincos buffer (loaded from checkpoint; non-trainable there)
-        q_pos = self.param(
-            "pos_embed",
-            lambda key, shape: jnp.asarray(
-                get_2d_sincos_pos_embed(c.embed_dim, grid, grid)),
-            (c.num_queries, c.embed_dim))
+        q_pos = None
+        if c.query_pos:
+            # fixed 8×8 sincos buffer (loaded from ckpt; non-trainable there)
+            q_pos = self.param(
+                "pos_embed",
+                lambda key, shape: jnp.asarray(
+                    get_2d_sincos_pos_embed(c.embed_dim, grid, grid)),
+                (c.num_queries, c.embed_dim))
         in_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
                           (3 * c.embed_dim, c.embed_dim), jnp.float32)
         in_b = self.param("in_proj_bias", nn.initializers.zeros,
@@ -80,7 +86,8 @@ class Resampler(nn.Module):
 
         q = LayerNorm(c.embed_dim, c.ln_eps, c.dtype, name="ln_q")(
             query.astype(c.dtype))
-        q = q + q_pos.astype(c.dtype)                       # (Q, E)
+        if q_pos is not None:
+            q = q + q_pos.astype(c.dtype)                   # (Q, E)
         k = kv + k_pos.astype(c.dtype)
         v = kv
 

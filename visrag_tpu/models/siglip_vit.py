@@ -65,6 +65,10 @@ class SiglipViTConfig:
     # (its input is the attention output; the quant pass there costs more
     # than the GEMM saves at (m, 2048)x(2048, 1152)).
     quant: str = "none"
+    # MLP activation: "erf" — timm so400m exact GELU (MiniCPM-V 2.0,
+    # bf16-exact fast path); "tanh" — HF SigLIP gelu_pytorch_tanh
+    # (MiniCPM-V 2.6's navit vpm).
+    act: str = "erf"
 
     def __post_init__(self):
         # mirror MiniCPMConfig: int8 has no VJP — block training configs
@@ -242,7 +246,8 @@ class ViTBlock(nn.Module):
         # bf16 keeps the accuracy for free; proj likewise stays bf16.
         C1 = QuantDense if c.quant == "int8" else Dense
         y = C1(e, c.mlp_dim, use_bias=True, dtype=c.dtype, name="mlp_fc1")(y)
-        y = fast_gelu(y)
+        y = fast_gelu(y) if c.act == "erf" else jax.nn.gelu(y,
+                                                            approximate=True)
         return Dense(c.mlp_dim, e, use_bias=True, dtype=c.dtype,
                      name="mlp_fc2")(y)
 

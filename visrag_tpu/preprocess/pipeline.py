@@ -157,3 +157,83 @@ def build_encode_batch(tok: TokenizerLike,
     if device_mode:
         return dict(common, pixels=pixels)
     return dict(common, patches=patches, pos_matrix=pos_matrix)
+
+
+def build_multi_image_batch(tok: TokenizerLike,
+                            images: Sequence[Image.Image],
+                            compose,
+                            cfg: Optional[PipelineConfig] = None,
+                            n_slice_slots: Optional[int] = None) -> dict:
+    """MiniCPM-V 2.6 generation batch: several images in ONE prompt.
+
+    Each image is adaptively sliced; `compose(placeholders) -> str` receives
+    one 2.6-format placeholder string per image (ordered; includes
+    <image_id> tags when len(images) > 1) and returns the final prompt —
+    typically wrapping them plus the question in a chat template. Slices
+    from all images are packed into one vision buffer in prompt order, so
+    the slot map (which scans both <image> and <slice> regions) lines up
+    with the flattened (N_slices, query_num) vision table.
+
+    Returns EncodeBatch-style numpy dict with (1, S) ids/mask/slot_map.
+    The reference runs this model via HF remote code
+    (visrag_scripts/generate/generate.py:243-267); multi_image task_type
+    feeds top-k pages in one prompt (:122-145).
+    """
+    from .tokenize import build_slot_map, image_placeholder_v26
+
+    cfg = cfg or PipelineConfig()
+    with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
+        results = list(ex.map(
+            lambda im: prepare_page(
+                im, max_slice_nums=cfg.max_slice_nums,
+                scale_resolution=cfg.scale_resolution,
+                patch_size=cfg.patch_size, slice_mode=cfg.slice_mode,
+                src_grid=cfg.src_grid, max_patches=cfg.max_patches),
+            images))
+
+    placeholders, all_slices = [], []
+    for idx, (plan, slices) in enumerate(results):
+        placeholders.append(image_placeholder_v26(
+            tok, plan.grid, cfg.query_num,
+            image_id=idx if len(images) > 1 else None))
+        all_slices.extend(slices)
+    prompt = compose(placeholders)
+    # Qwen2-family tokenizers have no BOS (chatml frames the turn instead)
+    ids = tokenize_prompt(tok, prompt, cfg.seq_len,
+                          add_bos=getattr(tok, "bos_id", None) is not None)
+
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    total = len(all_slices)
+    n_slots = n_slice_slots if n_slice_slots is not None else max(total, 1)
+    if total > n_slots:
+        raise ValueError(f"batch needs {total} slice slots > {n_slots}")
+    patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
+    pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
+                          np.float32)
+    patch_mask = np.zeros((n_slots, cfg.max_patches), np.int32)
+    grid_h = np.ones((n_slots,), np.int32)
+    grid_w = np.ones((n_slots,), np.int32)
+    for i, s in enumerate(all_slices):
+        patches[i] = s["patches"]
+        pos_matrix[i] = s["pos_matrix"]
+        patch_mask[i] = s["mask"]
+        grid_h[i] = s["grid_h"]
+        grid_w[i] = s["grid_w"]
+
+    seq = len(ids)
+    row = np.zeros((seq,), np.int32)
+    row[:] = ids
+    slot_map = build_slot_map(
+        row, seq, getattr(tok, "im_start_id"), getattr(tok, "im_end_id"),
+        cfg.query_num, 0,
+        extra_pairs=[(getattr(tok, "slice_start_id"),
+                      getattr(tok, "slice_end_id"))])
+    n_regions = int((slot_map >= 0).sum()) // max(cfg.query_num, 1)
+    if total and n_regions != total:
+        raise ValueError(
+            f"prompt has {n_regions} vision regions but {total} slices — "
+            "placeholder text and slicing disagree (truncated prompt?)")
+    return {"input_ids": ids[None, :], "attention_mask":
+            np.ones((1, seq), np.int32), "patches": patches,
+            "patch_mask": patch_mask, "pos_matrix": pos_matrix,
+            "grid_h": grid_h, "grid_w": grid_w, "slot_map": slot_map[None, :]}

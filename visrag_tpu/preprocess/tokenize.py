@@ -80,6 +80,8 @@ class HFTokenizerAdapter:
         self.bos_id = tok.bos_token_id
         self.im_start_id = tok.convert_tokens_to_ids(self.im_start)
         self.im_end_id = tok.convert_tokens_to_ids(self.im_end)
+        self.slice_start_id = tok.convert_tokens_to_ids(self.slice_start)
+        self.slice_end_id = tok.convert_tokens_to_ids(self.slice_end)
 
     def encode(self, text: str) -> List[int]:
         return self.tok.encode(text, add_special_tokens=False)
@@ -106,6 +108,24 @@ def build_page_prompt(tok: TokenizerLike, text: str, grid,
     return content + "\n" + text
 
 
+def image_placeholder_v26(tok: TokenizerLike, grid, query_num: int = 64,
+                          image_id=None) -> str:
+    """MiniCPM-V 2.6 per-image placeholder: <image>unk*Q</image> for the
+    source image, then EACH slice as its own <slice>unk*Q</slice>, columns
+    concatenated and rows joined by newline; optional <image_id>i</image_id>
+    prefix for multi-image prompts. Derived from the released 2.6
+    checkpoint's image processor (no in-tree reference —
+    visrag_scripts/generate/generate.py loads it via HF remote code)."""
+    ph = image_placeholder(tok, query_num)
+    if image_id is not None:
+        ph = f"<image_id>{image_id}</image_id>" + ph
+    if grid is not None:
+        cols, rows = grid
+        sl = tok.slice_start + tok.unk_token * query_num + tok.slice_end
+        ph += "\n" + "\n".join("".join([sl] * cols) for _ in range(rows))
+    return ph
+
+
 def tokenize_prompt(tok: TokenizerLike, prompt: str,
                     max_inp_length: Optional[int] = 2048,
                     add_bos: bool = True) -> np.ndarray:
@@ -128,13 +148,25 @@ def image_bounds(ids: np.ndarray, im_start_id: int,
     return np.stack([starts[:n], ends[:n]], axis=1) if n else np.zeros((0, 2), np.int64)
 
 
+def vision_bounds(ids: np.ndarray, pairs) -> np.ndarray:
+    """Region bounds over multiple delimiter pairs, sorted by start position.
+    MiniCPM-V 2.0 wraps every region in <image>…</image>; 2.6 wraps the
+    source image in <image>…</image> and EACH slice in <slice>…</slice>, so
+    its slot map scans both pairs."""
+    bs = [image_bounds(ids, s, e) for s, e in pairs]
+    allb = np.concatenate([b for b in bs if len(b)] or
+                          [np.zeros((0, 2), np.int64)], axis=0)
+    return allb[np.argsort(allb[:, 0])] if len(allb) else allb
+
+
 def build_slot_map(ids: np.ndarray, seq_len: int, im_start_id: int,
                    im_end_id: int, query_num: int,
-                   slice_offset: int) -> np.ndarray:
+                   slice_offset: int, extra_pairs=()) -> np.ndarray:
     """(seq_len,) int32 slot map. Vision tokens for the page's i-th image
     region occupy flat indices (slice_offset+i)*query_num + j."""
     out = np.full((seq_len,), -1, np.int32)
-    for i, (s, e) in enumerate(image_bounds(ids, im_start_id, im_end_id)):
+    bounds = vision_bounds(ids, [(im_start_id, im_end_id), *extra_pairs])
+    for i, (s, e) in enumerate(bounds):
         span = min(e, seq_len) - s
         if span <= 0:
             continue
