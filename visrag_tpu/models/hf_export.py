@@ -135,6 +135,72 @@ def export_qwen25_vl(params: dict) -> Dict[str, np.ndarray]:
     return state
 
 
+def export_siglip_vision_hf(params: dict, *,
+                            prefix: str = "vpm.") -> Dict[str, np.ndarray]:
+    """Inverse of hf_loader.convert_siglip_vision_hf: SiglipViT params →
+    HF SiglipVisionModel key layout (fused attn_qkv split back to q/k/v in
+    row order; patch embed unflattened to (D, 3, ps, ps))."""
+    flat = _flatten(params)
+    state: Dict[str, np.ndarray] = {}
+    rename = {"norm1": "layer_norm1", "norm2": "layer_norm2",
+              "attn_proj": "self_attn.out_proj",
+              "mlp_fc1": "mlp.fc1", "mlp_fc2": "mlp.fc2"}
+    for key, v in flat.items():
+        if key == "patch_embed_weight":
+            d = v.shape[0]
+            ps = int(round((v.shape[1] // 3) ** 0.5))
+            state[prefix + "embeddings.patch_embedding.weight"] = v.reshape(
+                d, 3, ps, ps)
+        elif key == "patch_embed_bias":
+            state[prefix + "embeddings.patch_embedding.bias"] = v
+        elif key == "pos_embed":
+            state[prefix + "embeddings.position_embedding.weight"] = v
+        elif key.startswith("blocks_"):
+            blk, rest = key.split(".", 1)
+            i = blk[len("blocks_"):]
+            mod, _, leaf = rest.rpartition(".")
+            base = prefix + f"encoder.layers.{i}."
+            if mod == "attn_qkv":
+                q, k, kv = np.split(v, 3, axis=0)
+                state[base + f"self_attn.q_proj.{leaf}"] = q
+                state[base + f"self_attn.k_proj.{leaf}"] = k
+                state[base + f"self_attn.v_proj.{leaf}"] = kv
+            elif mod in rename:
+                state[base + f"{rename[mod]}.{leaf}"] = v
+        elif key.startswith("norm."):
+            state[prefix + "post_layernorm." + key.split(".")[-1]] = v
+    return state
+
+
+def export_minicpmv26(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of hf_loader.convert_minicpmv26 (llm.* Qwen2ForCausalLM +
+    vpm.* HF SiglipVisionModel + resampler.*) — the model_merger role for
+    the 2.6 composite."""
+    state: Dict[str, np.ndarray] = {}
+    rename_t = {
+        "attn_q": "self_attn.q_proj", "attn_k": "self_attn.k_proj",
+        "attn_v": "self_attn.v_proj", "attn_o": "self_attn.o_proj",
+        "mlp_gate": "mlp.gate_proj", "mlp_up": "mlp.up_proj",
+        "mlp_down": "mlp.down_proj",
+    }
+    for key, v in _flatten(params.get("model", {})).items():
+        if key == "embed_tokens.embedding":
+            state["llm.model.embed_tokens.weight"] = v
+        elif key.startswith("layers_"):
+            i, rest = key.split(".", 1)
+            i = i[len("layers_"):]
+            mod, _, leaf = rest.rpartition(".")
+            state[f"llm.model.layers.{i}.{rename_t.get(mod, mod)}.{leaf}"] = v
+        else:
+            state["llm.model." + key] = v
+    if "lm_head" in params:
+        state["llm.lm_head.weight"] = np.asarray(params["lm_head"]["weight"])
+    state.update(export_siglip_vision_hf(params.get("vpm", {}), prefix="vpm."))
+    state.update(export_resampler(params.get("resampler", {}),
+                                  prefix="resampler."))
+    return state
+
+
 def save_safetensors(state: Dict[str, np.ndarray], out_dir: str,
                      dtype=None) -> str:
     from safetensors.numpy import save_file
