@@ -80,9 +80,18 @@ def answer(args):
     result = {"query": args.query,
               "retrieved": [{"page": names[i], "score": float(scores[i])}
                             for i in top]}
-    # generation over the retrieved pages needs VLM weights; with none
-    # available we report retrieval only (the engine path is
-    # generation.strategies.generate_with_strategy)
+    if getattr(args, "gen_checkpoint", None):
+        # answer over the top-k page images with MiniCPM-V 2.6 — the
+        # reference demo's generator (answer.py:14-54 chats MiniCPM-V-2.6
+        # over topk images). Gated on a local checkpoint dir.
+        from PIL import Image
+        from .generate_eval import _minicpmv26_backend
+        gen = _minicpmv26_backend(args.gen_checkpoint, args.max_new_tokens, 9)
+        pages = [Image.open(os.path.join(args.index, names[i])).convert("RGB")
+                 if not os.path.isabs(names[i]) else
+                 Image.open(names[i]).convert("RGB") for i in top]
+        text, _ = gen(args.query, pages)
+        result["answer"] = text
     print(json.dumps(result, indent=1))
     out = os.path.join(args.index, "answer.json")
     with open(out, "w") as f:
@@ -104,6 +113,10 @@ def main(argv=None):
     a.add_argument("--query", required=True)
     a.add_argument("--topk", type=int, default=3)
     a.add_argument("--checkpoint", default="")
+    a.add_argument("--gen-checkpoint", default="",
+                   help="MiniCPM-V 2.6 dir: answer over top-k page images "
+                        "(reference answer.py); retrieval-only if empty")
+    a.add_argument("--max-new-tokens", type=int, default=256)
     a.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
     return build_index(args) if args.cmd == "build-index" else answer(args)
