@@ -212,3 +212,39 @@ def test_minicpm_text_engine_golden():
         want.append(nxt)
         cur.append(nxt)
     assert out == want
+
+
+def test_engine_tp_matches_single_device_26():
+    """MiniCPM-V 2.6 is the family that REQUIRES serving TP (8.1B bf16 >
+    one 16 GB v5e): a MeshConfig(model=2) engine with a vision prompt is
+    token-identical to the single-device engine."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    cfg = MiniCPMV26Config.tiny()
+    model = MiniCPMV26ForGeneration(cfg)
+    tok = MockTokenizer()
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(rng.integers(0, 255, (40, 30, 3), dtype=np.uint8))
+    b = build_multi_image_batch(tok, [img], _chatml, _pcfg(cfg))
+    s = int(b["attention_mask"][0].sum())
+    vb = {k: jnp.asarray(b[k]) for k in
+          ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+    sm = b["slot_map"][0, :s]
+    ids = b["input_ids"][0, :s]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[None]),
+                        vision_batch=vb, slot_map=jnp.asarray(sm[None]))
+    reqs = [dict(input_ids=ids, vision_batch=vb, slot_map=sm)]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+    eng1 = Engine(model, params, num_slots=2, max_len=512,
+                  prompt_buckets=(256, 512), eos_token_ids=[])
+    want = eng1.generate(reqs, sampling=sp, rng=jax.random.PRNGKey(7))
+
+    mesh = build_mesh(MeshConfig(model=2, data=1), devices=jax.devices()[:2])
+    eng2 = Engine(model, params, num_slots=2, max_len=512,
+                  prompt_buckets=(256, 512), eos_token_ids=[], mesh=mesh)
+    got = eng2.generate(reqs, sampling=sp, rng=jax.random.PRNGKey(7))
+    assert got == want
