@@ -248,3 +248,31 @@ def test_engine_tp_matches_single_device_26():
                   prompt_buckets=(256, 512), eos_token_ids=[], mesh=mesh)
     got = eng2.generate(reqs, sampling=sp, rng=jax.random.PRNGKey(7))
     assert got == want
+
+
+def test_device_mode_vision_matches_host():
+    """Raw uint8 device-mode batch (pixels + in-jit pos operators) produces
+    the same logits as the host-built fp32 patches + dense pos matrices."""
+    cfg = MiniCPMV26Config.tiny()
+    model = MiniCPMV26ForGeneration(cfg)
+    tok = MockTokenizer()
+    rng = np.random.default_rng(6)
+    img = Image.fromarray(rng.integers(0, 255, (40, 30, 3), dtype=np.uint8))
+
+    bh = build_multi_image_batch(tok, [img], _chatml, _pcfg(cfg))
+    bd = build_multi_image_batch(tok, [img], _chatml, _pcfg(cfg),
+                                 device_mode=True)
+    assert "pixels" in bd and "pos_matrix" not in bd
+
+    ids = jnp.asarray(bh["input_ids"])
+    sm = jnp.asarray(bh["slot_map"])
+    vh = {k: jnp.asarray(bh[k]) for k in
+          ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+    vd = {k: jnp.asarray(bd[k]) for k in
+          ("pixels", "patch_mask", "grid_h", "grid_w")}
+    params = model.init(jax.random.PRNGKey(0), ids, vision_batch=vh,
+                        slot_map=sm)
+    want, _ = model.apply(params, ids, vision_batch=vh, slot_map=sm)
+    got, _ = model.apply(params, ids, vision_batch=vd, slot_map=sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -156,14 +156,16 @@ def _minicpmv26_backend(checkpoint: str, max_new_tokens: int,
 
     def generate_fn(prompt, images):
         if images:
+            # device_mode: ship uint8 pixels; the model builds pos operators
+            # in-jit (host dense pos at grid 70 is ~23 MB/slice)
             b = build_multi_image_batch(
                 tok, images,
                 lambda phs: ("<|im_start|>user\n" + "\n".join(phs) + "\n" +
                              prompt + "<|im_end|>\n<|im_start|>assistant\n"),
-                pcfg)
+                pcfg, device_mode=True)
             s = int(b["attention_mask"][0].sum())
             vb = {k: jnp.asarray(b[k]) for k in
-                  ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+                  ("pixels", "patch_mask", "grid_h", "grid_w")}
             reqs = [dict(input_ids=b["input_ids"][0, :s], vision_batch=vb,
                          slot_map=b["slot_map"][0, :s])]
         else:

@@ -110,6 +110,16 @@ class MiniCPMV26ForGeneration(nn.Module):
         tok = self.model.embed_tokens(input_ids)
         if vision_batch is None:
             return tok
+        if "pixels" in vision_batch:
+            # raw device-mode batch (uint8 pixels, no pos arrays): finish
+            # normalization + pos operators in-jit — at the 70² grid the
+            # host dense pos matrices are ~23 MB/slice, so generation
+            # batches ship pixels only (build_multi_image_batch
+            # device_mode=True)
+            from ..preprocess.device import (cached_bicubic_table,
+                                             finish_vision_batch)
+            vision_batch = finish_vision_batch(
+                vision_batch, cached_bicubic_table(self.cfg.vit.pos_grid))
         vision = self.get_vision_embedding(
             vision_batch["patches"], vision_batch["patch_mask"],
             vision_batch["pos_matrix"], vision_batch["grid_h"],

@@ -72,3 +72,42 @@ def finish_encode_batch(raw: dict, pos_table=None,
         pos_matrix=pos_matrix, grid_h=jnp.asarray(raw["grid_h"]),
         grid_w=jnp.asarray(raw["grid_w"]),
         slot_map=jnp.asarray(raw["slot_map"]))
+
+
+_TABLE_CACHE = {}
+
+
+def cached_bicubic_table(src_grid: int):
+    """Per-process cache of the bicubic operator stack (18 MB at grid 70) —
+    treat the returned array as immutable."""
+    if src_grid not in _TABLE_CACHE:
+        _TABLE_CACHE[src_grid] = bicubic_table(src_grid)
+    return _TABLE_CACHE[src_grid]
+
+
+def finish_vision_batch(raw: dict, pos_table=None,
+                        src_grid: int = 27) -> dict:
+    """Vision-only device finisher: raw {pixels uint8, patch_mask, grid_h,
+    grid_w} → {patches f32, pos_matrix, …} for the generation composites
+    (MiniCPM-V 2.6 — at its 70² pos grid the host-built dense pos matrices
+    are ~23 MB fp32 per slice, so generation batches ship uint8 pixels and
+    build operators here). Jittable; same math as finish_encode_batch."""
+    pixels = jnp.asarray(raw["pixels"])
+    patches = (pixels.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    table = jnp.asarray(pos_table if pos_table is not None
+                        else cached_bicubic_table(src_grid))
+    maxd = table.shape[1]
+    gh = jnp.asarray(raw["grid_h"])
+    gw = jnp.asarray(raw["grid_w"])
+    p = pixels.shape[1]
+    rows = jnp.arange(p, dtype=jnp.int32)
+    gw_safe = jnp.maximum(gw, 1)[:, None]
+    ih = jnp.minimum(rows[None, :] // gw_safe, maxd - 1)
+    iw = jnp.minimum(rows[None, :] % gw_safe, maxd - 1)
+    valid = (rows[None, :] < (gh * gw)[:, None])
+    pos_a = table[gh[:, None], ih] * valid[..., None]
+    pos_b = table[gw[:, None], iw]
+    pos_matrix = jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(
+        pos_a.shape[0], p, table.shape[2] ** 2)
+    return {"patches": patches, "patch_mask": jnp.asarray(raw["patch_mask"]),
+            "pos_matrix": pos_matrix, "grid_h": gh, "grid_w": gw}

@@ -163,7 +163,8 @@ def build_multi_image_batch(tok: TokenizerLike,
                             images: Sequence[Image.Image],
                             compose,
                             cfg: Optional[PipelineConfig] = None,
-                            n_slice_slots: Optional[int] = None) -> dict:
+                            n_slice_slots: Optional[int] = None,
+                            device_mode: bool = False) -> dict:
     """MiniCPM-V 2.6 generation batch: several images in ONE prompt.
 
     Each image is adaptively sliced; `compose(placeholders) -> str` receives
@@ -178,6 +179,12 @@ def build_multi_image_batch(tok: TokenizerLike,
     The reference runs this model via HF remote code
     (visrag_scripts/generate/generate.py:243-267); multi_image task_type
     feeds top-k pages in one prompt (:122-145).
+
+    device_mode=True ships uint8 `pixels` instead of fp32 patches +
+    pos_matrix — essential at the 2.6 70² pos grid, where host-built dense
+    pos matrices cost ~23 MB fp32 PER SLICE (measured 32 s host build for 2
+    pages); the model finishes normalization + pos operators in the jit
+    (MiniCPMV26ForGeneration auto-detects raw batches).
     """
     from .tokenize import build_slot_map, image_placeholder_v26
 
@@ -188,7 +195,8 @@ def build_multi_image_batch(tok: TokenizerLike,
                 im, max_slice_nums=cfg.max_slice_nums,
                 scale_resolution=cfg.scale_resolution,
                 patch_size=cfg.patch_size, slice_mode=cfg.slice_mode,
-                src_grid=cfg.src_grid, max_patches=cfg.max_patches),
+                src_grid=cfg.src_grid, max_patches=cfg.max_patches,
+                device_mode=device_mode),
             images))
 
     placeholders, all_slices = [], []
@@ -207,15 +215,21 @@ def build_multi_image_batch(tok: TokenizerLike,
     n_slots = n_slice_slots if n_slice_slots is not None else max(total, 1)
     if total > n_slots:
         raise ValueError(f"batch needs {total} slice slots > {n_slots}")
-    patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
-    pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
-                          np.float32)
+    if device_mode:
+        pixels = np.zeros((n_slots, cfg.max_patches, patch_dim), np.uint8)
+    else:
+        patches = np.zeros((n_slots, cfg.max_patches, patch_dim), np.float32)
+        pos_matrix = np.zeros((n_slots, cfg.max_patches, cfg.src_grid ** 2),
+                              np.float32)
     patch_mask = np.zeros((n_slots, cfg.max_patches), np.int32)
     grid_h = np.ones((n_slots,), np.int32)
     grid_w = np.ones((n_slots,), np.int32)
     for i, s in enumerate(all_slices):
-        patches[i] = s["patches"]
-        pos_matrix[i] = s["pos_matrix"]
+        if device_mode:
+            pixels[i] = s["pixels"]
+        else:
+            patches[i] = s["patches"]
+            pos_matrix[i] = s["pos_matrix"]
         patch_mask[i] = s["mask"]
         grid_h[i] = s["grid_h"]
         grid_w[i] = s["grid_w"]
@@ -233,7 +247,12 @@ def build_multi_image_batch(tok: TokenizerLike,
         raise ValueError(
             f"prompt has {n_regions} vision regions but {total} slices — "
             "placeholder text and slicing disagree (truncated prompt?)")
-    return {"input_ids": ids[None, :], "attention_mask":
-            np.ones((1, seq), np.int32), "patches": patches,
-            "patch_mask": patch_mask, "pos_matrix": pos_matrix,
-            "grid_h": grid_h, "grid_w": grid_w, "slot_map": slot_map[None, :]}
+    out = {"input_ids": ids[None, :], "attention_mask":
+           np.ones((1, seq), np.int32), "patch_mask": patch_mask,
+           "grid_h": grid_h, "grid_w": grid_w, "slot_map": slot_map[None, :]}
+    if device_mode:
+        out["pixels"] = pixels
+    else:
+        out["patches"] = patches
+        out["pos_matrix"] = pos_matrix
+    return out
