@@ -167,3 +167,61 @@ def test_get_tokenizer_corrections(monkeypatch):
     monkeypatch.setattr(transformers.AutoProcessor, "from_pretrained",
                         staticmethod(lambda p, **kw: stub))
     assert get_processor("x") is None
+
+
+def test_encode_qwen_prompt_row_multimodal():
+    """RL driver row encoding (the reference RLHFDataset role): text-only
+    rows, and multimodal rows with pad expansion, mrope positions, a flat
+    slot map, and a uint8 device-mode vision batch."""
+    import numpy as np
+    from PIL import Image
+    from visrag_tpu.config import RolloutConfig
+    from visrag_tpu.driver.common import encode_qwen_prompt_row
+    from visrag_tpu.models.qwen25_vl import Qwen25VLConfig
+
+    mcfg = Qwen25VLConfig.tiny()
+    PAD = mcfg.image_token_id
+
+    class Proc:
+        def apply_chat_template(self, msgs, **kw):
+            parts = []
+            for c in msgs[0]["content"]:
+                parts.append("<|image_pad|>" if c["type"] == "image"
+                             else c["text"])
+            return "u:" + "".join(parts)
+
+    class Tok:
+        def encode(self, text, **kw):
+            out = []
+            i = 0
+            while i < len(text):
+                if text.startswith("<|image_pad|>", i):
+                    out.append(PAD)
+                    i += len("<|image_pad|>")
+                else:
+                    out.append(ord(text[i]) % 90)
+                    i += 1
+            return out
+
+    rcfg = RolloutConfig(min_pixels=16 * 16, max_pixels=56 * 56,
+                         limit_images=2)
+    row_t = {"problem": "2+2?", "answer": "4"}
+    out = encode_qwen_prompt_row(row_t, Proc(), Tok(), mcfg, rcfg)
+    assert "vision_batch" not in out and out["ground_truth"] == "4"
+
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray(rng.integers(0, 255, (56, 56, 3),
+                                         dtype=np.uint8))
+            for _ in range(3)]  # 3 images, limit 2
+    row_m = {"prompt": "what?", "images": imgs, "answer": "x"}
+    out = encode_qwen_prompt_row(row_m, Proc(), Tok(), mcfg, rcfg)
+    vb = out["vision_batch"]
+    assert vb["patches"].dtype == np.uint8
+    n_pad = int((out["input_ids"] == PAD).sum())
+    n_tok = int((out["slot_map"] >= 0).sum())
+    assert n_pad == n_tok > 0
+    assert out["positions"].shape == (3, len(out["input_ids"]))
+    # limit_images applied: exactly 2 images' merged tokens, all indices
+    # inside the embedding table
+    assert n_tok == vb["reverse_index"].shape[0]
+    assert int(out["slot_map"].max()) == n_tok - 1

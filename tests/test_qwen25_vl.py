@@ -202,3 +202,50 @@ def test_video_patches_and_forward():
                             vision_batch=vision_batch,
                             slot_map=jnp.asarray(slot[None]))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_device_mode_vision_batch_matches_host():
+    """prepare_vision_batch(device_mode=True) ships uint8 patches; the model
+    normalizes in-jit — logits match the host-normalized fp32 path to fp32
+    rounding (4× less host→device traffic per vision prefill)."""
+    import numpy as np
+    from PIL import Image
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 255, (56, 84, 3), dtype=np.uint8))
+    cfg = Qwen25VLConfig.tiny()
+    kw = dict(head_dim=cfg.vision.head_dim, min_pixels=16 * 16,
+              max_pixels=56 * 84)
+    vh = prepare_vision_batch([img], **kw)
+    vd = prepare_vision_batch([img], device_mode=True, **kw)
+    assert vd.patches.dtype == np.uint8
+    np.testing.assert_array_equal(vh.rot_cos, vd.rot_cos)
+
+    n_img = vh.n_tokens
+    ids = np.concatenate([
+        rng.integers(0, 100, size=(2,)),
+        np.full((n_img,), cfg.image_token_id),
+        rng.integers(0, 100, size=(3,)),
+    ]).astype(np.int32)
+    slot = np.full(ids.shape, -1, np.int32)
+    slot[ids == cfg.image_token_id] = np.arange(n_img)
+    model = Qwen25VL(cfg)
+
+    def as_batch(vb):
+        return {k: jnp.asarray(getattr(vb, k)) for k in
+                ("patches", "rot_cos", "rot_sin", "seg_window",
+                 "seg_full", "reverse_index")}
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[None]),
+                        vision_batch=as_batch(vh),
+                        slot_map=jnp.asarray(slot[None]))
+    want, _ = model.apply(params, jnp.asarray(ids[None]),
+                          vision_batch=as_batch(vh),
+                          slot_map=jnp.asarray(slot[None]))
+    got, _ = model.apply(params, jnp.asarray(ids[None]),
+                         vision_batch=as_batch(vd),
+                         slot_map=jnp.asarray(slot[None]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -67,7 +67,8 @@ def main(argv=None):
             img_paths = row["image"][:min(args.topk, args.limit_images)]
             images = [Image.open(p).convert("RGB") for p in img_paths]
             vb = prepare_vision_batch(images, head_dim=cfg.vision.head_dim,
-                                      max_pixels=args.max_pixels)
+                                      max_pixels=args.max_pixels,
+                                      device_mode=True)
             prompt = build_prompt(args.method, query)
             # chat-template message with the images first (predict.py:134-145)
             content = [{"type": "image"}] * len(images) + [

@@ -64,13 +64,10 @@ def main(argv=None):
     tags = {t: tok.encode(t, add_special_tokens=False)
             for t in ("<think>", "<evidence>", "<answer>")}
 
+    from .common import encode_qwen_prompt_row
+
     def encode_row(row):
-        prompt = row.get("problem") or row.get("prompt")
-        text = processor.apply_chat_template(
-            [{"role": "user", "content": [{"type": "text", "text": prompt}]}],
-            tokenize=False, add_generation_prompt=True)
-        ids = np.asarray(tok.encode(text), np.int32)
-        return dict(input_ids=ids, ground_truth=row.get("answer", ""))
+        return encode_qwen_prompt_row(row, processor, tok, mcfg, cfg.rollout)
 
     dataset = RLHFDataset(args.data, encode_row,
                           max_prompt_length=cfg.rollout.max_prompt_length)

@@ -422,7 +422,20 @@ class Qwen25VL(nn.Module):
                                  dtype=self.cfg.text.dtype, name="lm_head")
 
     def encode_images(self, vision_batch: dict):
-        return self.visual(vision_batch["patches"], vision_batch["rot_cos"],
+        patches = vision_batch["patches"]
+        if patches.dtype == jnp.uint8:
+            # device-mode batch (prepare_vision_batch device_mode=True):
+            # CLIP normalization runs in-jit — fused into the patch-embed
+            # matmul by XLA; host ships 4× fewer bytes. Flat patch layout is
+            # channel-major (c, t, ps, ps), so per-channel constants repeat
+            # dim//3 times.
+            from ..preprocess.qwen_vision import (OPENAI_CLIP_MEAN,
+                                                  OPENAI_CLIP_STD)
+            per = patches.shape[-1] // 3
+            mean = jnp.repeat(jnp.asarray(OPENAI_CLIP_MEAN, jnp.float32), per)
+            std = jnp.repeat(jnp.asarray(OPENAI_CLIP_STD, jnp.float32), per)
+            patches = (patches.astype(jnp.float32) / 255.0 - mean) / std
+        return self.visual(patches, vision_batch["rot_cos"],
                            vision_batch["rot_sin"], vision_batch["seg_window"],
                            vision_batch["seg_full"],
                            vision_batch["reverse_index"])
