@@ -384,3 +384,46 @@ def test_engine_block_recycling(tiny_model):
     assert len(outs) == 6 and all(len(o) == 4 for o in outs)
     # all blocks returned to the free list (+ null block held)
     assert len(eng.allocator.free) == 6
+
+
+def test_engine_batched_prefill_matches_single(tiny_model):
+    """Batched prefill (one dispatch for K same-bucket prompts) produces
+    greedy output identical to the single-dispatch path, and actually
+    batches (prefill_dispatches < prompts)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(41)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                    .astype(np.int32))
+               for n in (6, 9, 4, 11, 7)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    # single path: num_slots=1 serializes placements (batch needs ≥2 free)
+    eng1 = Engine(model, params, num_slots=1, max_len=64, prompt_buckets=(16,))
+    want = [eng1.generate([p], sampling=sp)[0] for p in prompts]
+    assert eng1.prefill_dispatches == 5
+
+    eng = Engine(model, params, num_slots=8, max_len=64, prompt_buckets=(16,))
+    got = eng.generate(prompts, sampling=sp)
+    assert got == want
+    # 5 same-bucket prompts → one K=4 dispatch + one single = 2 dispatches
+    assert eng.prefill_count == 5 and eng.prefill_dispatches == 2
+
+
+def test_engine_batched_prefill_with_groups(tiny_model):
+    """Group leaders participate in batched prefill one-per-group; fork
+    outputs stay identical to the unbatched engine."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(43)
+    p1 = rng.integers(0, 100, size=(6,)).astype(np.int32)
+    p2 = rng.integers(0, 100, size=(9,)).astype(np.int32)
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+    eng1 = Engine(model, params, num_slots=1, max_len=64, prompt_buckets=(16,))
+    w1 = eng1.generate([dict(input_ids=p1)], sampling=sp)[0]
+    w2 = eng1.generate([dict(input_ids=p2)], sampling=sp)[0]
+
+    eng = Engine(model, params, num_slots=8, max_len=64, prompt_buckets=(16,))
+    outs = eng.generate([dict(input_ids=p1), dict(input_ids=p2)],
+                        sampling=sp, n=3)
+    assert eng.prefill_count == 2        # one per group
+    assert outs == [w1] * 3 + [w2] * 3   # greedy forks identical

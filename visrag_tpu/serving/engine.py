@@ -176,12 +176,16 @@ class Engine:
 
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(6, 7, 8),
                                     static_argnums=(11,))
+        self._prefill_batch_jit = jax.jit(self._prefill_batch_fn,
+                                          donate_argnums=(4, 5, 6),
+                                          static_argnums=(13,))
         self._fork_jit = jax.jit(self._fork_fn, donate_argnums=(2, 3, 4),
                                  static_argnums=(9,))
         self._chunk_jit = jax.jit(self._decode_chunk_fn,
                                   donate_argnums=(1, 2, 3),
                                   static_argnums=(14,))
         self.prefill_count = 0      # full-model prompt passes (group = 1)
+        self.prefill_dispatches = 0  # prefill jit calls (batched = 1)
 
     # ---- request management ------------------------------------------
 
@@ -245,6 +249,32 @@ class Engine:
         # first token from the same prompt-end logits (no re-prefill)
         return tok[0], logp[0], last[0], prow, k_cache, v_cache, seen
 
+    def _prefill_batch_fn(self, params, ids, pos, mask, k_cache, v_cache,
+                          seen, rows, slots, lengths, temp, top_p, rep_pen,
+                          bucket, rng):
+        """Batched full-model prompt pass for K text requests in ONE
+        dispatch (vLLM-style batched prefill). One (K, bucket) forward
+        instead of K single-prompt dispatches: K× fewer relay round-trips
+        and a K×-wider prefill GEMM (a lone 128-token prompt underfills the
+        MXU). rows: (K, bucket//bs) pool blocks; slots/lengths/sampling
+        vectors are (K,)."""
+        from .paged_kv import write_prefill
+        logits, k, v = self.model.apply(params, ids, attention_mask=mask,
+                                        positions=pos,
+                                        method=self.model.prefill)
+        k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
+        K = ids.shape[0]
+        prows = jnp.zeros((K, self.vocab), jnp.bool_)
+        prows = prows.at[jnp.arange(K)[:, None], ids].max(mask > 0)
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None],
+            axis=1)[:, 0]                                   # (K, V)
+        tok, logp = sample_vec(last, rng, temp, top_p, rep_pen, prows)
+        rows_seen = prows.at[jnp.arange(K), tok].set(True)
+        seen = seen.at[slots].set(rows_seen)
+        k_cache, v_cache = self._pin_pools(k_cache, v_cache)
+        return tok, logp, last, prows, k_cache, v_cache, seen
+
     def _fork_fn(self, logits, prow, k_cache, v_cache, seen, state, src, dst,
                  rng, do_copy):
         """Place one decode fork of a prompt group: sample its first token
@@ -305,19 +335,79 @@ class Engine:
             jnp.asarray(mask), vb, sm, self.k_cache, self.v_cache, self.seen,
             rows, state, bucket, rng)
         self.prefill_count += 1
-        g = req.group
-        if g is not None and not g.ready:
-            # group leader: publish shared prompt blocks + prompt-end state
-            nfull = s // bs_blk
-            g.shared = blocks[:nfull]
-            g.partial_src = blocks[nfull] if s % bs_blk else -1
-            g.hold = list(g.shared) + \
-                ([g.partial_src] if g.partial_src >= 0 else [])
-            self.allocator.retain(g.hold)
-            g.last_logits = last
-            g.prompt_row = prow
-            g.ready = True
+        self.prefill_dispatches += 1
+        self._publish_group(req, blocks, s, last, prow)
         return self._activate_slot(req, slot, tok, logp, s)
+
+    def _publish_group(self, req: Request, blocks, s: int, last, prow):
+        """Group leader: publish shared prompt blocks + prompt-end state so
+        forks can place without a model forward."""
+        g = req.group
+        if g is None or g.ready:
+            return
+        bs_blk = self.block_size
+        nfull = s // bs_blk
+        g.shared = blocks[:nfull]
+        g.partial_src = blocks[nfull] if s % bs_blk else -1
+        g.hold = list(g.shared) + \
+            ([g.partial_src] if g.partial_src >= 0 else [])
+        self.allocator.retain(g.hold)
+        g.last_logits = last
+        g.prompt_row = prow
+        g.ready = True
+
+    def _prefill_many(self, reqs: List[Request], slots: List[int], rng):
+        """Prefill K same-bucket text requests in ONE batched dispatch
+        (the vLLM batched-prefill role): K× fewer dispatches/relay
+        round-trips and a K×-wider prompt GEMM. Group leaders publish from
+        their row of the batch."""
+        K = len(reqs)
+        bucket = _bucket(max(len(r.input_ids) for r in reqs),
+                         self.prompt_buckets)
+        bs_blk = self.block_size
+        nb = bucket // bs_blk
+        ids = np.zeros((K, bucket), np.int32)
+        pos = np.zeros((3, K, bucket), np.int32)
+        mask = np.zeros((K, bucket), np.int32)
+        rows = np.zeros((K, nb), np.int32)
+        lens = np.zeros((K,), np.int32)
+        temp = np.ones((K,), np.float32)
+        topp = np.ones((K,), np.float32)
+        rp = np.ones((K,), np.float32)
+        blocks_per = []
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
+            s = len(req.input_ids)
+            ids[i, :s] = req.input_ids
+            pos[:, i, :s] = req.positions
+            mask[i, :s] = 1
+            lens[i] = s
+            sp = req.sampling
+            temp[i], topp[i], rp[i] = (sp.temperature, sp.top_p,
+                                       sp.repetition_penalty)
+            budget = max(min(sp.max_tokens, self.max_len - s), 1)
+            need = max(nb, -(-(s + budget) // bs_blk))
+            blocks = self.allocator.alloc(need)
+            self.slot_blocks[slot] = blocks
+            self.table[slot] = self.null_block
+            self.table[slot, :need] = blocks
+            rows[i] = blocks[:nb]
+            blocks_per.append(blocks)
+        (tok, logp, last, prows, self.k_cache, self.v_cache,
+         self.seen) = self._prefill_batch_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(mask), self.k_cache, self.v_cache, self.seen,
+            jnp.asarray(rows), jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(lens), jnp.asarray(temp), jnp.asarray(topp),
+            jnp.asarray(rp), bucket, rng)
+        self.prefill_count += K
+        self.prefill_dispatches += 1
+        toks = np.asarray(tok)
+        logps = np.asarray(logp)
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
+            self._publish_group(req, blocks_per[i], len(req.input_ids),
+                                last[i], prows[i])
+            self._activate_slot(req, slot, toks[i], logps[i],
+                                len(req.input_ids))
 
     def _place_fork(self, req: Request, slot: int, rng) -> int:
         """Place one decode fork of a prefilled prompt group: share the full
@@ -483,12 +573,43 @@ class Engine:
         while self.queue or any(r is not None for r in self.slot_req):
             while self.queue and self._free_slots():
                 rng, r1 = jax.random.split(rng)
-                req = self.queue.pop(0)
-                slot = self._free_slots()[0]
-                if req.group is not None and req.group.ready:
-                    self._place_fork(req, slot, r1)
+                free = self._free_slots()
+                head = self.queue[0]
+                if head.group is not None and head.group.ready:
+                    self._place_fork(self.queue.pop(0), free[0], r1)
+                    continue
+                # batch a prefix of same-bucket, vision-free, non-fork
+                # requests into one prefill dispatch (pow-2 K ≤ 8 bounds
+                # compile variants; leftovers batch on later iterations)
+                batch: List[Request] = []
+                if head.vision_batch is None and len(free) >= 2:
+                    # select same-bucket, vision-free prompts from a bounded
+                    # queue window — one leader per group (siblings become
+                    # forks once it publishes, possibly this same pass);
+                    # pow-2 K ≤ 8 bounds compile variants
+                    b0 = _bucket(len(head.input_ids), self.prompt_buckets)
+                    groups_in_batch = set()
+                    for r in self.queue[:32]:
+                        if len(batch) >= min(len(free), 8):
+                            break
+                        if (r.vision_batch is not None
+                                or (r.group is not None and
+                                    (r.group.ready or
+                                     id(r.group) in groups_in_batch))
+                                or _bucket(len(r.input_ids),
+                                           self.prompt_buckets) != b0):
+                            continue
+                        if r.group is not None:
+                            groups_in_batch.add(id(r.group))
+                        batch.append(r)
+                K = 1 << (max(len(batch), 1).bit_length() - 1)
+                if K >= 2 and batch[0] is head:
+                    reqs = batch[:K]
+                    for r in reqs:
+                        self.queue.remove(r)
+                    self._prefill_many(reqs, free[:K], r1)
                 else:
-                    self._prefill_one(req, slot, r1)
+                    self._prefill_one(self.queue.pop(0), free[0], r1)
             if any(r is not None for r in self.slot_req):
                 rng, r2 = jax.random.split(rng)
                 self._decode_chunk(r2)

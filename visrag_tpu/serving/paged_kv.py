@@ -90,17 +90,21 @@ def pool_shape(n_blocks: int, block_size: int, kvh: int, d: int) -> tuple:
 
 
 def write_prefill(k_pool, v_pool, k, v, rows, bucket: int):
-    """Scatter a prompt's K/V into its blocks.
+    """Scatter prompt K/V into pool blocks.
 
     k_pool/v_pool: tuples of per-layer (n_blocks, kvh, bs, d) pools.
-    k/v: (L, 1, bucket, kvh, d) from model.prefill; rows: (bucket//bs,)
-    pool block ids. Donated pools → in-place scatter under jit."""
+    k/v: (L, K, bucket, kvh, d) from model.prefill (K = prompts in the
+    batched prefill dispatch; K = 1 for the single path); rows:
+    (K, bucket//bs) or (bucket//bs,) pool block ids. Donated pools →
+    in-place scatter under jit."""
     L = len(k_pool)
     bs = k_pool[0].shape[2]
     nb = bucket // bs
-    kb = k[:, 0].reshape(L, nb, bs, *k.shape[3:]).astype(k_pool[0].dtype)
-    vb = v[:, 0].reshape(L, nb, bs, *v.shape[3:]).astype(v_pool[0].dtype)
-    kb = jnp.swapaxes(kb, 2, 3)                 # → (L, nb, kvh, bs, d)
+    rows = jnp.asarray(rows).reshape(-1)                   # (K·nb,)
+    K = k.shape[1]
+    kb = k.reshape(L, K * nb, bs, *k.shape[3:]).astype(k_pool[0].dtype)
+    vb = v.reshape(L, K * nb, bs, *v.shape[3:]).astype(v_pool[0].dtype)
+    kb = jnp.swapaxes(kb, 2, 3)                 # → (L, K·nb, kvh, bs, d)
     vb = jnp.swapaxes(vb, 2, 3)
     k_pool = tuple(p.at[rows].set(kb[l]) for l, p in enumerate(k_pool))
     v_pool = tuple(p.at[rows].set(vb[l]) for l, p in enumerate(v_pool))
