@@ -276,3 +276,43 @@ def test_device_mode_vision_matches_host():
     got, _ = model.apply(params, ids, vision_batch=vd, slot_map=sm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_engine_mixed_vision_text_batching():
+    """A queue mixing vision and text prompts: the batched-prefill selector
+    skips vision rows (they prefill singly) and every request still gets
+    its correct greedy output."""
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    cfg = MiniCPMV26Config.tiny()
+    model = MiniCPMV26ForGeneration(cfg)
+    tok = MockTokenizer()
+    rng = np.random.default_rng(9)
+    img = Image.fromarray(rng.integers(0, 255, (40, 30, 3), dtype=np.uint8))
+    b = build_multi_image_batch(tok, [img], _chatml, _pcfg(cfg))
+    s = int(b["attention_mask"][0].sum())
+    vb = {k: jnp.asarray(b[k]) for k in
+          ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+    vreq = dict(input_ids=b["input_ids"][0, :s], vision_batch=vb,
+                slot_map=b["slot_map"][0, :s])
+    treqs = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                  .astype(np.int32)) for n in (7, 5, 9)]
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(vreq["input_ids"][None]),
+                        vision_batch=vb,
+                        slot_map=jnp.asarray(vreq["slot_map"][None]))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+
+    eng1 = Engine(model, params, num_slots=1, max_len=512,
+                  prompt_buckets=(256, 512), eos_token_ids=[])
+    want = [eng1.generate([r], sampling=sp)[0]
+            for r in [treqs[0], vreq, treqs[1], treqs[2]]]
+
+    eng = Engine(model, params, num_slots=8, max_len=512,
+                 prompt_buckets=(256, 512), eos_token_ids=[])
+    got = eng.generate([treqs[0], vreq, treqs[1], treqs[2]], sampling=sp)
+    assert got == want
+    # 3 text prompts batch (K=2 + 1 leftover batched later or single);
+    # the vision prompt always prefills alone
+    assert eng.prefill_count == 4 and eng.prefill_dispatches < 4
