@@ -244,17 +244,21 @@ def bench_serve_qwen():
     t0 = time.time()
     engine.generate(prompts, sampling=sp)
     log(f"compile+first batch {time.time()-t0:.0f}s")
+    pf0, pd0 = engine.prefill_count, engine.prefill_dispatches
     t0 = time.time()
     outs = engine.generate([dict(input_ids=p["input_ids"]) for p in prompts],
                            sampling=sp)
     dt = time.time() - t0
     total = sum(len(o) for o in outs)
-    log(f"{total} tokens in {dt:.2f}s")
+    log(f"{total} tokens in {dt:.2f}s "
+        f"({engine.prefill_count - pf0} prefills in "
+        f"{engine.prefill_dispatches - pd0} dispatches)")
     print(json.dumps({
         "metric": "serving_decode_throughput_qwen3b",
         "value": round(total / dt, 1), "unit": "tok/s/chip",
         "detail": {"slots": slots, "params_b": round(float(n_params)/1e9, 2),
-                   "new_tokens": new_tokens},
+                   "new_tokens": new_tokens,
+                   "prefill_dispatches": engine.prefill_dispatches - pd0},
     }))
 
 
