@@ -427,3 +427,29 @@ def test_engine_batched_prefill_with_groups(tiny_model):
                         sampling=sp, n=3)
     assert eng.prefill_count == 2        # one per group
     assert outs == [w1] * 3 + [w2] * 3   # greedy forks identical
+
+
+def test_engine_block_backpressure(tiny_model):
+    """A queue whose total KV need exceeds the pool: placements defer (vLLM
+    scheduling role) instead of crashing, every request completes, and
+    outputs equal the unconstrained engine's."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(51)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(12,))
+                    .astype(np.int32)) for _ in range(6)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+
+    big = Engine(model, params, num_slots=6, max_len=64, prompt_buckets=(16,))
+    want = big.generate(prompts, sampling=sp)
+
+    # pool sized for ~2 concurrent requests (each needs 2 blocks of 16)
+    small = Engine(model, params, num_slots=6, max_len=64,
+                   prompt_buckets=(16,), cache_blocks=5)
+    got = small.generate(prompts, sampling=sp)
+    assert got == want
+
+    # a single impossible request still raises a clear error
+    impossible = Engine(model, params, num_slots=2, max_len=64,
+                        prompt_buckets=(16,), cache_blocks=1)
+    with pytest.raises(RuntimeError, match="KV pool too small"):
+        impossible.generate([prompts[0]], sampling=sp)

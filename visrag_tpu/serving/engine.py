@@ -222,6 +222,22 @@ class Engine:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
+    def _blocks_needed(self, req: Request) -> int:
+        """Worst-case pool blocks a placement of `req` will allocate (own
+        blocks only — forks share the group's prompt blocks)."""
+        s = len(req.input_ids)
+        sp = req.sampling
+        budget = max(min(sp.max_tokens, self.max_len - s), 1)
+        total = -(-(s + budget) // self.block_size)
+        g = req.group
+        if g is not None and g.ready:
+            return total - len(g.shared)
+        bucket = _bucket(s, self.prompt_buckets)
+        return max(bucket // self.block_size, total)
+
+    def _can_place(self, req: Request) -> bool:
+        return self._blocks_needed(req) <= len(self.allocator.free)
+
     # ---- prefill -------------------------------------------------------
 
     def _prefill_fn(self, params, ids, pos, mask, vb, sm, k_cache, v_cache,
@@ -575,6 +591,17 @@ class Engine:
                 rng, r1 = jax.random.split(rng)
                 free = self._free_slots()
                 head = self.queue[0]
+                if not self._can_place(head):
+                    # backpressure (vLLM defer-scheduling role): wait for
+                    # running slots to finish and free their blocks
+                    if not any(r is not None for r in self.slot_req):
+                        raise RuntimeError(
+                            f"KV pool too small for request "
+                            f"{head.request_id}: needs "
+                            f"{self._blocks_needed(head)} blocks, pool has "
+                            f"{len(self.allocator.free)} free with no "
+                            f"running requests to wait for")
+                    break
                 if head.group is not None and head.group.ready:
                     self._place_fork(self.queue.pop(0), free[0], r1)
                     continue
@@ -589,6 +616,7 @@ class Engine:
                     # pow-2 K ≤ 8 bounds compile variants
                     b0 = _bucket(len(head.input_ids), self.prompt_buckets)
                     groups_in_batch = set()
+                    blocks_left = len(self.allocator.free)
                     for r in self.queue[:32]:
                         if len(batch) >= min(len(free), 8):
                             break
@@ -599,6 +627,10 @@ class Engine:
                                 or _bucket(len(r.input_ids),
                                            self.prompt_buckets) != b0):
                             continue
+                        need_r = self._blocks_needed(r)
+                        if need_r > blocks_left:
+                            break        # pool backpressure bounds the batch
+                        blocks_left -= need_r
                         if r.group is not None:
                             groups_in_batch.add(id(r.group))
                         batch.append(r)
