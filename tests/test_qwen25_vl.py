@@ -249,3 +249,18 @@ def test_device_mode_vision_batch_matches_host():
                          slot_map=jnp.asarray(slot[None]))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_large_config_presets():
+    """32B/72B presets: head_dim 128, mrope sections sum to head_dim/2,
+    kvh=8 divisible by the reference's TP8 (Engine(mesh=) compatibility)."""
+    from visrag_tpu.models.qwen25_vl import Qwen25VLConfig
+    for cfg, layers in ((Qwen25VLConfig.b32(), 64),
+                        (Qwen25VLConfig.b72(), 80)):
+        t = cfg.text
+        assert t.head_dim == 128
+        assert sum(t.mrope_section) == t.head_dim // 2
+        assert t.num_hidden_layers == layers
+        assert t.num_key_value_heads == 8
+        assert t.num_attention_heads % 8 == 0 and 8 % 1 == 0  # tp=8 legal
+        assert t.hidden_size == cfg.vision.out_hidden_size

@@ -126,6 +126,30 @@ class Qwen25VLConfig:
                                 tie_word_embeddings=False))
 
     @classmethod
+    def b32(cls):
+        """Qwen2.5-VL-32B-Instruct dims (the reference's GRPO 32B rows run
+        it under TP8, assets/baselines.md:26,42 — kvh=8 admits tp ≤ 8
+        through Engine(mesh=))."""
+        return cls(
+            vision=QwenVisionConfig(out_hidden_size=5120),
+            text=QwenTextConfig(hidden_size=5120, intermediate_size=27648,
+                                num_hidden_layers=64, num_attention_heads=40,
+                                num_key_value_heads=8, vocab_size=152064,
+                                tie_word_embeddings=False))
+
+    @classmethod
+    def b72(cls):
+        """Qwen2.5-VL-72B-Instruct dims (reference hardware-floor table,
+        rsgrpo/README.md:55-59)."""
+        return cls(
+            vision=QwenVisionConfig(out_hidden_size=8192),
+            text=QwenTextConfig(hidden_size=8192, intermediate_size=29568,
+                                num_hidden_layers=80, num_attention_heads=64,
+                                num_key_value_heads=8, vocab_size=152064,
+                                rms_norm_eps=1e-5,
+                                tie_word_embeddings=False))
+
+    @classmethod
     def tiny(cls, **kw):
         d = dict(vision=QwenVisionConfig.tiny(out_hidden_size=48),
                  text=QwenTextConfig.tiny(),
