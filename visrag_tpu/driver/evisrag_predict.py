@@ -51,7 +51,8 @@ def main(argv=None):
     params = {"params": convert_qwen25_vl(state)}
     # pick config by hidden size
     hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
-    cfg = Qwen25VLConfig.b7() if hid == 3584 else Qwen25VLConfig.b3()
+    cfg = {3584: Qwen25VLConfig.b7, 5120: Qwen25VLConfig.b32,
+            8192: Qwen25VLConfig.b72}.get(hid, Qwen25VLConfig.b3)()
     model = Qwen25VL(cfg)
     engine = Engine(model, params, num_slots=4, max_len=16384,
                     prompt_buckets=(4096, 8192, 16384),

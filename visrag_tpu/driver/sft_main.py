@@ -58,7 +58,8 @@ def main(argv=None):
     state = load_safetensors_dir(args.checkpoint)
     params = convert_qwen25_vl(state)
     hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
-    mcfg = Qwen25VLConfig.b7() if hid == 3584 else Qwen25VLConfig.b3()
+    mcfg = {3584: Qwen25VLConfig.b7, 5120: Qwen25VLConfig.b32,
+            8192: Qwen25VLConfig.b72}.get(hid, Qwen25VLConfig.b3)()
     model = Qwen25VL(mcfg)
 
     mesh = build_mesh(MeshConfig()) if len(jax.devices()) > 1 else None
