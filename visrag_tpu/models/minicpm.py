@@ -332,7 +332,7 @@ class MiniCPMForGeneration(nn.Module):
         return self._logits(hidden), hidden
 
     def prefill(self, input_ids, attention_mask=None, positions=None,
-                vision_batch=None, slot_map=None):
+                vision_batch=None, slot_map=None, last_pos=None):
         del vision_batch, slot_map
         if positions is not None and positions.ndim == 3:
             positions = positions[0]
@@ -340,6 +340,10 @@ class MiniCPMForGeneration(nn.Module):
                                  positions=positions, return_kv=True)
         k = jnp.stack([kv[0] for kv in kvs])
         v = jnp.stack([kv[1] for kv in kvs])
+        if last_pos is not None:   # logits only at prompt end (see qwen25_vl)
+            hidden = jnp.take_along_axis(
+                hidden, last_pos[:, None, None].astype(jnp.int32), axis=1)
+            return self._logits(hidden)[:, 0], k, v
         return self._logits(hidden), k, v
 
     def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,

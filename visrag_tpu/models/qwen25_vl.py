@@ -496,15 +496,24 @@ class Qwen25VL(nn.Module):
         return self.compute_logits(hidden), hidden
 
     def prefill(self, input_ids, attention_mask=None, positions=None,
-                vision_batch=None, slot_map=None):
+                vision_batch=None, slot_map=None, last_pos=None):
         """Forward returning per-layer K/V for cache population.
-        → (logits (B,S,V), k (layers,B,S,kvh,d), v (layers,B,S,kvh,d))."""
+        → (logits, k (layers,B,S,kvh,d), v (layers,B,S,kvh,d)).
+
+        last_pos (B,): compute logits ONLY at these positions → (B, V).
+        The engine always passes it — full-sequence logits at a 15k-token
+        prompt are a 4.7 GB bf16 buffer and ~17 TF of lm_head the serving
+        path never reads. None → full (B, S, V) (tests/back-compat)."""
         embeds = self._embed(input_ids, vision_batch, slot_map)
         hidden, kvs = self.model(inputs_embeds=embeds, positions=positions,
                                  attention_mask=attention_mask,
                                  return_kv=True)
         k = jnp.stack([kv[0] for kv in kvs])
         v = jnp.stack([kv[1] for kv in kvs])
+        if last_pos is not None:
+            hidden = jnp.take_along_axis(
+                hidden, last_pos[:, None, None].astype(jnp.int32), axis=1)
+            return self.compute_logits(hidden)[:, 0], k, v
         return self.compute_logits(hidden), k, v
 
     def decode(self, token_ids, positions, k_cache, v_cache, lengths_incl,

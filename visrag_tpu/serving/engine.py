@@ -248,14 +248,19 @@ class Engine:
         state = (slot, length, temp, top_p, rep_pen) as traced scalars."""
         from .paged_kv import write_prefill
         slot, length, temp, top_p, rep_pen = state
-        logits, k, v = self.model.apply(params, ids, attention_mask=mask,
-                                        positions=pos, vision_batch=vb,
-                                        slot_map=sm, method=self.model.prefill)
+        # last_pos: logits computed ONLY at the prompt end inside the model
+        # (a full-bucket logits buffer at 15k tokens × 152k vocab is 4.7 GB
+        # bf16 + ~17 TF of lm_head the engine never reads)
+        last, k, v = self.model.apply(params, ids, attention_mask=mask,
+                                      positions=pos, vision_batch=vb,
+                                      slot_map=sm,
+                                      last_pos=(length - 1)[None]
+                                      if hasattr(length, "ndim")
+                                      else jnp.asarray([length - 1]),
+                                      method=self.model.prefill)
         k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
         prow = jnp.zeros((self.vocab,), jnp.bool_)
         prow = prow.at[ids[0]].max(mask[0] > 0)
-        last = jax.lax.dynamic_slice(logits, (0, length - 1, 0),
-                                     (1, 1, self.vocab))[:, 0]
         tok, logp = sample_vec(last, rng, temp[None], top_p[None],
                                rep_pen[None], prow[None])
         row = prow.at[tok[0]].set(True)
@@ -275,16 +280,13 @@ class Engine:
         MXU). rows: (K, bucket//bs) pool blocks; slots/lengths/sampling
         vectors are (K,)."""
         from .paged_kv import write_prefill
-        logits, k, v = self.model.apply(params, ids, attention_mask=mask,
-                                        positions=pos,
-                                        method=self.model.prefill)
+        last, k, v = self.model.apply(params, ids, attention_mask=mask,
+                                      positions=pos, last_pos=lengths - 1,
+                                      method=self.model.prefill)
         k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
         K = ids.shape[0]
         prows = jnp.zeros((K, self.vocab), jnp.bool_)
         prows = prows.at[jnp.arange(K)[:, None], ids].max(mask > 0)
-        last = jnp.take_along_axis(
-            logits, (lengths - 1)[:, None, None],
-            axis=1)[:, 0]                                   # (K, V)
         tok, logp = sample_vec(last, rng, temp, top_p, rep_pen, prows)
         rows_seen = prows.at[jnp.arange(K), tok].set(True)
         seen = seen.at[slots].set(rows_seen)
