@@ -234,11 +234,17 @@ def bench_serve_qwen():
     n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
     log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
 
-    engine = Engine(model, params, num_slots=slots, max_len=2048,
-                    prompt_buckets=(128,), eos_token_ids=(),
+    plen = int(os.environ.get("BENCH_SERVE_PROMPT", 100))  # 2048+: the
+    # EVisRAG prefill-heavy regime (long multi-page prompts)
+    pbucket = 128
+    while pbucket < plen:
+        pbucket *= 2
+    engine = Engine(model, params, num_slots=slots,
+                    max_len=max(2048, pbucket + new_tokens),
+                    prompt_buckets=(pbucket,), eos_token_ids=(),
                     decode_chunk=32,
                     decode_unroll=int(os.environ.get("BENCH_UNROLL", 1)))
-    prompts = [dict(input_ids=rng.integers(1, 150000, size=(100,))
+    prompts = [dict(input_ids=rng.integers(1, 150000, size=(plen,))
                     .astype(np.int32)) for _ in range(slots)]
     sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
     t0 = time.time()
