@@ -569,11 +569,13 @@ class Engine:
         new_active = packed[off + 3 * B:off + 4 * B].astype(bool)
         self.last_tok = packed[off + 4 * B:off + 5 * B].astype(np.int32)
         logp_acc = packed[off + 5 * B:off + 6 * B].view(np.float32)
+        toks_T = np.ascontiguousarray(toks.T)   # (B, T): one row per slot
         for i in range(B):
             req = self.slot_req[i]
             if req is None:
                 continue
-            req.output_ids.extend(int(t) for t in toks[:, i] if t >= 0)
+            row = toks_T[i]
+            req.output_ids.extend(row[row >= 0].tolist())
             req.cum_logprob += float(logp_acc[i])
             if not new_active[i]:
                 req.done = True
