@@ -182,10 +182,15 @@ def test_iter_rows_directory_shards(tmp_path):
                    tmp_path / "0.parquet")
     pq.write_table(pa.table({"query": ["c"], "source": ["s"]}),
                    tmp_path / "1.parquet")
-    (tmp_path / "metadata.json").write_text(json.dumps({"length": 3}))
+    # 10+ shards must iterate in NUMERIC order (lexicographic puts 10 < 2)
+    pq.write_table(pa.table({"query": ["d"], "source": ["s"]}),
+                   tmp_path / "2.parquet")
+    pq.write_table(pa.table({"query": ["e"], "source": ["s"]}),
+                   tmp_path / "10.parquet")
+    (tmp_path / "metadata.json").write_text(json.dumps({"length": 5}))
     rows = list(iter_rows(str(tmp_path)))
-    assert [r["query"] for r in rows] == ["a", "b", "c"]
-    assert dataset_length(str(tmp_path)) == 3
+    assert [r["query"] for r in rows] == ["a", "b", "c", "d", "e"]
+    assert dataset_length(str(tmp_path)) == 5
 
 
 def test_mmdr_dataset_reads_reference_example():

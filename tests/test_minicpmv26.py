@@ -316,3 +316,45 @@ def test_engine_mixed_vision_text_batching():
     # 3 text prompts batch (K=2 + 1 leftover batched later or single);
     # the vision prompt always prefills alone
     assert eng.prefill_count == 4 and eng.prefill_dispatches < 4
+
+
+def test_engine_vision_group_leader_not_bypassed():
+    """A vision prompt with n>1 queued behind a text prompt: the batched
+    selector must NOT full-prefill a vision-stripped sibling (which would
+    publish garbage group state and skip the vision tower). All n outputs
+    must equal the unbatched engine's vision outputs."""
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    cfg = MiniCPMV26Config.tiny()
+    model = MiniCPMV26ForGeneration(cfg)
+    tok = MockTokenizer()
+    rng = np.random.default_rng(13)
+    img = Image.fromarray(rng.integers(0, 255, (40, 30, 3), dtype=np.uint8))
+    b = build_multi_image_batch(tok, [img], _chatml, _pcfg(cfg))
+    s = int(b["attention_mask"][0].sum())
+    vb = {k: jnp.asarray(b[k]) for k in
+          ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")}
+    vreq = dict(input_ids=b["input_ids"][0, :s], vision_batch=vb,
+                slot_map=b["slot_map"][0, :s])
+    treq = dict(input_ids=rng.integers(0, 100, size=(7,)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(vreq["input_ids"][None]),
+                        vision_batch=vb,
+                        slot_map=jnp.asarray(vreq["slot_map"][None]))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+
+    ref = Engine(model, params, num_slots=1, max_len=512,
+                 prompt_buckets=(256, 512), eos_token_ids=[])
+    want_v = ref.generate([vreq], sampling=sp)[0]
+    want_t = ref.generate([treq], sampling=sp)[0]
+
+    eng = Engine(model, params, num_slots=8, max_len=512,
+                 prompt_buckets=(256, 512), eos_token_ids=[])
+    ids_t = eng.add_request(**treq, sampling=sp)
+    ids_v = eng.add_request(**vreq, sampling=sp, n=4)
+    results = eng.run()
+    assert results[ids_t] == want_t
+    for rid in ids_v:
+        assert results[rid] == want_v
+    assert eng.prefill_count == 2            # text + one vision leader

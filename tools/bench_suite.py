@@ -442,6 +442,7 @@ def bench_retrieve():
 
     on_tpu = jax.default_backend() != "cpu"
     n_docs = int(os.environ.get("BENCH_DOCS", "1000000" if on_tpu else "512"))
+    n_docs -= n_docs % 8     # corpus built in 8 chunks; report what we search
     k = 10
     if on_tpu:
         cfg = VisRAGRetConfig(backbone=MiniCPMVConfig(

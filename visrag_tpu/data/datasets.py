@@ -65,10 +65,17 @@ def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
     directory of numbered shards in those formats (the reference's
     train_dataset layout: examples/training_data/{0.parquet, metadata.json})."""
     if os.path.isdir(path):
+        def _order(f):
+            # numbered shards (0.parquet … 11.parquet) sort numerically —
+            # lexicographic would yield 0,1,10,11,2,… and diverge from the
+            # reference reader's row order
+            stem = os.path.splitext(f)[0]
+            return (0, int(stem), f) if stem.isdigit() else (1, 0, f)
         shards = sorted(
-            f for f in os.listdir(path)
-            if os.path.splitext(f)[1].lower() in
-            (".parquet", ".tsv", ".txt", ".jsonl") and f != "metadata.json")
+            (f for f in os.listdir(path)
+             if os.path.splitext(f)[1].lower() in
+             (".parquet", ".tsv", ".txt", ".jsonl") and f != "metadata.json"),
+            key=_order)
         if not shards:
             raise ValueError(f"no data shards in directory {path!r}")
         for f in shards:

@@ -87,9 +87,10 @@ def answer(args):
         from PIL import Image
         from .generate_eval import _minicpmv26_backend
         gen = _minicpmv26_backend(args.gen_checkpoint, args.max_new_tokens, 9)
-        pages = [Image.open(os.path.join(args.index, names[i])).convert("RGB")
-                 if not os.path.isabs(names[i]) else
-                 Image.open(names[i]).convert("RGB") for i in top]
+        # build_index saves pages under <index>/pages/<name>
+        pages = [Image.open(names[i] if os.path.isabs(names[i]) else
+                            os.path.join(args.index, "pages", names[i]))
+                 .convert("RGB") for i in top]
         text, _ = gen(args.query, pages)
         result["answer"] = text
     print(json.dumps(result, indent=1))

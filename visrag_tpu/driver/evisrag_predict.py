@@ -44,9 +44,14 @@ def main(argv=None):
     from ..serving.engine import Engine
     from ..serving.sampling import SamplingParams
 
-    from .common import get_processor
+    from .common import get_processor, get_tokenizer
     processor = get_processor(args.checkpoint)
-    tok = processor.tokenizer
+    # text-only checkpoints have no processor (get_processor → None);
+    # tokenizers also implement apply_chat_template, so fall back to it
+    tok = processor.tokenizer if processor is not None \
+        else get_tokenizer(args.checkpoint)
+    if processor is None:
+        processor = tok
     state = load_safetensors_dir(args.checkpoint)
     params = {"params": convert_qwen25_vl(state)}
     # pick config by hidden size

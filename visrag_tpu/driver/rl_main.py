@@ -52,9 +52,14 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     dump_config(cfg, os.path.join(args.output_dir, "run_config.json"))
 
-    from .common import get_processor
+    from .common import get_processor, get_tokenizer
     processor = get_processor(args.checkpoint)
-    tok = processor.tokenizer
+    # text-only checkpoints have no processor (get_processor → None);
+    # tokenizers also implement apply_chat_template, so fall back to it
+    tok = processor.tokenizer if processor is not None \
+        else get_tokenizer(args.checkpoint)
+    if processor is None:
+        processor = tok
     state = load_safetensors_dir(args.checkpoint)
     params = {"params": convert_qwen25_vl(state)}
     hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]

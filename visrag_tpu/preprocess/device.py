@@ -51,20 +51,9 @@ def finish_encode_batch(raw: dict, pos_table=None,
     else:
         table = jnp.asarray(pos_table if pos_table is not None
                             else bicubic_table(src_grid))
-        maxd = table.shape[1]
-        g = table.shape[2]
-        gh = jnp.asarray(raw["grid_h"])
-        gw = jnp.asarray(raw["grid_w"])
-        p = pixels.shape[1]
-        rows = jnp.arange(p, dtype=jnp.int32)
-        gw_safe = jnp.maximum(gw, 1)[:, None]
-        ih = jnp.minimum(rows[None, :] // gw_safe, maxd - 1)
-        iw = jnp.minimum(rows[None, :] % gw_safe, maxd - 1)
-        valid = (rows[None, :] < (gh * gw)[:, None])
-        pos_a = table[gh[:, None], ih] * valid[..., None]
-        pos_b = table[gw[:, None], iw]
-        pos_matrix = jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(
-            pos_a.shape[0], p, g * g)
+        pos_matrix = _pos_operators(table, jnp.asarray(raw["grid_h"]),
+                                    jnp.asarray(raw["grid_w"]),
+                                    pixels.shape[1])
     return EncodeBatch(
         input_ids=jnp.asarray(raw["input_ids"]),
         attention_mask=jnp.asarray(raw["attention_mask"]),
@@ -72,6 +61,25 @@ def finish_encode_batch(raw: dict, pos_table=None,
         pos_matrix=pos_matrix, grid_h=jnp.asarray(raw["grid_h"]),
         grid_w=jnp.asarray(raw["grid_w"]),
         slot_map=jnp.asarray(raw["slot_map"]))
+
+
+def _pos_operators(table, gh, gw, p):
+    """Dense per-slice pos-resample operators built ON DEVICE from the
+    bicubic table constant: A[p] = T[gh, p // gw], B[p] = T[gw, p % gw],
+    outer product → (N, P, G²). Shared by finish_encode_batch (retriever
+    encode) and finish_vision_batch (generation) — one implementation of
+    relay/Mosaic-sensitive math."""
+    maxd = table.shape[1]
+    g = table.shape[2]
+    rows = jnp.arange(p, dtype=jnp.int32)
+    gw_safe = jnp.maximum(gw, 1)[:, None]
+    ih = jnp.minimum(rows[None, :] // gw_safe, maxd - 1)
+    iw = jnp.minimum(rows[None, :] % gw_safe, maxd - 1)
+    valid = (rows[None, :] < (gh * gw)[:, None])
+    pos_a = table[gh[:, None], ih] * valid[..., None]
+    pos_b = table[gw[:, None], iw]
+    return jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(
+        pos_a.shape[0], p, g * g)
 
 
 _TABLE_CACHE = {}
@@ -96,18 +104,8 @@ def finish_vision_batch(raw: dict, pos_table=None,
     patches = (pixels.astype(jnp.float32) / 255.0 - 0.5) / 0.5
     table = jnp.asarray(pos_table if pos_table is not None
                         else cached_bicubic_table(src_grid))
-    maxd = table.shape[1]
     gh = jnp.asarray(raw["grid_h"])
     gw = jnp.asarray(raw["grid_w"])
-    p = pixels.shape[1]
-    rows = jnp.arange(p, dtype=jnp.int32)
-    gw_safe = jnp.maximum(gw, 1)[:, None]
-    ih = jnp.minimum(rows[None, :] // gw_safe, maxd - 1)
-    iw = jnp.minimum(rows[None, :] % gw_safe, maxd - 1)
-    valid = (rows[None, :] < (gh * gw)[:, None])
-    pos_a = table[gh[:, None], ih] * valid[..., None]
-    pos_b = table[gw[:, None], iw]
-    pos_matrix = jnp.einsum("npa,npb->npab", pos_a, pos_b).reshape(
-        pos_a.shape[0], p, table.shape[2] ** 2)
+    pos_matrix = _pos_operators(table, gh, gw, pixels.shape[1])
     return {"patches": patches, "patch_mask": jnp.asarray(raw["patch_mask"]),
             "pos_matrix": pos_matrix, "grid_h": gh, "grid_w": gw}

@@ -619,15 +619,22 @@ class Engine:
                     # forks once it publishes, possibly this same pass);
                     # pow-2 K ≤ 8 bounds compile variants
                     b0 = _bucket(len(head.input_ids), self.prompt_buckets)
-                    groups_in_batch = set()
+                    groups_seen = set()   # first member encountered = leader
                     blocks_left = len(self.allocator.free)
                     for r in self.queue[:32]:
                         if len(batch) >= min(len(free), 8):
                             break
+                        if r.group is not None and not r.group.ready:
+                            # only the group's queue-first member (its
+                            # leader, which carries the vision batch if any)
+                            # may prefill — a vision-stripped sibling
+                            # selected instead would publish garbage group
+                            # state without ever running the vision tower
+                            if id(r.group) in groups_seen:
+                                continue
+                            groups_seen.add(id(r.group))
                         if (r.vision_batch is not None
-                                or (r.group is not None and
-                                    (r.group.ready or
-                                     id(r.group) in groups_in_batch))
+                                or (r.group is not None and r.group.ready)
                                 or _bucket(len(r.input_ids),
                                            self.prompt_buckets) != b0):
                             continue
@@ -635,8 +642,6 @@ class Engine:
                         if need_r > blocks_left:
                             break        # pool backpressure bounds the batch
                         blocks_left -= need_r
-                        if r.group is not None:
-                            groups_in_batch.add(id(r.group))
                         batch.append(r)
                 K = 1 << (max(len(batch), 1).bit_length() - 1)
                 if K >= 2 and batch[0] is head:
