@@ -65,6 +65,21 @@ def test_eval_retriever_driver(synth_data, tmp_path):
     assert len(run) == 3 and all(len(v) == 5 for v in run.values())
 
 
+def test_eval_retriever_driver_int8_corpus(synth_data, tmp_path):
+    """--corpus-quant int8 runs the retrieve phase end-to-end (rank parity
+    vs fp32 is covered by the planted-neighbor test in test_retrieval.py)."""
+    from visrag_tpu.driver.eval_retriever import main
+    from visrag_tpu.retrieval.trec import load_from_trec
+    out = tmp_path / "out_int8"
+    rc = main(["--corpus", str(synth_data / "corpus.parquet"),
+               "--queries", str(synth_data / "queries.parquet"),
+               "--output-dir", str(out), "--tiny", "--batch-size", "2",
+               "--depth", "3", "--corpus-quant", "int8"])
+    assert rc == 0
+    run = load_from_trec(str(out / "test.trec"))
+    assert len(run) == 3 and all(len(v) == 3 for v in run.values())
+
+
 def test_train_retriever_driver(synth_data, tmp_path):
     from visrag_tpu.driver.train_retriever import main
     out = tmp_path / "trained"

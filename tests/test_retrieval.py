@@ -181,6 +181,82 @@ def test_encode_dataset_staged_prefetch():
     assert set(stage_threads) and threading.get_ident() not in set(stage_threads)
 
 
+def test_int8_quantize_rows_bounds():
+    """q * scale reconstructs x within scale/2 per element; zero rows safe."""
+    from visrag_tpu.retrieval.search import quantize_rows, quantize_rows_np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(33, 24)).astype(np.float32)
+    x[7] = 0.0
+    q, s = (np.asarray(a) for a in quantize_rows(jnp.asarray(x)))
+    assert q.dtype == np.int8
+    assert np.all(np.abs(q * s[:, None] - x) < s[:, None] / 2 + 1e-7)
+    # host quantizer is bit-identical to the jit one
+    qh, sh = quantize_rows_np(x)
+    np.testing.assert_array_equal(q, qh)
+    np.testing.assert_array_equal(s, sh)
+
+
+def test_topk_int8_planted_neighbors():
+    """int8 corpus search returns the planted nearest neighbors exactly and
+    scores within the quantization error bound of the fp32 search."""
+    from visrag_tpu.retrieval.search import quantize_rows, topk_single_int8
+
+    rng = np.random.default_rng(4)
+    c = rng.normal(size=(300, 64)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    planted = [17, 111, 299]
+    q = c[planted] * 0.9  # exact-direction neighbors → unambiguous top-1
+    cq, cs = quantize_rows(jnp.asarray(c))
+    s8, i8 = (np.asarray(a) for a in topk_single_int8(
+        jnp.asarray(q), cq, cs, 5))
+    sf, _ = (np.asarray(a) for a in topk_single(jnp.asarray(q),
+                                                jnp.asarray(c), 5))
+    np.testing.assert_array_equal(i8[:, 0], planted)
+    np.testing.assert_allclose(s8, sf, rtol=0, atol=0.02)
+
+
+def test_sharded_topk_int8_matches_single():
+    """Sharded int8 search == single-device int8 search (same quantized math,
+    merged over the 8-device mesh)."""
+    from visrag_tpu.retrieval.search import (quantize_rows,
+                                             shard_corpus_int8,
+                                             topk_single_int8)
+
+    mesh = build_mesh(MeshConfig(data=8))
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(6, 32)).astype(np.float32)
+    c = rng.normal(size=(101, 32)).astype(np.float32)
+    cq_np, cs_np = (np.asarray(a) for a in quantize_rows(jnp.asarray(c)))
+    fn = make_sharded_topk(mesh, k=10, quant="int8")
+    cq, cs = shard_corpus_int8(cq_np, cs_np, mesh)
+    s, i = fn(jnp.asarray(q), cq, cs, jnp.int32(101))
+    s, i = np.asarray(s), np.asarray(i)
+    ref_s, ref_i = (np.asarray(a) for a in topk_single_int8(
+        jnp.asarray(q), jnp.asarray(cq_np), jnp.asarray(cs_np), 10))
+    valid = i < 101
+    np.testing.assert_allclose(s[valid], ref_s[valid], rtol=1e-5)
+    np.testing.assert_array_equal(i[valid], ref_i[valid])
+
+
+def test_streaming_searcher_int8():
+    """StreamingSearcher(quant="int8") merges chunked int8 scans to the same
+    result as one-shot int8 search (per-row scales make chunking invisible)."""
+    from visrag_tpu.retrieval.search import quantize_rows, topk_single_int8
+
+    mesh = build_mesh(MeshConfig(data=8))
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    c = rng.normal(size=(230, 16)).astype(np.float32)
+    searcher = StreamingSearcher(mesh, k=7, quant="int8")
+    s, i = searcher.search(q, [(c[:100], 0), (c[100:], 100)])
+    cq, cs = quantize_rows(jnp.asarray(c))
+    ref_s, ref_i = (np.asarray(a) for a in topk_single_int8(
+        jnp.asarray(q), cq, cs, 7))
+    np.testing.assert_allclose(s, ref_s, rtol=1e-5)
+    np.testing.assert_array_equal(i, ref_i)
+
+
 def test_self_retrieve():
     """Query↔query retrieval (dense_retriever.py:100-161): each query's top
     hit is itself; duplicates surface at near-1.0 cosine."""

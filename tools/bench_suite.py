@@ -481,6 +481,11 @@ def bench_retrieve():
         lambda p, b: model.apply(p, EncodeBatch(**b)), params, qb).shape[1])
     log(f"init: {time.time()-t0:.1f}s, dim {dim}, corpus {n_docs} docs")
 
+    # BENCH_RETRIEVE_QUANT=int8: per-row-quantized corpus — the HBM scan is
+    # bandwidth-bound, so int8 halves bytes/row (≈2× scan speed) and doubles
+    # the corpus one chip holds (2.3 GB vs 4.6 GB at 1M × 2304)
+    quant = os.environ.get("BENCH_RETRIEVE_QUANT", "none")
+
     @jax.jit
     def make_corpus(key):
         chunks = []
@@ -488,7 +493,14 @@ def bench_retrieve():
             c = jax.random.normal(jax.random.fold_in(key, i),
                                   (n_docs // 8, dim), jnp.float32)
             c /= jnp.linalg.norm(c, axis=1, keepdims=True)
-            chunks.append(c.astype(jnp.bfloat16))
+            if quant == "int8":
+                from visrag_tpu.retrieval.search import quantize_rows
+                chunks.append(quantize_rows(c))
+            else:
+                chunks.append(c.astype(jnp.bfloat16))
+        if quant == "int8":
+            return (jnp.concatenate([q for q, _ in chunks], axis=0),
+                    jnp.concatenate([s for _, s in chunks], axis=0))
         return jnp.concatenate(chunks, axis=0)
 
     corpus = make_corpus(jax.random.PRNGKey(1))
@@ -496,6 +508,9 @@ def bench_retrieve():
     @jax.jit
     def retrieve(p, batch, corp):
         reps = model.apply(p, EncodeBatch(**batch))
+        if quant == "int8":
+            from visrag_tpu.retrieval.search import topk_single_int8
+            return topk_single_int8(reps, corp[0], corp[1], k)
         return topk_single(reps, corp, k)
 
     t0 = time.time()
