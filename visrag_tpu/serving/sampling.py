@@ -68,6 +68,12 @@ def sample_vec(logits, rng, temperature, top_p, repetition_penalty,
     token's log-probability under the RAW logits (sequence-score semantics
     of the weighted-selection strategy). top_k is not supported here (the
     scalar `sample` handles it); temperature == 0 rows decode greedily.
+
+    Sampling is exact categorical via inverse-CDF with ONE uniform per row:
+    a (B, V) Gumbel field (jax.random.categorical) costs a threefry pass
+    over the whole vocab — measured ~2.5 ms/step at B=32, V=152k on v5e,
+    comparable to the entire 36-layer paged-attention read. The CDF form is
+    a handful of bandwidth passes instead.
     """
     raw = logits.astype(jnp.float32)
     rp = repetition_penalty[:, None]
@@ -85,7 +91,21 @@ def sample_vec(logits, rng, temperature, top_p, repetition_penalty,
         return jnp.where(lt < cutoff, -jnp.inf, lt)
 
     lt = jax.lax.cond(jnp.any(top_p < 1.0), with_top_p, lambda x: x, lt)
-    sampled = jax.random.categorical(rng, lt, axis=-1).astype(jnp.int32)
+
+    def _sample_cdf(lt):
+        m = jnp.max(lt, axis=-1, keepdims=True)
+        p = jnp.exp(lt - m)                     # -inf (top_p-cut) rows → 0
+        cum = jnp.cumsum(p, axis=-1)
+        total = cum[:, -1:]
+        # u in (0, total]: first index with cum >= u is an exact categorical
+        # draw; (1 - U[0,1)) avoids u == 0 landing on a zero-prob token 0.
+        u = (1.0 - jax.random.uniform(rng, (lt.shape[0], 1), jnp.float32))
+        u = u * total
+        idx = jnp.sum(cum < u, axis=-1).astype(jnp.int32)
+        return jnp.minimum(idx, lt.shape[1] - 1)
+
+    sampled = jax.lax.cond(jnp.all(temperature == 0.0),
+                           lambda lt: greedy, _sample_cdf, lt)
     tok = jnp.where(temperature == 0.0, greedy, sampled)
     logz = jax.nn.logsumexp(raw, axis=-1)
     logp = jnp.take_along_axis(raw, tok[:, None], axis=-1)[:, 0] - logz
