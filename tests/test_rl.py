@@ -822,3 +822,75 @@ def test_rl_vision_logp_matches_ingraph():
         slot_map=jnp.asarray(p1["slot_map"][None]))
     np.testing.assert_allclose(np.asarray(lg_pre)[0, :L1],
                                np.asarray(lg_ref)[0], rtol=2e-4, atol=2e-4)
+
+
+def test_rl_hybrid_tp_rollout():
+    """The hybrid engine (VERDICT round-2 missing #1): RLTrainer on a
+    (data=4, model=2) mesh runs its rollout TENSOR-PARALLEL while the
+    update stays FSDP over data. Checks: the engine is tp=2 and actually
+    prefilled; rollout tokens are identical to the FSDP(data=8) trainer's;
+    the post-update weight handoff re-applies the TP shardings (a plain
+    `engine.params = ...` would silently drop them); two steps match the
+    data=8 run's params."""
+    import dataclasses as dc
+
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import MeshConfig, RLConfig
+    from visrag_tpu.mesh import build_mesh
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    ref, _ = _hf_tiny()
+    base = {k: v for k, v in ref.state_dict().items()}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=2, max_response_length=8,
+                           temperature=0.0),   # greedy: token-comparable
+        actor=dc.replace(cfg.actor, lr=1e-3),
+        trainer=dc.replace(cfg.trainer, total_steps=2,
+                           rollout_batch_size=4))
+
+    def decode(ids):
+        return "<answer>x</answer>" if sum(ids) % 2 == 0 else "wrong"
+
+    def build(mesh_cfg):
+        params = {"params": convert_qwen25_vl(base)}
+        return RLTrainer(
+            model, params, cfg, tokenizer_decode=decode,
+            tag_token_ids={"<think>": [50], "<evidence>": [51],
+                           "<answer>": [52]},
+            engine_kwargs=dict(num_slots=4, max_len=64, prompt_buckets=(16,)),
+            mesh=build_mesh(mesh_cfg))
+
+    rng = np.random.default_rng(3)
+    prompts = [dict(input_ids=rng.integers(1, 90, size=(6,)).astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(4)]
+
+    t_tp = build(MeshConfig(data=4, model=2))
+    t_dp = build(MeshConfig(data=8))
+    # step-1 rollouts token-identical between tp=2 and tp=1 engines
+    rb_tp = t_tp.rollout([dict(p) for p in prompts], jax.random.PRNGKey(5))
+    rb_dp = t_dp.rollout([dict(p) for p in prompts], jax.random.PRNGKey(5))
+    assert rb_tp.responses == rb_dp.responses
+    assert t_tp._engine.tp == 2 and t_dp._engine.tp == 1
+    assert t_tp._engine.prefill_count == 4    # one per prompt group
+
+    def tp_sharded(engine):
+        return any("model" in str(getattr(l.sharding, "spec", ""))
+                   for l in jax.tree_util.tree_leaves(engine.params)
+                   if hasattr(l, "sharding"))
+
+    assert tp_sharded(t_tp._engine) and not tp_sharded(t_dp._engine)
+
+    h_tp = t_tp.fit(iter([prompts, prompts]))
+    h_dp = t_dp.fit(iter([prompts, prompts]))
+    assert len(h_tp) == 2 and len(h_dp) == 2
+    # the handoff after the update must have RE-APPLIED the TP shardings
+    assert tp_sharded(t_tp._engine)
+    for a, b in zip(jax.tree_util.tree_leaves(t_tp.params["params"]),
+                    jax.tree_util.tree_leaves(t_dp.params["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -453,3 +453,120 @@ def test_engine_block_backpressure(tiny_model):
                         prompt_buckets=(16,), cache_blocks=1)
     with pytest.raises(RuntimeError, match="KV pool too small"):
         impossible.generate([prompts[0]], sampling=sp)
+
+
+def _rand_init_engine_pair(text_over, tp, num_slots=2):
+    """Random-init tiny Qwen with overridden text geometry; return (model,
+    params, prompts, sampling)."""
+    import dataclasses as dc
+
+    from visrag_tpu.models.qwen25_vl import QwenTextConfig
+    cfg = Qwen25VLConfig.tiny(text=QwenTextConfig.tiny(**text_over))
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(13)
+    dummy = jnp.asarray(rng.integers(1, 90, size=(1, 8)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(8), (3, 1, 8)).astype(jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), dummy, positions=pos)
+    prompts = [dict(input_ids=rng.integers(1, 90, size=(n,)).astype(np.int32))
+               for n in (6, 9, 4)]
+    return model, params, prompts
+
+
+@pytest.mark.parametrize("tp", [4, 8])
+def test_engine_tp4_tp8_matches_single_device(tp):
+    """tp ≥ 4 at the big-preset geometry (kvh=8, the 32B/72B presets'
+    TP8 regime — assets/baselines.md:26,42; VERDICT round-2 weak #6):
+    token-identical greedy output to the tp=1 engine, with the
+    zero-collective shard_map decode active."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    model, params, prompts = _rand_init_engine_pair(
+        dict(hidden_size=64, num_attention_heads=8, num_key_value_heads=8,
+             mrope_section=(2, 1, 1)), tp)
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    eng1 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    want = eng1.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    mesh = build_mesh(MeshConfig(model=tp, data=1),
+                      devices=jax.devices()[:tp])
+    eng2 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,),
+                  mesh=mesh)
+    assert eng2._attn_mesh is not None     # kvh % tp == 0 → shard_map decode
+    got = eng2.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    assert got == want
+
+
+def test_engine_tp_wider_than_kvh_falls_back_to_gspmd(tiny_model):
+    """tp=4 > kvh=2 (the 3B-at-tp4 case): the engine must NOT use the
+    zero-collective shard_map path (it requires whole kv groups per shard);
+    it replicates the pools and lets GSPMD partition the XLA decode over q
+    heads — output still token-identical (VERDICT round-2 weak #6)."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(29)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                    .astype(np.int32)) for n in (6, 4)]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    eng1 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    want = eng1.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    mesh = build_mesh(MeshConfig(model=4, data=1), devices=jax.devices()[:4])
+    eng2 = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,),
+                  mesh=mesh)
+    assert eng2._attn_mesh is None         # kvh=2 < tp=4 → GSPMD fallback
+    got = eng2.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    assert got == want
+
+
+def test_prefill_token_budget_bounds_decode_starvation(tiny_model):
+    """With prefill_token_budget set, queued prompts cannot starve live
+    decode slots: between two consecutive decode chunks the engine
+    dispatches at most ceil(budget/bucket) prefills (VERDICT round-2 weak
+    #2 done-criterion). Without the budget, every placeable prompt
+    prefills ahead of the first decode chunk."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(31)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                    .astype(np.int32))
+               for n in (6, 20, 7, 21, 9, 22)]   # mixed buckets: no batching
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+
+    def sched(budget):
+        eng = Engine(model, params, num_slots=8, max_len=64,
+                     prompt_buckets=(16, 32), prefill_token_budget=budget)
+        eng.record_schedule = True
+        out = eng.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(3))
+        return eng, out
+
+    eng_b, out_b = sched(budget=16)
+    eng_n, out_n = sched(budget=None)
+    assert out_b == out_n                      # scheduling ≠ results
+
+    def max_p_run(log):
+        run = best = 0
+        for ev in log:
+            run = run + 1 if ev == "P" else 0
+            best = max(best, run)
+        return best
+
+    # budget=16 with buckets ≥16 ⇒ at most ONE prefill dispatch between
+    # decode chunks; the unbudgeted engine front-loads several
+    assert max_p_run(eng_b.sched_log) == 1, eng_b.sched_log
+    assert max_p_run(eng_n.sched_log) > 1, eng_n.sched_log
+
+
+def test_request_latency_bookkeeping(tiny_model):
+    """Requests carry enqueue/first-token/emission timestamps for the
+    serve-latency benches (TTFT + chunk-granular inter-token gaps)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(5)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
+                    .astype(np.int32)) for _ in range(3)]
+    eng = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    reqs = eng.generate_detailed(
+        prompts, sampling=SamplingParams(temperature=0.0, max_tokens=40),
+        rng=jax.random.PRNGKey(0))
+    for r in reqs:
+        assert r.t_first is not None and r.t_first >= r.t_enqueue
+        assert sum(n for _, n in r.emits) == len(r.output_ids)
+        times = [t for t, _ in r.emits]
+        assert times == sorted(times)

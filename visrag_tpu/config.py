@@ -186,6 +186,10 @@ class TrainConfig:
     max_steps: int = -1
     softmax_temperature: float = 0.02
     negatives_x_device: bool = True
+    # accepted for reference parity (arguments.py:179, dense_trainer.py:437):
+    # inbatch_loss=False and biaxial_loss=True are rejected at trainer build
+    # (the reference raises NotImplementedError on biaxial_loss and silently
+    # ignores inbatch_loss; here both misuses are loud)
     inbatch_loss: bool = True
     biaxial_loss: bool = False
     passage_stop_grad: bool = False
@@ -198,6 +202,9 @@ class TrainConfig:
     # LoRA (reference dense_retrieval_model.py:327-345); 0 = full finetune
     lora_rank: int = 0
     lora_alpha: float = 64.0
+    # "bfloat16" halves Adam m/v memory with Kahan-compensated updates
+    # (reference AnyPrecisionAdamW, torch_functional.py:204-339)
+    optimizer_state_dtype: str = "float32"
     output_dir: str = "output"
 
 
@@ -222,7 +229,7 @@ class EvalConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
-    phase: str = "encode"  # encode | encode_corpus | encode_query | retrieve | eval
+    phase: str = "all"  # all | encode | retrieve | eval
 
 
 # ---- RL (RS-GRPO) config tree, mirroring rsgrpo PPOConfig shape -------------
@@ -233,6 +240,11 @@ class RolloutConfig:
     n: int = 8
     temperature: float = 1.0
     top_p: float = 1.0
+    # rollout TP degree (reference rollout.tensor_parallel_size,
+    # vllm_rollout_spmd.py:106-127): sizes the mesh's `model` axis in
+    # driver/rl_main — the Engine serves tensor-parallel while the update
+    # stays FSDP over `data` (the hybrid engine)
+    tensor_parallel_size: int = 1
     max_prompt_length: int = 15000
     max_response_length: int = 1536
     limit_images: int = 5
@@ -252,6 +264,9 @@ class ActorConfig:
     micro_batch_tokens: int = 16384
     freeze_vision_tower: bool = True
     grad_clip: float = 1.0
+    # "bfloat16" = AnyPrecisionAdamW role (bf16 m/v + Kahan; the knob the
+    # reference uses to fit 3B+ actors — torch_functional.py:204-339)
+    optimizer_state_dtype: str = "float32"
     # padding-free packed update path (segment-id attention); micro-batches
     # carrying vision inputs fall back to the padded layout
     padding_free: bool = True
@@ -293,6 +308,7 @@ class CriticConfig:
     cliprange_value: float = 0.5
     grad_clip: float = 1.0
     micro_batch_tokens: int = 16384
+    optimizer_state_dtype: str = "float32"
 
 
 @dataclass

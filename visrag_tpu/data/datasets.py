@@ -60,10 +60,56 @@ def to_pil(image_field) -> Optional[Image.Image]:
     return img
 
 
+def is_hf_repo(path: str) -> bool:
+    """True for a hub spec 'org/name[@split]' that is not a local path (the
+    reference's from_hf_repo switch, dataset/train_dataset.py:65-105)."""
+    import re
+    return (not os.path.exists(path)
+            and re.fullmatch(r"[\w.\-]+/[\w.\-]+(@[\w.\-]+)?", path)
+            is not None)
+
+
+def iter_hf_rows(spec: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
+    """HF-hub dataset rows (reference train_dataset.py:65-105 /
+    inference_dataset.py:114-190 `from_hf_repo`): 'org/name[@split]' →
+    datasets.load_dataset(streaming=True). Import-gated: environments
+    without the `datasets` package (or network) fail loudly here only when
+    a hub spec is actually used."""
+    try:
+        import datasets
+    except ImportError as e:
+        raise ImportError(
+            f"{spec!r} looks like a HF-hub dataset but the `datasets` "
+            "package is not installed; pass a local file/dir instead") from e
+    name, _, split = spec.partition("@")
+    ds = datasets.load_dataset(name, split=split or "train",
+                               streaming=streaming)
+    yield from ds
+
+
+def hf_dataset_length(spec: str) -> Optional[int]:
+    """Split row count from hub metadata without downloading data
+    (reference __len__ via HF split info, train_dataset.py:84-102)."""
+    try:
+        import datasets
+    except ImportError:
+        return None
+    name, _, split = spec.partition("@")
+    try:
+        info = datasets.load_dataset_builder(name).info
+        return info.splits[split or "train"].num_examples
+    except Exception:
+        return None
+
+
 def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
-    """Extension-dispatch row iterator: .parquet / .tsv / .jsonl / .json, or a
+    """Extension-dispatch row iterator: .parquet / .tsv / .jsonl / .json, a
     directory of numbered shards in those formats (the reference's
-    train_dataset layout: examples/training_data/{0.parquet, metadata.json})."""
+    train_dataset layout: examples/training_data/{0.parquet, metadata.json}),
+    or a HF-hub spec 'org/name[@split]' streamed via the datasets package."""
+    if is_hf_repo(path):
+        yield from iter_hf_rows(path, streaming)
+        return
     if os.path.isdir(path):
         def _order(f):
             # numbered shards (0.parquet … 11.parquet) sort numerically —
@@ -107,7 +153,10 @@ def iter_rows(path: str, streaming: bool = True) -> Iterator[Dict[str, Any]]:
 
 def dataset_length(path: str) -> Optional[int]:
     """metadata.json {"length": N} next to the data files
-    (train_dataset.py:84-102; examples/training_data/metadata.json)."""
+    (train_dataset.py:84-102; examples/training_data/metadata.json), or HF
+    split info for hub specs."""
+    if is_hf_repo(path):
+        return hf_dataset_length(path)
     meta = os.path.join(path if os.path.isdir(path) else os.path.dirname(path),
                         "metadata.json")
     if os.path.exists(meta):
@@ -123,8 +172,13 @@ class MMDRTrainDataset:
 
     def __init__(self, path: str, query_template: str = None,
                  n_passages: int = 1):
+        from .templates import fill_template
         self.path = path
-        self.instruction = QUERY_INSTRUCTION
+        # query_template: "<query>"-marker template (DataConfig.query_template
+        # / reference DataArguments.query_template); default = the paper's
+        # retrieval instruction prefix
+        self.template = query_template or (QUERY_INSTRUCTION + "<query>")
+        self._fill = fill_template
         self.n_passages = n_passages
         self.length = dataset_length(path)
 
@@ -135,7 +189,7 @@ class MMDRTrainDataset:
 
     def __iter__(self):
         for row in iter_rows(self.path):
-            query = self.instruction + row["query"]
+            query = self._fill(self.template, {"query": row["query"]})
             image = to_pil(row.get("image"))
             yield {"query": (query, None),
                    "passages": [("", image)] * 1}

@@ -65,6 +65,27 @@ def build_visrag_ret(model_cfg: ModelConfig, *, tiny: bool = False,
     else:
         cfg = VisRAGRetConfig(pooling=model_cfg.pooling,
                               normalize=model_cfg.normalize)
+    if model_cfg.checkpoint:
+        # honor checkpoint config.json rope_scaling (reference
+        # modeling_minicpm.py:142-291; configuration_minicpm rope_scaling):
+        # a scaled checkpoint loaded without this would silently produce
+        # wrong embeddings
+        import dataclasses as _dc
+        import json as _json
+        cfg_json = os.path.join(model_cfg.checkpoint, "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                hf_cfg = _json.load(f)
+            rs = hf_cfg.get("rope_scaling")
+            if rs:
+                llm = _dc.replace(cfg.backbone.llm,
+                                  rope_scaling_type=rs["type"],
+                                  rope_scaling_factor=float(rs["factor"]))
+                if rs["type"] not in ("linear", "dynamic"):
+                    raise ValueError(
+                        f"unsupported rope_scaling type {rs['type']!r}")
+                cfg = _dc.replace(
+                    cfg, backbone=_dc.replace(cfg.backbone, llm=llm))
     model = VisRAGRet(cfg)
     pcfg = PipelineConfig(
         seq_len=64 if tiny else model_cfg.max_inp_length,

@@ -89,6 +89,12 @@ def main(argv=None):
                 mcfg, text=_dc.replace(mcfg.text,
                                        sp_backend=cfg.actor.sp_backend))
             model = Qwen25VL(mcfg)
+    if cfg.rollout.tensor_parallel_size > 1:
+        # hybrid engine: the rollout serves TP over the mesh `model` axis
+        # while the update stays FSDP over `data` (the reference's rollout
+        # (dp, tp) mesh, fsdp_workers.py:331-350 + rollout.tensor_parallel_
+        # size, vllm_rollout_spmd.py:106-127)
+        cfg.mesh.model = cfg.rollout.tensor_parallel_size
     mcfg_mesh = multihost_mesh_config(cfg.mesh, nproc)
     mesh = build_mesh(mcfg_mesh) if len(jax.devices()) > 1 else None
     trainer = RLTrainer(

@@ -83,7 +83,8 @@ def main(argv=None):
         lora_merge_fn = lambda lt: lora_merge(  # noqa: E731
             base, lt, rank=cfg.train.lora_rank, alpha=cfg.train.lora_alpha)
 
-    dataset = MMDRTrainDataset(args.train_data)
+    dataset = MMDRTrainDataset(args.train_data,
+                               query_template=cfg.data.query_template)
     try:
         total = len(dataset) // cfg.data.batch_size * cfg.train.epochs
     except TypeError:

@@ -91,9 +91,29 @@ class QuantDense(nn.Module):
 
 def rope_frequencies(head_dim: int, theta: float = 10000.0,
                      scaling: Optional[dict] = None,
-                     max_positions: int = 4096) -> np.ndarray:
+                     max_positions: int = 4096,
+                     seq_len: Optional[int] = None) -> np.ndarray:
     """inv_freq per the reference RoPE (modeling_minicpm.py:142-291).
-    linear scaling divides positions by factor; dynamic NTK rescales theta."""
+
+    scaling: None or {"type": "linear"|"dynamic", "factor": f} (HF
+    config.rope_scaling). linear divides POSITIONS by factor (handled in
+    apply_rope, reference :199-212); dynamic NTK rescales theta here when
+    the sequence exceeds max_positions (reference :228-240). seq_len is the
+    STATIC trace-time sequence capacity — exact for prefill/training (the
+    reference keys its cos/sin cache off the same length); the decode path
+    passes its KV-buffer capacity, a static upper bound on the live length
+    (the reference rescales monotonically as the cache grows, so bounding
+    by capacity deviates only for mid-range lengths of an already-unused-
+    by-the-flagship feature)."""
+    if scaling:
+        kind = scaling.get("type")
+        if kind == "dynamic" and seq_len and seq_len > max_positions:
+            factor = float(scaling["factor"])
+            theta = theta * ((factor * seq_len / max_positions)
+                             - (factor - 1.0)) ** (head_dim / (head_dim - 2))
+        elif kind not in ("linear", "dynamic"):
+            raise ValueError(f"unsupported rope_scaling type {kind!r} "
+                             "(expected linear|dynamic)")
     inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
     return inv_freq.astype(np.float32)
 

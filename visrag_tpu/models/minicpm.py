@@ -36,6 +36,10 @@ class MiniCPMConfig:
     num_key_value_heads: int = 36
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # HF config.rope_scaling (reference modeling_minicpm.py:142-291):
+    # "" = none, "linear" divides positions, "dynamic" = NTK theta rescale
+    rope_scaling_type: str = ""
+    rope_scaling_factor: float = 1.0
     scale_emb: float = 12.0
     dim_model_base: int = 256
     scale_depth: float = 1.4
@@ -110,15 +114,21 @@ class MiniCPMAttention(nn.Module):
         self.o_proj = D(h * d, c.hidden_size, use_bias=False,
                         dtype=c.dtype, name="o_proj")
 
-    def _qkv(self, x, positions):
+    def _qkv(self, x, positions, rope_len=None):
         c = self.cfg
         b, s, _ = x.shape
         h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
         q = self.q_proj(x).reshape(b, s, h, d)
         k = self.k_proj(x).reshape(b, s, hk, d)
         v = self.v_proj(x).reshape(b, s, hk, d)
-        inv_freq = jnp.asarray(rope_frequencies(d, c.rope_theta))
-        q, k = apply_rope(q, k, positions, inv_freq)
+        scaling = {"type": c.rope_scaling_type,
+                   "factor": c.rope_scaling_factor} \
+            if c.rope_scaling_type else None
+        inv_freq = jnp.asarray(rope_frequencies(
+            d, c.rope_theta, scaling=scaling,
+            max_positions=c.max_position_embeddings,
+            seq_len=rope_len if rope_len is not None else s))
+        q, k = apply_rope(q, k, positions, inv_freq, scaling=scaling)
         return q, k, v
 
     def __call__(self, x, positions, segment_ids=None, lengths=None,
@@ -149,7 +159,11 @@ class MiniCPMAttention(nn.Module):
         qwen25_vl.QwenAttention.decode). mesh: optional TP mesh threaded to
         the paged kernel (serving/paged_kv.paged_decode_attention)."""
         b = x.shape[0]
-        q, k, v = self._qkv(x, positions)
+        # rope_len: static KV-buffer capacity (dense L, or paged
+        # blocks x block_size) — the dynamic-NTK bound for decode
+        rope_len = kc.shape[1] if block_table is None \
+            else block_table.shape[1] * kc.shape[2]
+        q, k, v = self._qkv(x, positions, rope_len=rope_len)
         pos = lengths_incl - 1
         if block_table is None:
             from ..serving.kv_cache import decode_attention

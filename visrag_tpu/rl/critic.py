@@ -43,8 +43,11 @@ class CriticTrainer:
         self.params = params
         self.global_batch_size = global_batch_size
         self.ppo_epochs = ppo_epochs or cfg.ppo_epochs
-        self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                              optax.adamw(cfg.lr, weight_decay=1e-2))
+        from ..training.optim import adamw_from_config
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            adamw_from_config(cfg.lr, weight_decay=1e-2,
+                              state_dtype=cfg.optimizer_state_dtype))
         self.opt_state = self.tx.init(params["params"])
         self._value_jit = jax.jit(self._value_fn)
         self._grad_jit = jax.jit(self._grad_fn)

@@ -46,7 +46,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import RLConfig
-from ..mesh import DATA, REPLICA, shard_params_fsdp
+from ..mesh import DATA, MODEL, REPLICA, shard_params_fsdp
 from ..serving.engine import Engine
 from ..serving.sampling import SamplingParams
 from .advantage import compute_advantage
@@ -112,6 +112,15 @@ class RLTrainer:
                                              alg.kl_target, alg.kl_horizon)
         self.dp = 1 if mesh is None else (mesh.shape[REPLICA] *
                                           mesh.shape[DATA])
+        # Hybrid engine (reference fsdp_workers.py:331-350: rollout on a
+        # (dp, tp) mesh): a mesh `model` axis > 1 runs the rollout Engine
+        # tensor-parallel while update/logp stay FSDP over `data`. The
+        # per-step weight handoff is Engine.set_params — a resharding
+        # device_put from the FSDP layout to the Megatron TP layout (the
+        # "resharding pjit, not a copy protocol" of SURVEY §7.1-7). This is
+        # what lets 7B+ RS-GRPO actors serve their own rollouts on 16 GB
+        # chips (weights alone exceed one chip at bf16).
+        self.tp = 1 if mesh is None else int(dict(mesh.shape).get(MODEL, 1))
         # Ulysses SP: mesh seq axis > 1 runs the update/logp forwards
         # sequence-parallel (cfg.actor.ulysses_size sizes the mesh axis in
         # driver/rl_main; reference fsdp_workers.py:119-129)
@@ -143,8 +152,11 @@ class RLTrainer:
         self.data_iter = None
         self._rng = None
 
-        self.tx = optax.chain(optax.clip_by_global_norm(cfg.actor.grad_clip),
-                              optax.adamw(cfg.actor.lr, weight_decay=1e-2))
+        from ..training.optim import adamw_from_config
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.actor.grad_clip),
+            adamw_from_config(cfg.actor.lr, weight_decay=1e-2,
+                              state_dtype=cfg.actor.optimizer_state_dtype))
         if cfg.actor.freeze_vision_tower:
             # the reference freezes the tower via requires_grad
             # (fsdp_workers.py:228-238); here a masked optimizer also stops
@@ -289,11 +301,15 @@ class RLTrainer:
         re-init — obsoletes fsdp_vllm sleep/wake, :140-158)."""
         n = n if n is not None else self.cfg.rollout.n
         if self._engine is None:
+            kw = dict(self.engine_kwargs)
+            if self.tp > 1:
+                kw.setdefault("mesh", self.mesh)
             self._engine = Engine(self.model, self.params,
-                                  eos_token_ids=self.eos,
-                                  **self.engine_kwargs)
+                                  eos_token_ids=self.eos, **kw)
         else:
-            self._engine.params = self.params
+            # resharding handoff, NOT a plain assignment: keeps the
+            # engine's TP shardings across updates (see Engine.set_params)
+            self._engine.set_params(self.params)
         sampling = SamplingParams(
             temperature=(temperature if temperature is not None
                          else self.cfg.rollout.temperature),
@@ -483,7 +499,8 @@ class RLTrainer:
                 self.cfg.algorithm.adv_estimator,
                 reward_tensor=reward_tensor[sel],
                 token_rewards=None, response_mask=rb.response_mask[sel],
-                index=rb.uid[sel])
+                index=rb.uid[sel],
+                norm_by_std=self.cfg.algorithm.norm_adv_by_std)
         part = dict(input_ids=rb.input_ids[sel],
                     attention_mask=rb.attention_mask[sel],
                     positions=rb.positions[:, sel],

@@ -33,6 +33,8 @@ class SFTConfig:
     # DeepSpeed; long-context SFT here shards the sequence axis instead) —
     # requires a mesh with seq=ulysses_size and a model accepting sp_mesh
     ulysses_size: int = 1
+    # "bfloat16" = AnyPrecisionAdamW role (torch_functional.py:204-339)
+    optimizer_state_dtype: str = "float32"
 
 
 def sft_loss(model_apply: Callable, params, batch, sp_mesh=None) -> tuple:
@@ -59,8 +61,11 @@ def make_sft_step(model_apply: Callable, cfg: SFTConfig, mesh=None):
     schedule = optax.join_schedules(
         [optax.linear_schedule(0.0, cfg.lr, max(cfg.warmup_steps, 1)),
          optax.constant_schedule(cfg.lr)], [max(cfg.warmup_steps, 1)])
-    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                     optax.adamw(schedule, weight_decay=cfg.weight_decay))
+    from .optim import adamw_from_config
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        adamw_from_config(schedule, weight_decay=cfg.weight_decay,
+                          state_dtype=cfg.optimizer_state_dtype))
     sp_mesh = mesh if (cfg.ulysses_size > 1 and mesh is not None) else None
     if sp_mesh is not None and dict(mesh.shape).get("seq", 1) != cfg.ulysses_size:
         raise ValueError(f"ulysses_size={cfg.ulysses_size} needs a mesh with "

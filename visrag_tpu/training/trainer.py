@@ -31,10 +31,11 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
         [optax.linear_schedule(0.0, cfg.lr, warmup),
          optax.linear_schedule(cfg.lr, 0.0, max(1, total_steps - warmup))],
         [warmup])
+    from .optim import adamw_from_config
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=cfg.weight_decay),
+        adamw_from_config(schedule, weight_decay=cfg.weight_decay,
+                          state_dtype=cfg.optimizer_state_dtype),
     )
     return tx
 
@@ -57,6 +58,23 @@ def make_train_step(encode: Callable, cfg: TrainConfig,
     Returns step_fn(params, opt_state, q_batch, p_batch, rng) →
     (params, opt_state, metrics).
     """
+    # reference parity: biaxial_loss raises (dense_trainer.py:437-438);
+    # inbatch_loss=False is undefined there (the flag is never read,
+    # arguments.py:179) and the contrastive loss here IS in-batch CE —
+    # reject instead of silently no-op'ing
+    if cfg.biaxial_loss:
+        raise NotImplementedError("biaxial_loss is not implemented "
+                                  "(the reference forbids it too)")
+    if not cfg.inbatch_loss:
+        raise NotImplementedError(
+            "inbatch_loss=False has no defined semantics: the contrastive "
+            "objective is in-batch CE (reference never consumes the flag)")
+    if not cfg.negatives_x_device:
+        raise NotImplementedError(
+            "negatives_x_device=False (per-device negatives) is not "
+            "supported: the GSPMD trainer computes the loss over the "
+            "logically-global batch, so negatives are always shared — "
+            "shrink data.batch_size to reduce the negative pool instead")
     ccfg = ContrastiveConfig(temperature=cfg.softmax_temperature,
                              n_passages=cfg.n_passages,
                              passage_stop_grad=cfg.passage_stop_grad)
