@@ -102,9 +102,14 @@ def bench_train():
         f"{pages} pages ({n_slices} slices) + {pages} queries, "
         f"{num_micro}x{micro} GradCache micro-batches")
 
+    # BENCH_TRAIN_OPT=bfloat16: AnyPrecisionAdamW-style states — frees
+    # ~2.4 GB at 1.2B (fp32 m/v 9.6 GB -> bf16 m/v+kahan 7.2), which is the
+    # headroom the remat="mlp" policy needs at micro=1 (round-5 OOM note)
     tcfg = TrainConfig(lr=1e-5, softmax_temperature=0.02, n_passages=1,
                        log_every=1, grad_cache=True,
-                       grad_cache_micro_batch_size=num_micro)
+                       grad_cache_micro_batch_size=num_micro,
+                       optimizer_state_dtype=os.environ.get(
+                           "BENCH_TRAIN_OPT", "float32"))
     trainer = RetrieverTrainer(encode, params, tcfg, mesh=None, total_steps=64)
     t0 = time.time()
     trainer.train([(qb, pb)])  # compile + step 1
@@ -268,6 +273,90 @@ def bench_serve_qwen():
     }))
 
 
+def bench_serve_evisrag():
+    """Multimodal-serving latency honesty (VERDICT round-2 next #2): the
+    EVisRAG geometry — Qwen2.5-VL-3B text stack, evidence prompts of 3-8k
+    tokens (limit_images=5 page prompts tokenize to this range;
+    evisrag/predict.py:112-145), 2x-oversubscribed slots so late arrivals
+    queue behind running decodes. Reports throughput AND time-to-first-token
+    + inter-token gaps (chunk-granular p50/p99), with and without the
+    engine's prefill_token_budget anti-starvation bound."""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
+    new_tokens = int(os.environ.get("BENCH_SERVE_NEW", 256))
+    budget = int(os.environ.get("BENCH_PREFILL_BUDGET", 8192))
+    cfg = Qwen25VLConfig.b3()
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+    ids0 = jnp.asarray(rng.integers(1, 150000, size=(1, 100)), "int32")
+    pos0 = jnp.broadcast_to(jnp.arange(100), (3, 1, 100)).astype("int32")
+
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(key, ids0, positions=pos0)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            p)
+
+    t0 = time.time()
+    params = init_bf16(jax.random.PRNGKey(0))
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    # evidence prompts: mixed 3-8k tokens, 2x slots (second wave queues)
+    lens = rng.integers(3000, 8000, size=(2 * slots,))
+    prompts = [dict(input_ids=rng.integers(1, 150000, size=(int(n),))
+                    .astype(np.int32)) for n in lens]
+    sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
+
+    def run(prefill_budget):
+        eng = Engine(model, params, num_slots=slots, max_len=8192 + 1024,
+                     prompt_buckets=(4096, 8192), eos_token_ids=(),
+                     decode_chunk=32, prefill_token_budget=prefill_budget,
+                     cache_blocks=2 * slots * (8192 + 1024) // 128)
+        # compile pass (both buckets + decode rungs)
+        eng.generate(prompts[:2], sampling=SamplingParams(
+            temperature=1.0, max_tokens=32))
+        t0 = time.time()
+        reqs = eng.generate_detailed(prompts, sampling=sp)
+        dt = time.time() - t0
+        total = sum(len(r.output_ids) for r in reqs)
+        ttft = np.asarray([r.t_first - r.t_enqueue for r in reqs])
+        # offset enqueue→run latency: time 0 is the first prefill
+        ttft = ttft - ttft.min()
+        gaps = []
+        for r in reqs:
+            for (t_a, _), (t_b, nb) in zip(r.emits, r.emits[1:]):
+                gaps.extend([(t_b - t_a) / nb] * nb)
+        gaps = np.asarray(gaps)
+        return dict(tok_s=total / dt,
+                    ttft_p50=float(np.percentile(ttft, 50)),
+                    ttft_p99=float(np.percentile(ttft, 99)),
+                    itl_p50_ms=float(np.percentile(gaps, 50)) * 1e3,
+                    itl_p99_ms=float(np.percentile(gaps, 99)) * 1e3)
+
+    unbounded = run(None)
+    log(f"unbounded: {unbounded}")
+    bounded = run(budget)
+    log(f"budget={budget}: {bounded}")
+    print(json.dumps({
+        "metric": "serve_evisrag_tok_s", "value": round(bounded["tok_s"], 1),
+        "unit": "tok/s/chip",
+        "detail": {"slots": slots, "requests": len(prompts),
+                   "prompt_tokens": "3000-8000", "new_tokens": new_tokens,
+                   "budget": {k: round(v, 4) for k, v in bounded.items()},
+                   "unbounded": {k: round(v, 4)
+                                 for k, v in unbounded.items()},
+                   "prefill_token_budget": budget},
+    }))
+
+
 def bench_rl():
     import dataclasses as dc
     import jax
@@ -346,6 +435,116 @@ def bench_rl():
         "value": round(toks / dt, 1), "unit": "tok/s/chip",
         "detail": {"layers": layers, "params_b": round(float(n_params)/1e9, 2),
                    "batch": bsz, "seq": T, "ms_per_update": round(dt*1e3, 1)},
+    }))
+
+
+def bench_rl_e2e():
+    """Reference-comparable RL step (VERDICT round-2 next #3): a 1.5B-class
+    text actor (the largest that fits one 16 GB chip WITH bf16 optimizer
+    states: params 3.1 GB + m/v/kahan 9.3 GB) runs the FULL RS-GRPO step —
+    engine rollout (n samples/prompt) + old-logp + packed dual-clip PPO
+    update — at 512-token prompts / 1k responses. Reports tok/s/chip (the
+    reference's perf/throughput: batch total tokens / step time,
+    metrics.py:116-123; baselines.md rows are 1200-1400 tok/s/GPU for 7B on
+    H100) and analytic update-MFU."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.qwen25_vl import (Qwen25VL, Qwen25VLConfig,
+                                             QwenTextConfig)
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    plen = int(os.environ.get("BENCH_RL_PROMPT", 512))
+    resp_len = int(os.environ.get("BENCH_RL_RESP", 1024))
+    n_prompts = int(os.environ.get("BENCH_RL_PROMPTS", 4))
+    n_samples = int(os.environ.get("BENCH_RL_N", 8))
+    # Qwen2.5-1.5B geometry (hidden 1536, 28L, kvh 2, tied embeddings)
+    tcfg = QwenTextConfig(hidden_size=1536, intermediate_size=8960,
+                          num_hidden_layers=28, num_attention_heads=12,
+                          num_key_value_heads=2, vocab_size=151936,
+                          mrope_section=(16, 24, 24), dtype=jnp.bfloat16,
+                          remat=True)
+    qcfg = dc.replace(Qwen25VLConfig.tiny(), text=tcfg)
+    model = Qwen25VL(qcfg)
+    rng = np.random.default_rng(0)
+    dummy = jnp.asarray(rng.integers(1, 150000, size=(1, 8)), "int32")
+    pos = jnp.broadcast_to(jnp.arange(8), (3, 1, 8)).astype("int32")
+    t0 = time.time()
+
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(key, dummy, positions=pos)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            p)
+
+    params = init_bf16(jax.random.PRNGKey(0))
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    bsz = n_prompts * n_samples
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=n_samples,
+                           max_response_length=resp_len, temperature=1.0),
+        trainer=dc.replace(cfg.trainer, total_steps=1,
+                           rollout_batch_size=n_prompts,
+                           global_batch_size=bsz),
+        actor=dc.replace(cfg.actor, ppo_epochs=1,
+                         optimizer_state_dtype="bfloat16",
+                         micro_batch_tokens=2 * (plen + resp_len)))
+    pb = 128
+    while pb < plen:
+        pb *= 2
+    trainer = RLTrainer(
+        model, params, cfg,
+        tokenizer_decode=lambda ids: "<answer>x</answer>"
+        if sum(ids) % 2 == 0 else "wrong",
+        tag_token_ids={"<think>": [50], "<evidence>": [51],
+                       "<answer>": [52]},
+        engine_kwargs=dict(num_slots=bsz, max_len=pb + resp_len + 128,
+                           prompt_buckets=(pb,), decode_chunk=32))
+    prompts = [dict(input_ids=rng.integers(1, 150000, size=(plen,))
+                    .astype(np.int32), ground_truth="<answer>x</answer>")
+               for _ in range(n_prompts)]
+
+    def one_step(rng_key):
+        t = {}
+        t0 = time.time()
+        batch = trainer.make_batch(iter([prompts]), rng_key)
+        t["rollout_s"] = time.time() - t0
+        t0 = time.time()
+        batch["old_log_probs"] = trainer.compute_log_probs(trainer.params,
+                                                           batch)
+        t["logp_s"] = time.time() - t0
+        t0 = time.time()
+        m = trainer.update_policy(batch)
+        t["update_s"] = time.time() - t0
+        toks = int(batch["attention_mask"].sum())
+        return toks, t, m
+
+    t0 = time.time()
+    one_step(jax.random.PRNGKey(0))     # compile pass
+    log(f"compile+first step {time.time()-t0:.0f}s")
+    toks, t, m = one_step(jax.random.PRNGKey(1))
+    dt = sum(t.values())
+    # analytic update MFU: fwd+bwd ≈ 3 fwd-equivalents + 1 logp fwd
+    flops = 6.0 * float(n_params) * toks * (3.0 + 1.0)
+    mfu = flops / (t["update_s"] + t["logp_s"]) / 197e12
+    log(f"step {dt:.1f}s {t}; tokens {toks}; update+logp MFU {mfu:.1%}")
+    print(json.dumps({
+        "metric": "rl_e2e_throughput_1p5b",
+        "value": round(toks / dt, 1), "unit": "tok/s/chip",
+        "detail": {"params_b": round(float(n_params) / 1e9, 2),
+                   "prompts": n_prompts, "n": n_samples,
+                   "prompt_len": plen, "resp_len": resp_len,
+                   "tokens": toks,
+                   "phase_s": {k: round(v, 2) for k, v in t.items()},
+                   "update_logp_mfu": round(mfu, 4),
+                   "optimizer_state_dtype": "bfloat16"},
     }))
 
 
@@ -549,5 +748,6 @@ def bench_retrieve():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     {"train": bench_train, "serve": bench_serve,
-     "serve_qwen": bench_serve_qwen, "rl": bench_rl,
+     "serve_qwen": bench_serve_qwen, "serve_evisrag": bench_serve_evisrag,
+     "rl": bench_rl, "rl_e2e": bench_rl_e2e,
      "rollout": bench_rollout, "retrieve": bench_retrieve}[mode]()

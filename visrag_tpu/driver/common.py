@@ -37,9 +37,13 @@ def get_processor(model_path: str, override_chat_template: Optional[str] = None,
                   **kwargs):
     """HF multimodal processor, or None for text-only checkpoints where
     AutoProcessor silently falls back to a bare tokenizer
-    (tokenizer.py:41-52)."""
+    (tokenizer.py:41-52) — or raises because the dir ships no
+    preprocessor_config.json (converted/test checkpoints)."""
     from transformers import AutoProcessor
-    processor = AutoProcessor.from_pretrained(model_path, **kwargs)
+    try:
+        processor = AutoProcessor.from_pretrained(model_path, **kwargs)
+    except (OSError, ValueError):
+        return None
     if override_chat_template is not None:
         processor.chat_template = override_chat_template
     if processor is not None and "Processor" not in type(processor).__name__:
@@ -169,3 +173,23 @@ def encode_qwen_prompt_row(row, processor, tok, mcfg, rollout_cfg):
                      "seg_full", "reverse_index")}
     return dict(input_ids=ids, positions=pos, vision_batch=vision_batch,
                 slot_map=slot, ground_truth=row.get("answer", ""))
+
+
+def qwen_config_from_checkpoint(checkpoint: str, state=None):
+    """Model config for a Qwen2.5-VL checkpoint dir: read config.json
+    (Qwen25VLConfig.from_hf — serves any geometry incl. tiny test
+    checkpoints); fall back to the preset table keyed by embedding width
+    when the json is absent (converted dirs that ship only safetensors)."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    from ..models.qwen25_vl import Qwen25VLConfig
+    cfg_json = _os.path.join(checkpoint, "config.json")
+    if _os.path.exists(cfg_json):
+        with open(cfg_json) as f:
+            return Qwen25VLConfig.from_hf(_json.load(f))
+    hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
+    return {3584: Qwen25VLConfig.b7, 5120: Qwen25VLConfig.b32,
+            8192: Qwen25VLConfig.b72}.get(hid, Qwen25VLConfig.b3)()

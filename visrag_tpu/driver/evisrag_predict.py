@@ -55,9 +55,8 @@ def main(argv=None):
     state = load_safetensors_dir(args.checkpoint)
     params = {"params": convert_qwen25_vl(state)}
     # pick config by hidden size
-    hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
-    cfg = {3584: Qwen25VLConfig.b7, 5120: Qwen25VLConfig.b32,
-            8192: Qwen25VLConfig.b72}.get(hid, Qwen25VLConfig.b3)()
+    from .common import qwen_config_from_checkpoint
+    cfg = qwen_config_from_checkpoint(args.checkpoint, state)
     model = Qwen25VL(cfg)
     engine = Engine(model, params, num_slots=4, max_len=16384,
                     prompt_buckets=(4096, 8192, 16384),

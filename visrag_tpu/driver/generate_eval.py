@@ -64,7 +64,10 @@ def run_generate_eval(dataset: str, examples: Sequence[dict],
             pages = [corpus[d] for d in docids]
             pred = generate_with_strategy(
                 task_type, query, pages, scores, generate_fn,
-                lambda q, n: build_image_prompt(dataset, q, ex))
+                lambda q, n: build_image_prompt(dataset, q, ex),
+                # beam-scored weighted selection when the backend offers it
+                # (reference num_beams=3 sequences_scores)
+                score_fn=getattr(generate_fn, "score_fn", None))
         pred = pred if pred is not None else ""
         correct, npred, nans = check_response(dataset, pred, answer)
         n_correct += correct
@@ -118,6 +121,25 @@ def _minicpmv_backend(checkpoint: str, max_new_tokens: int,
         return tok.decode(req.output_ids, skip_special_tokens=True), \
             req.cum_logprob
 
+    def score_fn(prompt, images):
+        """Beam-scored answer for weighted_selection (reference
+        sampling=False config: num_beams=3, repetition_penalty=1.2 —
+        weighted_selection/MiniCPMV20/modeling_minicpmv.py:360-392)."""
+        assert len(images) <= 1, "minicpmv backend takes at most one image"
+        arrs = build_encode_batch(tok, [(prompt, images[0] if images else
+                                         None)], pcfg)
+        s = int(arrs["attention_mask"][0].sum())
+        vb = {k: jnp.asarray(arrs[k]) for k in
+              ("patches", "patch_mask", "pos_matrix", "grid_h", "grid_w")} \
+            if images else None
+        ids, score = engine.beam_search(
+            dict(input_ids=arrs["input_ids"][0, :s], vision_batch=vb,
+                 slot_map=arrs["slot_map"][0, :s] if images else None),
+            num_beams=3, max_new_tokens=max_new_tokens,
+            repetition_penalty=1.2)
+        return tok.decode(ids, skip_special_tokens=True), score
+
+    generate_fn.score_fn = score_fn
     return generate_fn
 
 

@@ -49,6 +49,10 @@ def main(argv=None):
     from ..utils.tracker import Tracker
 
     cfg = load_config(RLConfig, yaml_path=args.config, dotlist=args.set)
+    # checkpoints/tracker live under --output-dir (a stale default here sent
+    # checkpoints to ./rl_output regardless of the flag — caught by the CLI
+    # smoke test)
+    cfg.trainer.output_dir = args.output_dir
     os.makedirs(args.output_dir, exist_ok=True)
     dump_config(cfg, os.path.join(args.output_dir, "run_config.json"))
 
@@ -62,9 +66,8 @@ def main(argv=None):
         processor = tok
     state = load_safetensors_dir(args.checkpoint)
     params = {"params": convert_qwen25_vl(state)}
-    hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
-    mcfg = {3584: Qwen25VLConfig.b7, 5120: Qwen25VLConfig.b32,
-            8192: Qwen25VLConfig.b72}.get(hid, Qwen25VLConfig.b3)()
+    from .common import qwen_config_from_checkpoint
+    mcfg = qwen_config_from_checkpoint(args.checkpoint, state)
     model = Qwen25VL(mcfg)
 
     tags = {t: tok.encode(t, add_special_tokens=False)

@@ -45,11 +45,15 @@ def main(argv=None):
     from ..utils.tracker import Tracker
 
     cfg = SFTConfig()
-    for kv in args.set:
+    import typing
+    hints = typing.get_type_hints(SFTConfig)   # resolves stringified
+    for kv in args.set:                        # `from __future__` annotations
         k, v = kv.split("=", 1)
-        field = {f.name: f for f in dataclasses.fields(SFTConfig)}[k]
-        cfg = dataclasses.replace(cfg, **{k: field.type(v) if callable(
-            field.type) and not isinstance(field.type, str) else v})
+        if k not in hints:
+            ap.error(f"unknown SFTConfig field {k!r}; valid: {sorted(hints)}")
+        typ = hints[k]
+        cfg = dataclasses.replace(
+            cfg, **{k: typ(v) if callable(typ) and typ is not str else v})
 
     os.makedirs(args.output_dir, exist_ok=True)
     from .common import get_processor, get_tokenizer
@@ -62,9 +66,8 @@ def main(argv=None):
         processor = tok
     state = load_safetensors_dir(args.checkpoint)
     params = convert_qwen25_vl(state)
-    hid = state[[k for k in state if "embed_tokens" in k][0]].shape[1]
-    mcfg = {3584: Qwen25VLConfig.b7, 5120: Qwen25VLConfig.b32,
-            8192: Qwen25VLConfig.b72}.get(hid, Qwen25VLConfig.b3)()
+    from .common import qwen_config_from_checkpoint
+    mcfg = qwen_config_from_checkpoint(args.checkpoint, state)
     model = Qwen25VL(mcfg)
 
     mesh = build_mesh(MeshConfig()) if len(jax.devices()) > 1 else None

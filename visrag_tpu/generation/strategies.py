@@ -79,11 +79,18 @@ def generate_with_strategy(task_type: str, query: str,
                            pages: Sequence[Image.Image],
                            doc_scores: Sequence[float],
                            generate_fn: Callable[[str, List[Image.Image]], Tuple[str, float]],
-                           prompt_builder: Callable[[str, int], str]):
+                           prompt_builder: Callable[[str, int], str],
+                           score_fn: Callable[[str, List[Image.Image]],
+                                              Tuple[str, float]] = None):
     """Dispatch like generate.py:40 task types.
 
     generate_fn(prompt, images) → (text, seq_logprob).
     prompt_builder(query, n_images) → prompt string.
+    score_fn: beam-scored variant for weighted_selection (the reference
+    scores candidates with num_beams=3 sequences_scores, MiniCPMV20
+    modeling_minicpmv.py:360-392) — falls back to generate_fn's
+    single-sequence cum_logprob when absent (a documented deviation;
+    engine backends pass Engine.beam_search here).
     """
     if task_type == "text":
         text, _ = generate_fn(prompt_builder(query, 0), [])
@@ -97,8 +104,9 @@ def generate_with_strategy(task_type: str, query: str,
         return text
     if task_type == "weighted_selection":
         answers, lps = [], []
+        fn = score_fn if score_fn is not None else generate_fn
         for img in pages:
-            text, lp = generate_fn(prompt_builder(query, 1), [img])
+            text, lp = fn(prompt_builder(query, 1), [img])
             answers.append(text)
             lps.append(lp)
         best, _ = weighted_selection(answers, lps, list(doc_scores))

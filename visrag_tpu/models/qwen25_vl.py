@@ -157,6 +157,32 @@ class Qwen25VLConfig:
         d.update(kw)
         return cls(**d)
 
+    @classmethod
+    def from_hf(cls, d: dict, dtype=jnp.bfloat16) -> "Qwen25VLConfig":
+        """Build from an HF checkpoint's config.json dict — flat (original
+        Qwen2.5-VL releases) or nested text_config/vision_config layouts —
+        so the drivers serve ANY Qwen2.5-VL geometry, not just the preset
+        table. Fields absent from the json keep the 3B defaults."""
+        t = d.get("text_config") or d
+        v = d.get("vision_config") or {}
+
+        def pick(src, config_cls, skip=("dtype", "remat", "sp_backend")):
+            names = {f.name for f in dataclasses.fields(config_cls)}
+            return {k: (tuple(x) if isinstance(x := src[k], list) else x)
+                    for k in src
+                    if k in names and k not in skip
+                    and not isinstance(src[k], dict)}
+
+        tkw = pick(t, QwenTextConfig)
+        rs = t.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            tkw["mrope_section"] = tuple(rs["mrope_section"])
+        return cls(
+            vision=QwenVisionConfig(dtype=dtype, **pick(v, QwenVisionConfig)),
+            text=QwenTextConfig(dtype=dtype, **tkw),
+            image_token_id=d.get("image_token_id", 151655),
+            vision_start_token_id=d.get("vision_start_token_id", 151652))
+
 
 # ---------------------------------------------------------------------------
 # Vision tower

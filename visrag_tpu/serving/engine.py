@@ -742,6 +742,28 @@ class Engine:
         results = self.run(rng)
         return [results[i] for i in ids]
 
+    def beam_search(self, prompt: dict, *, num_beams: int = 3,
+                    max_new_tokens: int = 64,
+                    repetition_penalty: float = 1.2,
+                    length_penalty: float = 1.0):
+        """Beam-scored generation for ONE prompt → (output ids,
+        sequences_score): the reference's weighted-selection scoring mode
+        (HF generate num_beams=3, repetition_penalty=1.2 —
+        weighted_selection/MiniCPMV20/modeling_minicpmv.py:360-392). Runs
+        outside the slot machinery on dense per-beam caches (see
+        serving/beam.py); defaults mirror the reference's sampling=False
+        generation_config."""
+        from .beam import beam_search
+        return beam_search(
+            self.model, self.params, prompt["input_ids"],
+            prompt.get("positions"),
+            vision_batch=prompt.get("vision_batch"),
+            slot_map=prompt.get("slot_map"), num_beams=num_beams,
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=sorted(self.eos),
+            repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty)
+
     def generate_detailed(self, prompts: Sequence[dict],
                           sampling: Optional[SamplingParams] = None,
                           rng=None, n: int = 1) -> List[Request]:

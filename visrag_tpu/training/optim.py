@@ -52,13 +52,21 @@ def anyprecision_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
         return learning_rate(count) if callable(learning_rate) \
             else jnp.asarray(learning_rate, jnp.float32)
 
+    def _is_array(x):
+        # optax.masked feeds MaskedNode placeholders (an empty NamedTuple)
+        # for frozen leaves — pass them through untouched
+        return hasattr(x, "shape") and hasattr(x, "dtype")
+
     def init(params):
         mu = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, momentum_dtype), params)
+            lambda p: jnp.zeros(p.shape, momentum_dtype)
+            if _is_array(p) else p, params)
         nu = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, variance_dtype), params)
+            lambda p: jnp.zeros(p.shape, variance_dtype)
+            if _is_array(p) else p, params)
         comp = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, compensation_dtype), params) \
+            lambda p: jnp.zeros(p.shape, compensation_dtype)
+            if _is_array(p) else p, params) \
             if use_kahan_summation else None
         return AnyPrecisionAdamWState(jnp.zeros([], jnp.int32), mu, nu, comp)
 
@@ -105,16 +113,15 @@ def anyprecision_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
                         v32.astype(variance_dtype), new_c)
 
             flat = jax.tree_util.tree_map(
-                leaf, grads, params, state.mu, state.nu, state.comp,
-                is_leaf=lambda x: x is None)
+                leaf, grads, params, state.mu, state.nu, state.comp)
             updates = jax.tree_util.tree_map(lambda x: x[0], flat,
-                                             is_leaf=lambda x: isinstance(x, tuple))
+                                             is_leaf=lambda x: type(x) is tuple)
             mu = jax.tree_util.tree_map(lambda x: x[1], flat,
-                                        is_leaf=lambda x: isinstance(x, tuple))
+                                        is_leaf=lambda x: type(x) is tuple)
             nu = jax.tree_util.tree_map(lambda x: x[2], flat,
-                                        is_leaf=lambda x: isinstance(x, tuple))
+                                        is_leaf=lambda x: type(x) is tuple)
             comp = jax.tree_util.tree_map(lambda x: x[3], flat,
-                                          is_leaf=lambda x: isinstance(x, tuple))
+                                          is_leaf=lambda x: type(x) is tuple)
             return updates, AnyPrecisionAdamWState(count, mu, nu, comp)
 
         def leaf(g, p, m, v):
@@ -124,11 +131,11 @@ def anyprecision_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
 
         flat = jax.tree_util.tree_map(leaf, grads, params, state.mu, state.nu)
         updates = jax.tree_util.tree_map(lambda x: x[0], flat,
-                                         is_leaf=lambda x: isinstance(x, tuple))
+                                         is_leaf=lambda x: type(x) is tuple)
         mu = jax.tree_util.tree_map(lambda x: x[1], flat,
-                                    is_leaf=lambda x: isinstance(x, tuple))
+                                    is_leaf=lambda x: type(x) is tuple)
         nu = jax.tree_util.tree_map(lambda x: x[2], flat,
-                                    is_leaf=lambda x: isinstance(x, tuple))
+                                    is_leaf=lambda x: type(x) is tuple)
         return updates, AnyPrecisionAdamWState(count, mu, nu, None)
 
     return optax.GradientTransformation(init, update)
