@@ -570,3 +570,79 @@ def test_request_latency_bookkeeping(tiny_model):
         assert sum(n for _, n in r.emits) == len(r.output_ids)
         times = [t for t, _ in r.emits]
         assert times == sorted(times)
+
+
+def test_chunked_prefill_matches_whole(tiny_model):
+    """Chunked prefill (chunked_prefill_tokens=16, prompts of 40/33/20
+    tokens → 3/3/2 chunks) produces greedy output token-identical to the
+    whole-prompt engine, including an n-sampling group whose leader
+    chunk-prefills and whose forks share its KV blocks."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(17)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                    .astype(np.int32)) for n in (40, 33, 20)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    eng1 = Engine(model, params, num_slots=4, max_len=128,
+                  prompt_buckets=(64,))
+    want = eng1.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7), n=2)
+    eng2 = Engine(model, params, num_slots=4, max_len=128,
+                  prompt_buckets=(16, 64), chunked_prefill_tokens=16)
+    got = eng2.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7), n=2)
+    assert got == want
+    # the long prompts actually went through the chunked path
+    assert eng2.prefill_dispatches > eng1.prefill_dispatches
+    assert eng2.prefill_count == eng1.prefill_count == 3
+
+
+def test_chunked_prefill_interleaves_with_decode(tiny_model):
+    """While a slot decodes, a queued long prompt prefills chunk-at-a-time:
+    the schedule trace shows C steps separated by D steps (never more than
+    budget//C consecutive chunk steps while a decode is live)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(23)
+    short = dict(input_ids=rng.integers(0, 100, size=(6,)).astype(np.int32))
+    long1 = dict(input_ids=rng.integers(0, 100, size=(60,)).astype(np.int32))
+    long2 = dict(input_ids=rng.integers(0, 100, size=(57,)).astype(np.int32))
+    eng = Engine(model, params, num_slots=3, max_len=128,
+                 prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                 prefill_token_budget=16)
+    eng.record_schedule = True
+    # the short prompt decodes for the whole run; the long prompts must
+    # not starve it: chunk steps interleave one-per-decode-chunk
+    r0 = eng.add_request(**short,
+                         sampling=SamplingParams(temperature=0.0,
+                                                 max_tokens=100))
+    r1 = eng.add_request(**long1,
+                         sampling=SamplingParams(temperature=0.0,
+                                                 max_tokens=8))
+    r2 = eng.add_request(**long2,
+                         sampling=SamplingParams(temperature=0.0,
+                                                 max_tokens=8))
+    out = eng.run(rng=jax.random.PRNGKey(1))
+    assert len(out[r0]) == 100 and len(out[r1]) == 8 and len(out[r2]) == 8
+    log = "".join(eng.sched_log)
+    assert "C" in log and "D" in log, log
+    # with budget == one chunk, no two chunk steps may run back-to-back
+    # while a decode slot is live (the short prompt decodes throughout)
+    assert "CC" not in log, log
+
+
+def test_engine_sleep_wake(tiny_model):
+    """sleep() frees the KV pools between uses (vLLM sleep-mode role);
+    run()/wake() reallocates and generation stays correct."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(3)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
+                    .astype(np.int32))]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    eng = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(16,))
+    want = eng.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(0))
+    eng.sleep()
+    assert eng.k_cache is None and eng.v_cache is None
+    got = eng.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(0))
+    assert got == want
+    eng.sleep()
+    eng.sleep()          # idempotent
+    eng.wake()
+    eng.wake()

@@ -8,7 +8,9 @@ training/serving story is numbers, not vibes. Each mode prints ONE JSON line
   python tools/bench_suite.py train       # contrastive retriever step
   python tools/bench_suite.py serve       # decode tok/s (MHA, paged KV)
   python tools/bench_suite.py serve_qwen  # decode tok/s (Qwen-3B GQA)
+  python tools/bench_suite.py serve_evisrag  # 3-8k-prompt latency: TTFT/ITL
   python tools/bench_suite.py rl          # RS-GRPO packed PPO update tok/s
+  python tools/bench_suite.py rl_e2e      # FULL RL step, 1.5B actor, 1 chip
   python tools/bench_suite.py rollout     # n-sampling groups vs n prefills
   python tools/bench_suite.py retrieve    # live-query retrieval p50/p99 ms
 
@@ -315,14 +317,19 @@ def bench_serve_evisrag():
                     .astype(np.int32)) for n in lens]
     sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
 
-    def run(prefill_budget):
+    def run(prefill_budget, chunk=None):
+        import gc
         eng = Engine(model, params, num_slots=slots, max_len=8192 + 1024,
                      prompt_buckets=(4096, 8192), eos_token_ids=(),
                      decode_chunk=32, prefill_token_budget=prefill_budget,
-                     cache_blocks=2 * slots * (8192 + 1024) // 128)
-        # compile pass (both buckets + decode rungs)
-        eng.generate(prompts[:2], sampling=SamplingParams(
+                     chunked_prefill_tokens=chunk)
+        # FULL warmup pass: compiles every batched-prefill K variant and
+        # decode rung the measured pass will hit (a partial warmup left
+        # ~180 s of first-compiles inside the timed region)
+        t0 = time.time()
+        eng.generate(prompts, sampling=SamplingParams(
             temperature=1.0, max_tokens=32))
+        log(f"warmup {time.time()-t0:.0f}s")
         t0 = time.time()
         reqs = eng.generate_detailed(prompts, sampling=sp)
         dt = time.time() - t0
@@ -335,25 +342,36 @@ def bench_serve_evisrag():
             for (t_a, _), (t_b, nb) in zip(r.emits, r.emits[1:]):
                 gaps.extend([(t_b - t_a) / nb] * nb)
         gaps = np.asarray(gaps)
-        return dict(tok_s=total / dt,
-                    ttft_p50=float(np.percentile(ttft, 50)),
-                    ttft_p99=float(np.percentile(ttft, 99)),
-                    itl_p50_ms=float(np.percentile(gaps, 50)) * 1e3,
-                    itl_p99_ms=float(np.percentile(gaps, 99)) * 1e3)
+        out = dict(tok_s=total / dt,
+                   ttft_p50=float(np.percentile(ttft, 50)),
+                   ttft_p99=float(np.percentile(ttft, 99)),
+                   itl_p50_ms=float(np.percentile(gaps, 50)) * 1e3,
+                   itl_p99_ms=float(np.percentile(gaps, 99)) * 1e3)
+        # free the ~GBs of KV pools before the next engine: the jit wrappers
+        # on self form a reference cycle that refcounting alone won't clear
+        eng.k_cache = eng.v_cache = None
+        del eng
+        gc.collect()
+        return out
 
     unbounded = run(None)
     log(f"unbounded: {unbounded}")
     bounded = run(budget)
     log(f"budget={budget}: {bounded}")
+    chunk = int(os.environ.get("BENCH_CHUNK_PREFILL", 2048))
+    chunked = run(None, chunk=chunk)
+    log(f"chunked={chunk}: {chunked}")
     print(json.dumps({
-        "metric": "serve_evisrag_tok_s", "value": round(bounded["tok_s"], 1),
+        "metric": "serve_evisrag_tok_s", "value": round(chunked["tok_s"], 1),
         "unit": "tok/s/chip",
         "detail": {"slots": slots, "requests": len(prompts),
                    "prompt_tokens": "3000-8000", "new_tokens": new_tokens,
+                   "chunked": {k: round(v, 4) for k, v in chunked.items()},
                    "budget": {k: round(v, 4) for k, v in bounded.items()},
                    "unbounded": {k: round(v, 4)
                                  for k, v in unbounded.items()},
-                   "prefill_token_budget": budget},
+                   "prefill_token_budget": budget,
+                   "chunked_prefill_tokens": chunk},
     }))
 
 
@@ -494,11 +512,17 @@ def bench_rl_e2e():
                            rollout_batch_size=n_prompts,
                            global_batch_size=bsz),
         actor=dc.replace(cfg.actor, ppo_epochs=1,
-                         optimizer_state_dtype="bfloat16",
+                         optimizer_state_dtype=os.environ.get(
+                             "BENCH_RL_OPT", "bfloat16_nokahan"),
                          micro_batch_tokens=2 * (plen + resp_len)))
     pb = 128
     while pb < plen:
         pb *= 2
+    # inference engine runs the remat=False variant (same params; flax
+    # nn.remat rejects prefill's return_kv control flag, and rollout needs
+    # no rematerialization anyway)
+    rollout_model = Qwen25VL(dc.replace(qcfg, text=dc.replace(
+        tcfg, remat=False)))
     trainer = RLTrainer(
         model, params, cfg,
         tokenizer_decode=lambda ids: "<answer>x</answer>"
@@ -506,7 +530,8 @@ def bench_rl_e2e():
         tag_token_ids={"<think>": [50], "<evidence>": [51],
                        "<answer>": [52]},
         engine_kwargs=dict(num_slots=bsz, max_len=pb + resp_len + 128,
-                           prompt_buckets=(pb,), decode_chunk=32))
+                           prompt_buckets=(pb,), decode_chunk=32),
+        rollout_model=rollout_model)
     prompts = [dict(input_ids=rng.integers(1, 150000, size=(plen,))
                     .astype(np.int32), ground_truth="<answer>x</answer>")
                for _ in range(n_prompts)]
@@ -531,8 +556,10 @@ def bench_rl_e2e():
     log(f"compile+first step {time.time()-t0:.0f}s")
     toks, t, m = one_step(jax.random.PRNGKey(1))
     dt = sum(t.values())
-    # analytic update MFU: fwd+bwd ≈ 3 fwd-equivalents + 1 logp fwd
-    flops = 6.0 * float(n_params) * toks * (3.0 + 1.0)
+    # analytic update+logp MFU: one fwd = 2*N*toks dense FLOPs; the update
+    # is fwd + 2x bwd + ~1x remat recompute = 4 fwd-equivalents, plus the
+    # old-logp fwd = 5 total (attention FLOPs excluded — small at 1.5k seq)
+    flops = 2.0 * float(n_params) * toks * 5.0
     mfu = flops / (t["update_s"] + t["logp_s"]) / 197e12
     log(f"step {dt:.1f}s {t}; tokens {toks}; update+logp MFU {mfu:.1%}")
     print(json.dumps({

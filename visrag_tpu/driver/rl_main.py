@@ -105,7 +105,13 @@ def main(argv=None):
         tag_token_ids=tags, eos_token_ids=[tok.eos_token_id],
         engine_kwargs=dict(num_slots=8,
                            max_len=cfg.rollout.max_prompt_length +
-                           cfg.rollout.max_response_length),
+                           cfg.rollout.max_response_length,
+                           # long text prompts prefill chunk-at-a-time so
+                           # running decodes never stall a whole 15k-token
+                           # forward (vision prompts still prefill whole)
+                           chunked_prefill_tokens=2048
+                           if cfg.rollout.max_prompt_length >= 4096
+                           else None),
         mesh=mesh)
 
     # checkpointable prompt cursor (StatefulDataLoader role): resume

@@ -326,6 +326,35 @@ class QwenTextBlock(nn.Module):
         out = self._mlp_residual(x, o)
         return (out, (k, v)) if return_kv else out
 
+    def prefill_chunk(self, x, cos, sin, kc, vc, chunk_rows, gather_rows,
+                      start):
+        """Chunked-prefill step for ONE request (B=1): x (1, C, E) holds the
+        prompt tokens at global positions start + arange(C) (start and C are
+        block-aligned). Writes this chunk's K/V into the paged pool at
+        chunk_rows, then attends the chunk against the FULL prefix gathered
+        from gather_rows (pool blocks covering [0, start+C)) with the
+        global-position causal mask (ops.attention.xla_chunk_attention).
+        The vLLM chunked-prefill role: a 15k-token prompt becomes
+        ceil(15k/C) bounded dispatches interleavable with decode chunks."""
+        from ..ops.attention import xla_chunk_attention
+        c = self.cfg
+        q, k, v = self._qkv(x, cos, sin)
+        bs = kc.shape[2]
+        C = x.shape[1]
+        kvh, d = c.num_key_value_heads, c.head_dim
+        kb = jnp.swapaxes(k[0].reshape(C // bs, bs, kvh, d), 1, 2)
+        vb = jnp.swapaxes(v[0].reshape(C // bs, bs, kvh, d), 1, 2)
+        kc = kc.at[chunk_rows].set(kb.astype(kc.dtype))
+        vc = vc.at[chunk_rows].set(vb.astype(vc.dtype))
+        ng = gather_rows.shape[0]
+        kg = jnp.swapaxes(kc[gather_rows], 1, 2).reshape(1, ng * bs, kvh, d)
+        vg = jnp.swapaxes(vc[gather_rows], 1, 2).reshape(1, ng * bs, kvh, d)
+        o = xla_chunk_attention(q, kg.astype(q.dtype), vg.astype(q.dtype),
+                                jnp.asarray([start]).reshape(1)
+                                if not hasattr(start, "ndim") else
+                                start.reshape(1))
+        return self._mlp_residual(x, o), kc, vc
+
     def decode(self, x, cos, sin, kc, vc, lengths_incl, block_table=None,
                mesh=None):
         """x (B, 1, E); lengths_incl counts INCLUDING this step's token.
@@ -435,6 +464,18 @@ class QwenTextModel(nn.Module):
             x, kcs[i], vcs[i] = layer.decode(x, cos, sin, kcs[i], vcs[i],
                                              lengths_incl, block_table,
                                              mesh=mesh)
+        return self.norm(x), tuple(kcs), tuple(vcs)
+
+    def prefill_chunk(self, inputs_embeds, positions, k_cache, v_cache,
+                      chunk_rows, gather_rows, start):
+        """Chunked prefill over the layer stack (QwenTextBlock.prefill_chunk;
+        B=1, C = inputs_embeds.shape[1], block-aligned)."""
+        cos, sin = self._cos_sin(positions, 1, inputs_embeds.shape[1])
+        x = inputs_embeds.astype(self.cfg.dtype)
+        kcs, vcs = list(k_cache), list(v_cache)
+        for i, layer in enumerate(self.layers):
+            x, kcs[i], vcs[i] = layer.prefill_chunk(
+                x, cos, sin, kcs[i], vcs[i], chunk_rows, gather_rows, start)
         return self.norm(x), tuple(kcs), tuple(vcs)
 
 
@@ -550,3 +591,25 @@ class Qwen25VL(nn.Module):
             embeds, positions, k_cache, v_cache, lengths_incl, block_table,
             mesh=mesh)
         return self.compute_logits(hidden)[:, 0], k_cache, v_cache
+
+    def prefill_chunk(self, token_ids, positions, k_cache, v_cache,
+                      chunk_rows, gather_rows, start, last_pos=None):
+        """Chunked prefill for ONE text prompt (B=1): token_ids (1, C) at
+        global positions start..start+C-1, C and start block-aligned;
+        chunk_rows (C//bs,) pool rows this chunk writes; gather_rows
+        (ceil((start+C)/bs),) rows covering the whole prefix. last_pos (1,)
+        → also return logits at that LOCAL chunk position (the final chunk
+        samples the first generated token from it); None → logits=None.
+        The engine interleaves these dispatches with decode chunks so a
+        15k-token EVisRAG prompt cannot stall running slots for more than
+        one chunk (vLLM chunked-prefill role)."""
+        embeds = self.model.embed_tokens(token_ids)
+        hidden, k_cache, v_cache = self.model.prefill_chunk(
+            embeds, positions, k_cache, v_cache, chunk_rows, gather_rows,
+            start)
+        logits = None
+        if last_pos is not None:
+            sel = jnp.take_along_axis(
+                hidden, last_pos[:, None, None].astype(jnp.int32), axis=1)
+            logits = self.compute_logits(sel)[:, 0]
+        return logits, k_cache, v_cache

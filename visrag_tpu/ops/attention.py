@@ -83,6 +83,65 @@ def mha_reference(q, k, v, q_seg=None, kv_seg=None, *, causal=False,
     return o.astype(dtype or q.dtype)
 
 
+def xla_chunk_attention(q, k_all, v_all, start, *, sm_scale=None,
+                        kv_block: int = 1024):
+    """Cross-attention for CHUNKED PREFILL (serving): q (B, C, h, d) holds
+    chunk tokens at global positions start + arange(C); k_all/v_all
+    (B, L, kvh, d) are the gathered KV cache rows covering [0, L) with this
+    chunk already written at [start, start+C). Mask: ki <= start + qi
+    (causal against GLOBAL positions — the offset the flash kernels'
+    start-aligned `causal` cannot express). Online softmax over kv blocks
+    bounds the score buffer to (B, h, C, kv_block) — a 15k-token prefix
+    never materializes an (C, 15k) fp32 score plane.
+
+    Inference-only XLA path: chunked prefill is FLOPs-dominated by the
+    chunk's dense GEMMs; the per-block einsum here still runs on the MXU.
+    """
+    b, cq, h, d = q.shape
+    L = k_all.shape[1]
+    kvh = k_all.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if kvh != h:
+        k_all = jnp.repeat(k_all, h // kvh, axis=2)
+        v_all = jnp.repeat(v_all, h // kvh, axis=2)
+    nb = -(-L // kv_block)
+    pad = nb * kv_block - L
+    if pad:
+        k_all = jnp.pad(k_all, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v_all = jnp.pad(v_all, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    # (nb, B, kv_block, h, d) scan operands
+    kb = jnp.moveaxis(k_all.reshape(b, nb, kv_block, h, d), 1, 0)
+    vb = jnp.moveaxis(v_all.reshape(b, nb, kv_block, h, d), 1, 0)
+    q32 = q.astype(jnp.float32) * sm_scale
+    qpos = start[:, None] + jnp.arange(cq, dtype=jnp.int32)[None]   # (B, C)
+
+    def step(carry, blk):
+        m, l, acc = carry
+        kb_, vb_, base = blk
+        s = jnp.einsum("bqhd,bkhd->bhqk", q32, kb_.astype(jnp.float32))
+        ki = base + jnp.arange(kv_block, dtype=jnp.int32)
+        allow = ki[None, None, :] <= qpos[:, :, None]       # (B, C, kvb)
+        s = jnp.where(allow[:, None], s, DEFAULT_MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        p = jnp.where(allow[:, None], p, 0.0)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p.astype(vb_.dtype), vb_,
+            preferred_element_type=jnp.float32)
+        return (m_new, l, acc), None
+
+    init = (jnp.full((b, h, cq), -jnp.inf, jnp.float32),
+            jnp.zeros((b, h, cq), jnp.float32),
+            jnp.zeros((b, h, cq, d), jnp.float32))
+    bases = jnp.arange(nb, dtype=jnp.int32) * kv_block
+    (m, l, acc), _ = jax.lax.scan(step, init, (kb, vb, bases))
+    o = acc / jnp.maximum(l, 1e-30)[..., None]
+    return jnp.swapaxes(o, 1, 2).astype(q.dtype)          # (B, C, h, d)
+
+
 def xla_lengths_attention(q, k, v, lengths, *, causal=False, sm_scale=None,
                           batch_chunk: int = 8):
     """Lengths-masked attention on plain XLA, (B, S, H, D) layout.

@@ -98,8 +98,15 @@ class RLTrainer:
                  tag_token_ids: Dict[str, Sequence[int]],
                  eos_token_ids: Sequence[int] = (),
                  engine_kwargs: Optional[dict] = None,
-                 ref_params=None, mesh=None, critic=None):
+                 ref_params=None, mesh=None, critic=None,
+                 rollout_model=None):
         self.model = model
+        # rollout_model: same architecture/params for the Engine, typically
+        # the remat=False variant — inference needs no rematerialization and
+        # flax nn.remat rejects the prefill's return_kv control kwarg.
+        # None → the training model (fine when it doesn't remat).
+        self.rollout_model = rollout_model if rollout_model is not None \
+            else model
         self.cfg = cfg
         self.mesh = mesh
         # critic: rl.critic.CriticTrainer, required for adv_estimator "gae"
@@ -173,10 +180,19 @@ class RLTrainer:
         self._logp_jit = jax.jit(self._logp_fn)
         self._grad_jit = jax.jit(self._grad_fn)
         self._grad_packed_jit = jax.jit(self._grad_packed_fn)
+        # micro-batch accumulation FUSED into the grad program with a
+        # donated accumulator: a separate add kept accumulator + fresh
+        # tree live simultaneously (2 full param-sized trees — the OOM
+        # line of the 1.5B single-chip bench); fused, XLA folds each
+        # leaf's grad into the donated buffer as the backward emits it
+        self._grad_acc_jit = jax.jit(
+            lambda p, b, t, acc: self._acc(self._grad_fn(p, b, t), acc),
+            donate_argnums=(3,))
+        self._grad_packed_acc_jit = jax.jit(
+            lambda p, b, t, acc: self._acc(self._grad_packed_fn(p, b, t),
+                                           acc),
+            donate_argnums=(3,))
         self._apply_jit = jax.jit(self._apply_fn, donate_argnums=(0, 1, 2))
-        self._add_jit = jax.jit(
-            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b),
-            donate_argnums=(0, 1))
 
     # ---- device placement ---------------------------------------------
 
@@ -278,6 +294,11 @@ class RLTrainer:
             loss_fn, has_aux=True)(params)
         return loss, metrics, grads
 
+    @staticmethod
+    def _acc(out, acc):
+        loss, metrics, grads = out
+        return loss, metrics, jax.tree_util.tree_map(jnp.add, acc, grads)
+
     def _apply_fn(self, params, opt_state, grads):
         gnorm = optax.global_norm(grads)
         # non-finite grad skip (reference dp_actor.py:163-169)
@@ -304,7 +325,7 @@ class RLTrainer:
             kw = dict(self.engine_kwargs)
             if self.tp > 1:
                 kw.setdefault("mesh", self.mesh)
-            self._engine = Engine(self.model, self.params,
+            self._engine = Engine(self.rollout_model, self.params,
                                   eos_token_ids=self.eos, **kw)
         else:
             # resharding handoff, NOT a plain assignment: keeps the
@@ -348,6 +369,9 @@ class RLTrainer:
         outs = self._engine.generate(
             [{k: v for k, v in p.items() if k != "ground_truth"}
              for p in prompts], sampling=sampling, rng=rng, n=n)
+        # the vLLM sleep role (fsdp_vllm.py:140-158): the KV pools' HBM
+        # belongs to the update step between rollouts; run() re-wakes
+        self._engine.sleep()
 
         max_len = max(len(p["input_ids"]) + len(o)
                       for p, o in zip(expanded, outs))
@@ -631,8 +655,12 @@ class RLTrainer:
                 for g in groups:
                     if packed_ok:
                         micro = self._pack_micro(mini, g, mlens, S)
-                        loss, m, gr = self._grad_packed_jit(
-                            self.params["params"], micro, total)
+                        if grads is None:
+                            loss, m, grads = self._grad_packed_jit(
+                                self.params["params"], micro, total)
+                        else:
+                            loss, m, grads = self._grad_packed_acc_jit(
+                                self.params["params"], micro, total, grads)
                     else:
                         rows = self._row_bucket(len(g))
                         # pad with duplicates of a real row (an all-zero
@@ -642,10 +670,13 @@ class RLTrainer:
                         micro = _reindex(mini, gi)
                         for k in ("response_mask", "reward_masks"):
                             micro[k][len(g):] = 0
-                        loss, m, gr = self._grad_jit(
-                            self.params["params"], self._put_batch(micro),
-                            total)
-                    grads = gr if grads is None else self._add_jit(grads, gr)
+                        micro = self._put_batch(micro)
+                        if grads is None:
+                            loss, m, grads = self._grad_jit(
+                                self.params["params"], micro, total)
+                        else:
+                            loss, m, grads = self._grad_acc_jit(
+                                self.params["params"], micro, total, grads)
                     agg["loss"].append(loss)
                     for k, v in m.items():
                         agg[k].append(v)

@@ -96,7 +96,8 @@ class Engine:
                  cache_dtype=jnp.bfloat16, decode_chunk: int = 16,
                  cache_blocks: Optional[int] = None,
                  decode_unroll: int = 1, mesh=None,
-                 prefill_token_budget: Optional[int] = None):
+                 prefill_token_budget: Optional[int] = None,
+                 chunked_prefill_tokens: Optional[int] = None):
         """mesh: optional tensor-parallel mesh (axis "model" > 1) — the
         vLLM tensor_parallel_size role (reference vllm_rollout_spmd.py:
         106-127, fsdp_workers.py:331-350). Params are sharded with the
@@ -181,6 +182,8 @@ class Engine:
         self.queue: List[Request] = []
         self._next_id = 0
 
+        self._chunk_prefill_jit = jax.jit(self._prefill_chunk_fn,
+                                          donate_argnums=(3, 4))
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(6, 7, 8),
                                     static_argnums=(11,))
         self._prefill_batch_jit = jax.jit(self._prefill_batch_fn,
@@ -202,9 +205,50 @@ class Engine:
         # decode chunk, not the cost of one prompt.
         self.prefill_token_budget = prefill_token_budget
         # optional scheduler trace for tests/benches: "P"=prefill dispatch,
-        # "D"=decode chunk
+        # "C"/"c"=chunked-prefill step (decodes live / idle), "D"=decode
         self.record_schedule = False
         self.sched_log: List[str] = []
+        # CHUNKED PREFILL (vLLM role): text prompts longer than this run as
+        # ceil(s/C) block-aligned dispatches interleaved with decode chunks
+        # (QwenTextBlock.prefill_chunk) — one 15k-token prompt stalls live
+        # decodes by at most one C-token chunk instead of one whole-prompt
+        # forward. None or a model without prefill_chunk → whole-prompt
+        # prefill. Vision prompts always prefill whole (the tower runs once).
+        self.chunk_tokens = None
+        if chunked_prefill_tokens and hasattr(model, "prefill_chunk"):
+            C = int(chunked_prefill_tokens)
+            if C % self.block_size:
+                raise ValueError(f"chunked_prefill_tokens {C} must be a "
+                                 f"multiple of block_size {self.block_size}")
+            self.chunk_tokens = C
+        self._chunking: Dict[int, dict] = {}     # slot → chunk state
+        self._chunk_groups = set()               # groups mid-chunk-prefill
+
+    def sleep(self) -> None:
+        """Free the KV pools' HBM (the vLLM sleep-mode role,
+        fsdp_vllm.py:140-158): between rollouts those GBs belong to the
+        trainer's update step. Requires an idle engine (no live slots);
+        wake() (or the next run()) reallocates zeroed pools — correct
+        because finished requests never reuse old cache contents."""
+        assert all(r is None for r in self.slot_req), \
+            "cannot sleep with live requests"
+        if self.k_cache is None:
+            return
+        self._pool_spec = (self.k_cache[0].shape, self.k_cache[0].dtype,
+                           len(self.k_cache))
+        self.k_cache = self.v_cache = None
+
+    def wake(self) -> None:
+        if self.k_cache is not None:
+            return
+        shape, dt, layers = self._pool_spec
+
+        def _pool():
+            z = jnp.zeros(shape, dt)
+            return jax.device_put(z, self._kv_shard) \
+                if self._kv_shard is not None else z
+        self.k_cache = tuple(_pool() for _ in range(layers))
+        self.v_cache = tuple(_pool() for _ in range(layers))
 
     def set_params(self, params) -> None:
         """Install (or refresh) the engine's weights — the per-step trainer →
@@ -259,6 +303,12 @@ class Engine:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
+    def _chunkable(self, req: Request) -> bool:
+        return (self.chunk_tokens is not None
+                and req.vision_batch is None
+                and len(req.input_ids) > self.chunk_tokens
+                and not (req.group is not None and req.group.ready))
+
     def _blocks_needed(self, req: Request) -> int:
         """Worst-case pool blocks a placement of `req` will allocate (own
         blocks only — forks share the group's prompt blocks)."""
@@ -269,6 +319,11 @@ class Engine:
         g = req.group
         if g is not None and g.ready:
             return total - len(g.shared)
+        if self._chunkable(req):
+            # chunked prompts need no prompt bucket (and may exceed the
+            # largest one) — blocks cover the block-aligned chunk grid
+            C = self.chunk_tokens
+            return max(total, (-(-s // C)) * C // self.block_size)
         bucket = _bucket(s, self.prompt_buckets)
         return max(bucket // self.block_size, total)
 
@@ -494,6 +549,92 @@ class Engine:
             g.hold = []
         return self._activate_slot(req, slot, tok, logp, s)
 
+    # ---- chunked prefill -------------------------------------------------
+
+    def _prefill_chunk_fn(self, params, ids, pos, k_cache, v_cache,
+                          chunk_rows, gather_rows, start, last_pos):
+        """One C-token chunk of a long prompt (model.prefill_chunk); jax.jit
+        retraces per gather_rows length — one variant per chunk index, like
+        prompt buckets."""
+        logits, k_cache, v_cache = self.model.apply(
+            params, ids, pos, k_cache, v_cache, chunk_rows, gather_rows,
+            start, last_pos=last_pos, method=self.model.prefill_chunk)
+        k_cache, v_cache = self._pin_pools(k_cache, v_cache)
+        return logits, k_cache, v_cache
+
+    def _start_chunked(self, req: Request, slot: int) -> None:
+        """Claim a slot + blocks for chunk-at-a-time prefill. The PUBLIC
+        table row stays on null_block until the final chunk lands: the
+        decode chunk's inactive-slot self-writes must not touch the real
+        allocation mid-prefill."""
+        s = len(req.input_ids)
+        sp = req.sampling
+        bs_blk = self.block_size
+        C = self.chunk_tokens
+        budget = max(min(sp.max_tokens, self.max_len - s), 1)
+        n_chunks = -(-s // C)
+        need = max(-(-(s + budget) // bs_blk), n_chunks * C // bs_blk)
+        blocks = self.allocator.alloc(need)
+        self.slot_blocks[slot] = blocks
+        self.slot_req[slot] = req
+        self.active[slot] = False
+        self.lengths[slot] = 0
+        self.table[slot] = self.null_block
+        self._chunking[slot] = dict(req=req, blocks=blocks, pos=0, s=s,
+                                    n_chunks=n_chunks)
+        if req.group is not None:
+            self._chunk_groups.add(id(req.group))
+
+    def _advance_chunk(self, slot: int, rng) -> None:
+        st = self._chunking[slot]
+        req, C = st["req"], self.chunk_tokens
+        i, s = st["pos"], st["s"]
+        bs_blk = self.block_size
+        lo = i * C
+        hi = min(lo + C, s)
+        ids = np.zeros((1, C), np.int32)
+        ids[0, :hi - lo] = req.input_ids[lo:hi]
+        pos = np.zeros((3, 1, C), np.int32)
+        pos[:, 0, :hi - lo] = req.positions[:, lo:hi]
+        if hi - lo < C:
+            # pad positions continue monotonically (their K/V lands in the
+            # decode budget region and is overwritten token-by-token; the
+            # chunk's causal mask never reads them for valid rows)
+            pad = np.arange(1, C - (hi - lo) + 1, dtype=np.int32)
+            pos[:, 0, hi - lo:] = pos[:, 0, hi - lo - 1:hi - lo] + pad
+        blocks = st["blocks"]
+        chunk_rows = jnp.asarray(blocks[lo // bs_blk:(lo + C) // bs_blk],
+                                 jnp.int32)
+        gather_rows = jnp.asarray(blocks[:(lo + C) // bs_blk], jnp.int32)
+        final = i == st["n_chunks"] - 1
+        last_pos = jnp.asarray([s - 1 - lo], jnp.int32) if final else None
+        logits, self.k_cache, self.v_cache = self._chunk_prefill_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(pos),
+            self.k_cache, self.v_cache, chunk_rows, gather_rows,
+            jnp.int32(lo), last_pos)
+        st["pos"] = i + 1
+        self.prefill_dispatches += 1
+        if not final:
+            return
+        del self._chunking[slot]
+        self.prefill_count += 1
+        self.table[slot, :len(blocks)] = blocks
+        prow_np = np.zeros((self.vocab,), bool)
+        prow_np[req.input_ids] = True
+        prow = jnp.asarray(prow_np)
+        sp = req.sampling
+        state = (jnp.int32(slot), jnp.float32(sp.temperature),
+                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
+        # sample the first token from the prompt-end logits (the fork fn
+        # with do_copy=False is exactly this: sample + install seen row)
+        tok, logp, self.k_cache, self.v_cache, self.seen = self._fork_jit(
+            logits[0], prow, self.k_cache, self.v_cache, self.seen, state,
+            jnp.int32(0), jnp.int32(0), rng, False)
+        if req.group is not None:
+            self._chunk_groups.discard(id(req.group))
+            self._publish_group(req, blocks, s, logits[0], prow)
+        self._activate_slot(req, slot, tok, logp, s)
+
     def _activate_slot(self, req: Request, slot: int, tok, logp,
                        s: int) -> int:
         """Common post-placement bookkeeping for prefills and forks."""
@@ -612,7 +753,9 @@ class Engine:
         now = time.monotonic()
         for i in range(B):
             req = self.slot_req[i]
-            if req is None:
+            if req is None or i in self._chunking:
+                # mid-chunk-prefill slots are decode-inactive by design —
+                # the not-active epilogue below must not finish them
                 continue
             row = toks_T[i]
             new_toks = row[row >= 0].tolist()
@@ -631,6 +774,7 @@ class Engine:
     def run(self, rng=None) -> Dict[int, List[int]]:
         """Drain the queue; returns {request_id: output token ids}."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.wake()      # no-op unless sleep() freed the pools
         results: Dict[int, List[int]] = {}
         pending = {r.request_id: r for r in self.queue}
         while self.queue or any(r is not None for r in self.slot_req):
@@ -662,6 +806,14 @@ class Engine:
                 if head.group is not None and head.group.ready:
                     # forks cost no model forward — free under the budget
                     self._place_fork(self.queue.pop(0), free[0], r1)
+                    continue
+                if head.group is not None and \
+                        id(head.group) in self._chunk_groups:
+                    # the group leader is mid-chunk-prefill: its followers
+                    # wait for the shared prompt KV (decode keeps running)
+                    break
+                if self._chunkable(head):
+                    self._start_chunked(self.queue.pop(0), free[0])
                     continue
                 head_bucket = _bucket(len(head.input_ids),
                                       self.prompt_buckets)
@@ -714,7 +866,22 @@ class Engine:
                     spent += head_bucket
                 if self.record_schedule:
                     self.sched_log.append("P")
-            if any(r is not None for r in self.slot_req):
+            # advance chunked prefills: ONE chunk per chunking slot per
+            # iteration, budget-accounted, so a long prompt interleaves with
+            # decode instead of stalling it for a whole-prompt forward
+            for slot in list(self._chunking):
+                if budget is not None and spent >= budget and \
+                        bool(self.active.any()):
+                    break
+                rng, rc = jax.random.split(rng)
+                live = bool(self.active.any())
+                self._advance_chunk(slot, rc)
+                spent += self.chunk_tokens
+                if self.record_schedule:
+                    # "C" = chunk step while decodes were live (starvation-
+                    # relevant); "c" = chunk step with nothing to starve
+                    self.sched_log.append("C" if live else "c")
+            if bool(self.active.any()):
                 rng, r2 = jax.random.split(rng)
                 self._decode_chunk(r2)
                 if self.record_schedule:

@@ -151,15 +151,20 @@ def adamw_from_config(learning_rate, *, weight_decay: float = 0.0,
                       ) -> optax.GradientTransformation:
     """Config-driven AdamW: state_dtype "float32" → plain optax.adamw;
     "bfloat16" → anyprecision states + Kahan (reference fsdp_workers.py:
-    289-316 picks AnyPrecisionAdamW the same way)."""
-    dt = _DTYPES.get(state_dtype)
+    289-316 picks AnyPrecisionAdamW the same way; the reference default is
+    kahan ON — torch_functional.py:212). "bfloat16_nokahan" drops the
+    compensation buffer (2 B/param) for the tightest fits, at fp32-update
+    risk only for lr-scale steps below the bf16 ulp of the weights."""
+    kahan = not state_dtype.endswith("_nokahan")
+    dt = _DTYPES.get(state_dtype.replace("_nokahan", ""))
     if dt is None:
         raise ValueError(f"optimizer state_dtype {state_dtype!r}: "
-                         f"expected one of {sorted(_DTYPES)}")
+                         f"expected one of {sorted(_DTYPES)} "
+                         "(+ optional _nokahan suffix)")
     if dt == jnp.float32:
         return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay)
     return anyprecision_adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                               weight_decay=weight_decay,
                               momentum_dtype=dt, variance_dtype=dt,
-                              use_kahan_summation=True)
+                              use_kahan_summation=kahan)
