@@ -646,3 +646,30 @@ def test_engine_sleep_wake(tiny_model):
     eng.sleep()          # idempotent
     eng.wake()
     eng.wake()
+
+
+def test_chunked_prefill_vision_matches_whole(tiny_model):
+    """MULTIMODAL chunked prefill: the vision tower runs once
+    (embed_prompt) and the chunks slice the embeds table — greedy output
+    token-identical to the whole-prompt engine (the EVisRAG 15k-token
+    image-heavy prompts are exactly this regime)."""
+    from test_rl import _vision_prompt
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(41)
+    cfg = model.cfg
+    # px=112 → enough image tokens to exceed one 16-token chunk
+    vp = _vision_prompt(rng, cfg, px=112)
+    vp.pop("ground_truth")
+    tp = dict(input_ids=rng.integers(0, 100, size=(40,)).astype(np.int32))
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    eng1 = Engine(model, params, num_slots=2, max_len=256,
+                  prompt_buckets=(128,))
+    want = eng1.generate([vp, tp], sampling=sp, rng=jax.random.PRNGKey(7))
+    eng2 = Engine(model, params, num_slots=2, max_len=256,
+                  prompt_buckets=(16, 128), chunked_prefill_tokens=16)
+    eng2.record_schedule = True
+    got = eng2.generate([vp, tp], sampling=sp, rng=jax.random.PRNGKey(7))
+    assert got == want
+    # both prompts actually chunked (no "P" prefill dispatches at all)
+    assert "P" not in eng2.sched_log, eng2.sched_log

@@ -60,7 +60,11 @@ def main(argv=None):
     model = Qwen25VL(cfg)
     engine = Engine(model, params, num_slots=4, max_len=16384,
                     prompt_buckets=(4096, 8192, 16384),
-                    eos_token_ids=[tok.eos_token_id])
+                    eos_token_ids=[tok.eos_token_id],
+                    # 15k multimodal prompts prefill chunk-at-a-time (the
+                    # vision tower runs once; chunks slice the embeds), so
+                    # running decodes stall at most one 2048-token chunk
+                    chunked_prefill_tokens=2048)
     sampling = SamplingParams(temperature=args.temperature,
                               repetition_penalty=1.05,
                               max_tokens=args.max_tokens)

@@ -592,18 +592,30 @@ class Qwen25VL(nn.Module):
             mesh=mesh)
         return self.compute_logits(hidden)[:, 0], k_cache, v_cache
 
+    def embed_prompt(self, input_ids, vision_batch=None, slot_map=None):
+        """Full-prompt embedding table for CHUNKED prefill of multimodal
+        prompts: the vision tower runs ONCE here; chunks then slice the
+        (1, S, E) embeds (the EVisRAG 15k-token prompts are image-heavy —
+        without this, vision prompts would fall back to whole-prompt
+        prefill)."""
+        return self._embed(input_ids, vision_batch, slot_map)
+
     def prefill_chunk(self, token_ids, positions, k_cache, v_cache,
-                      chunk_rows, gather_rows, start, last_pos=None):
-        """Chunked prefill for ONE text prompt (B=1): token_ids (1, C) at
+                      chunk_rows, gather_rows, start, last_pos=None,
+                      inputs_embeds=None):
+        """Chunked prefill for ONE prompt (B=1): token_ids (1, C) at
         global positions start..start+C-1, C and start block-aligned;
         chunk_rows (C//bs,) pool rows this chunk writes; gather_rows
         (ceil((start+C)/bs),) rows covering the whole prefix. last_pos (1,)
         → also return logits at that LOCAL chunk position (the final chunk
         samples the first generated token from it); None → logits=None.
-        The engine interleaves these dispatches with decode chunks so a
-        15k-token EVisRAG prompt cannot stall running slots for more than
-        one chunk (vLLM chunked-prefill role)."""
-        embeds = self.model.embed_tokens(token_ids)
+        inputs_embeds (1, C, E) overrides token embedding (vision prompts:
+        a slice of embed_prompt's table). The engine interleaves these
+        dispatches with decode chunks so a 15k-token EVisRAG prompt cannot
+        stall running slots for more than one chunk (vLLM chunked-prefill
+        role)."""
+        embeds = inputs_embeds if inputs_embeds is not None \
+            else self.model.embed_tokens(token_ids)
         hidden, k_cache, v_cache = self.model.prefill_chunk(
             embeds, positions, k_cache, v_cache, chunk_rows, gather_rows,
             start)

@@ -184,6 +184,11 @@ class Engine:
 
         self._chunk_prefill_jit = jax.jit(self._prefill_chunk_fn,
                                           donate_argnums=(3, 4))
+        if hasattr(model, "embed_prompt"):
+            self._embed_jit = jax.jit(
+                lambda p, ids, vb, sm: model.apply(
+                    p, ids, vision_batch=vb, slot_map=sm,
+                    method=model.embed_prompt))
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(6, 7, 8),
                                     static_argnums=(11,))
         self._prefill_batch_jit = jax.jit(self._prefill_batch_fn,
@@ -304,10 +309,14 @@ class Engine:
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
     def _chunkable(self, req: Request) -> bool:
-        return (self.chunk_tokens is not None
-                and req.vision_batch is None
-                and len(req.input_ids) > self.chunk_tokens
-                and not (req.group is not None and req.group.ready))
+        if self.chunk_tokens is None \
+                or len(req.input_ids) <= self.chunk_tokens \
+                or (req.group is not None and req.group.ready):
+            return False
+        # vision prompts chunk too when the model exposes embed_prompt
+        # (vision tower runs once; chunks slice the embeds table)
+        return req.vision_batch is None or hasattr(self.model,
+                                                   "embed_prompt")
 
     def _blocks_needed(self, req: Request) -> int:
         """Worst-case pool blocks a placement of `req` will allocate (own
@@ -552,13 +561,20 @@ class Engine:
     # ---- chunked prefill -------------------------------------------------
 
     def _prefill_chunk_fn(self, params, ids, pos, k_cache, v_cache,
-                          chunk_rows, gather_rows, start, last_pos):
+                          chunk_rows, gather_rows, start, last_pos, embeds):
         """One C-token chunk of a long prompt (model.prefill_chunk); jax.jit
         retraces per gather_rows length — one variant per chunk index, like
-        prompt buckets."""
+        prompt buckets. embeds: full-prompt (1, S, E) table for vision
+        prompts (sliced here, inside the jit — no extra dispatch), None for
+        text prompts (chunk tokens embed in-graph)."""
+        emb = None
+        if embeds is not None:
+            emb = jax.lax.dynamic_slice_in_dim(embeds, start, pos.shape[2],
+                                               axis=1)
         logits, k_cache, v_cache = self.model.apply(
             params, ids, pos, k_cache, v_cache, chunk_rows, gather_rows,
-            start, last_pos=last_pos, method=self.model.prefill_chunk)
+            start, last_pos=last_pos, inputs_embeds=emb,
+            method=self.model.prefill_chunk)
         k_cache, v_cache = self._pin_pools(k_cache, v_cache)
         return logits, k_cache, v_cache
 
@@ -580,8 +596,19 @@ class Engine:
         self.active[slot] = False
         self.lengths[slot] = 0
         self.table[slot] = self.null_block
+        embeds = None
+        if req.vision_batch is not None:
+            # vision tower once, up front (embed_prompt); chunks slice the
+            # (1, n_chunks*C, E) embeds table inside the chunk jit
+            ids = np.zeros((1, n_chunks * C), np.int32)
+            ids[0, :s] = req.input_ids
+            sm = np.full((1, n_chunks * C), -1, np.int32)
+            sm[0, :s] = req.slot_map
+            vb = {k: jnp.asarray(v) for k, v in req.vision_batch.items()}
+            embeds = self._embed_jit(self.params, jnp.asarray(ids), vb,
+                                     jnp.asarray(sm))
         self._chunking[slot] = dict(req=req, blocks=blocks, pos=0, s=s,
-                                    n_chunks=n_chunks)
+                                    n_chunks=n_chunks, embeds=embeds)
         if req.group is not None:
             self._chunk_groups.add(id(req.group))
 
@@ -611,7 +638,7 @@ class Engine:
         logits, self.k_cache, self.v_cache = self._chunk_prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(pos),
             self.k_cache, self.v_cache, chunk_rows, gather_rows,
-            jnp.int32(lo), last_pos)
+            jnp.int32(lo), last_pos, st["embeds"])
         st["pos"] = i + 1
         self.prefill_dispatches += 1
         if not final:
