@@ -673,3 +673,86 @@ def test_chunked_prefill_vision_matches_whole(tiny_model):
     assert got == want
     # both prompts actually chunked (no "P" prefill dispatches at all)
     assert "P" not in eng2.sched_log, eng2.sched_log
+
+
+def test_chunked_prefill_under_tp(tiny_model):
+    """Chunked prefill composes with tensor parallelism: the chunk jit's
+    pool writes/gathers run GSPMD-partitioned over the kvh-sharded pools —
+    token-identical to the single-device whole-prompt engine."""
+    from visrag_tpu.config import MeshConfig
+    from visrag_tpu.mesh import build_mesh
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(43)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                    .astype(np.int32)) for n in (40, 20)]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    eng1 = Engine(model, params, num_slots=2, max_len=128,
+                  prompt_buckets=(64,))
+    want = eng1.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    mesh = build_mesh(MeshConfig(model=2, data=1), devices=jax.devices()[:2])
+    eng2 = Engine(model, params, num_slots=2, max_len=128,
+                  prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                  mesh=mesh)
+    got = eng2.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(7))
+    assert got == want
+
+
+def test_prefix_cache_reuses_blocks(tiny_model):
+    """Automatic prefix caching (vLLM role): a second prompt sharing a long
+    prefix skips the cached chunks — fewer prefill dispatches, identical
+    greedy outputs to an engine without the cache."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(47)
+    prefix = rng.integers(0, 100, size=(48,)).astype(np.int32)
+    p1 = dict(input_ids=np.concatenate(
+        [prefix, rng.integers(0, 100, size=(6,)).astype(np.int32)]))
+    p2 = dict(input_ids=np.concatenate(
+        [prefix, rng.integers(0, 100, size=(9,)).astype(np.int32)]))
+    p_same = dict(input_ids=p1["input_ids"].copy())
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+    def fresh(cache):
+        return Engine(model, params, num_slots=1, max_len=128,
+                      prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                      prefix_cache=cache)
+
+    eng0 = fresh(False)
+    want = [eng0.generate([p], sampling=sp, rng=jax.random.PRNGKey(4))[0]
+            for p in (p1, p2, p_same)]
+    eng = fresh(True)
+    d0 = []
+    got = []
+    for p in (p1, p2, p_same):
+        before = eng.prefill_dispatches
+        got.append(eng.generate([p], sampling=sp,
+                                rng=jax.random.PRNGKey(4))[0])
+        d0.append(eng.prefill_dispatches - before)
+    assert got == want, (got, want)
+    # p1 prefilled all 4 chunks; p2 shares 48 prefix tokens = 3 blocks of
+    # 16 → resumes at chunk 3; p_same (identical prompt) recomputes only
+    # the final chunk
+    assert d0[0] == 4 and d0[1] < d0[0] and d0[2] == 1, d0
+    assert eng.prefix_hits > 0
+
+
+def test_prefix_cache_eviction_under_pressure(tiny_model):
+    """A tiny pool forces LRU eviction of cached prefixes; outputs stay
+    correct and the allocator stays balanced across many requests."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(53)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(48,))
+                    .astype(np.int32)) for _ in range(6)]
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    eng0 = Engine(model, params, num_slots=1, max_len=128,
+                  prompt_buckets=(16, 64), chunked_prefill_tokens=16)
+    want = [eng0.generate([p], sampling=sp, rng=jax.random.PRNGKey(1))[0]
+            for p in prompts]
+    # pool barely fits one request (+cache crumbs): evictions must trigger
+    eng = Engine(model, params, num_slots=1, max_len=128,
+                 prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                 prefix_cache=True, cache_blocks=10)
+    got = [eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(1))[0]
+           for p in prompts]
+    assert got == want
+    eng.sleep()      # releases cache refs; would assert on imbalance
+    assert len(eng.allocator.free) == 10

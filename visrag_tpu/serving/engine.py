@@ -97,7 +97,8 @@ class Engine:
                  cache_blocks: Optional[int] = None,
                  decode_unroll: int = 1, mesh=None,
                  prefill_token_budget: Optional[int] = None,
-                 chunked_prefill_tokens: Optional[int] = None):
+                 chunked_prefill_tokens: Optional[int] = None,
+                 prefix_cache: bool = False):
         """mesh: optional tensor-parallel mesh (axis "model" > 1) — the
         vLLM tensor_parallel_size role (reference vllm_rollout_spmd.py:
         106-127, fsdp_workers.py:331-350). Params are sharded with the
@@ -228,6 +229,21 @@ class Engine:
             self.chunk_tokens = C
         self._chunking: Dict[int, dict] = {}     # slot → chunk state
         self._chunk_groups = set()               # groups mid-chunk-prefill
+        # AUTOMATIC PREFIX CACHING (vLLM role): finished text prompts leave
+        # their full KV blocks in a chained-hash cache (key_i = sha1(key_{i-1}
+        # + block_i tokens) — identical prefixes map to identical chains);
+        # a new prompt shares every matched block (refcounted) and prefill
+        # resumes at the first uncached chunk. Requires chunked prefill
+        # (the resume path) and standard text positions. LRU-evicted under
+        # pool pressure; cleared by sleep().
+        self._prefix_cache = None
+        if prefix_cache:
+            if self.chunk_tokens is None:
+                raise ValueError("prefix_cache requires "
+                                 "chunked_prefill_tokens (the resume path)")
+            from collections import OrderedDict
+            self._prefix_cache = OrderedDict()   # chain key → block id
+        self.prefix_hits = 0                     # cached blocks reused
 
     def sleep(self) -> None:
         """Free the KV pools' HBM (the vLLM sleep-mode role,
@@ -239,6 +255,11 @@ class Engine:
             "cannot sleep with live requests"
         if self.k_cache is None:
             return
+        if self._prefix_cache:
+            # cached KV dies with the pools; release the cache's references
+            for blk in self._prefix_cache.values():
+                self.allocator.release([blk])
+            self._prefix_cache.clear()
         self._pool_spec = (self.k_cache[0].shape, self.k_cache[0].dtype,
                            len(self.k_cache))
         self.k_cache = self.v_cache = None
@@ -558,6 +579,54 @@ class Engine:
             g.hold = []
         return self._activate_slot(req, slot, tok, logp, s)
 
+    # ---- prefix cache ----------------------------------------------------
+
+    @staticmethod
+    def _default_positions(req: Request) -> bool:
+        """True when the prompt uses standard text positions (arange on all
+        three mrope streams) — the invariant cached KV blocks assume."""
+        s = len(req.input_ids)
+        return bool(np.array_equal(
+            req.positions, np.broadcast_to(np.arange(s), (3, s))))
+
+    def _chain_keys(self, ids: np.ndarray):
+        """Chained per-block hash keys over the prompt's FULL blocks."""
+        import hashlib
+        bs = self.block_size
+        key = b""
+        for j in range(len(ids) // bs):
+            key = hashlib.sha1(
+                key + ids[j * bs:(j + 1) * bs].tobytes()).digest()
+            yield key
+
+    def _match_prefix(self, ids: np.ndarray) -> List[int]:
+        blocks: List[int] = []
+        for key in self._chain_keys(np.asarray(ids, np.int32)):
+            blk = self._prefix_cache.get(key)
+            if blk is None:
+                break
+            self._prefix_cache.move_to_end(key)
+            blocks.append(blk)
+        self.prefix_hits += len(blocks)
+        return blocks
+
+    def _insert_prefix(self, ids: np.ndarray, blocks: List[int]) -> None:
+        for j, key in enumerate(self._chain_keys(np.asarray(ids, np.int32))):
+            if key in self._prefix_cache:
+                self._prefix_cache.move_to_end(key)
+                continue
+            self._prefix_cache[key] = blocks[j]
+            self.allocator.retain([blocks[j]])   # the cache's own reference
+
+    def _evict_prefix(self, blocks_needed: int) -> None:
+        """LRU-evict cached blocks until the pool can serve the request.
+        Evicting a chain's parent may strand its children unreachable —
+        they stay eviction candidates and are freed on later passes."""
+        while self._prefix_cache and \
+                len(self.allocator.free) < blocks_needed:
+            _key, blk = self._prefix_cache.popitem(last=False)
+            self.allocator.release([blk])
+
     # ---- chunked prefill -------------------------------------------------
 
     def _prefill_chunk_fn(self, params, ids, pos, k_cache, v_cache,
@@ -582,7 +651,9 @@ class Engine:
         """Claim a slot + blocks for chunk-at-a-time prefill. The PUBLIC
         table row stays on null_block until the final chunk lands: the
         decode chunk's inactive-slot self-writes must not touch the real
-        allocation mid-prefill."""
+        allocation mid-prefill. With the prefix cache on, cached full
+        blocks are SHARED (refcounted — vLLM automatic-prefix-caching
+        role) and prefill resumes at the first uncached chunk boundary."""
         s = len(req.input_ids)
         sp = req.sampling
         bs_blk = self.block_size
@@ -590,7 +661,19 @@ class Engine:
         budget = max(min(sp.max_tokens, self.max_len - s), 1)
         n_chunks = -(-s // C)
         need = max(-(-(s + budget) // bs_blk), n_chunks * C // bs_blk)
-        blocks = self.allocator.alloc(need)
+        shared: List[int] = []
+        if self._prefix_cache is not None and req.vision_batch is None \
+                and self._default_positions(req):
+            shared = self._match_prefix(req.input_ids)
+        if shared:
+            self.allocator.retain(shared)
+        blocks = shared + self.allocator.alloc(need - len(shared))
+        # resume at the last cached CHUNK boundary (cached blocks are
+        # bs-aligned; chunks are C-aligned — round down so the partial
+        # chunk recomputes, which also yields the prompt-end logits when
+        # the whole prompt was cached)
+        lo0 = (len(shared) * bs_blk) // C * C
+        lo0 = min(lo0, (s - 1) // C * C)
         self.slot_blocks[slot] = blocks
         self.slot_req[slot] = req
         self.active[slot] = False
@@ -607,17 +690,16 @@ class Engine:
             vb = {k: jnp.asarray(v) for k, v in req.vision_batch.items()}
             embeds = self._embed_jit(self.params, jnp.asarray(ids), vb,
                                      jnp.asarray(sm))
-        self._chunking[slot] = dict(req=req, blocks=blocks, pos=0, s=s,
-                                    n_chunks=n_chunks, embeds=embeds)
+        self._chunking[slot] = dict(req=req, blocks=blocks, lo=lo0, s=s,
+                                    embeds=embeds)
         if req.group is not None:
             self._chunk_groups.add(id(req.group))
 
     def _advance_chunk(self, slot: int, rng) -> None:
         st = self._chunking[slot]
         req, C = st["req"], self.chunk_tokens
-        i, s = st["pos"], st["s"]
+        lo, s = st["lo"], st["s"]
         bs_blk = self.block_size
-        lo = i * C
         hi = min(lo + C, s)
         ids = np.zeros((1, C), np.int32)
         ids[0, :hi - lo] = req.input_ids[lo:hi]
@@ -633,19 +715,22 @@ class Engine:
         chunk_rows = jnp.asarray(blocks[lo // bs_blk:(lo + C) // bs_blk],
                                  jnp.int32)
         gather_rows = jnp.asarray(blocks[:(lo + C) // bs_blk], jnp.int32)
-        final = i == st["n_chunks"] - 1
+        final = hi >= s
         last_pos = jnp.asarray([s - 1 - lo], jnp.int32) if final else None
         logits, self.k_cache, self.v_cache = self._chunk_prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(pos),
             self.k_cache, self.v_cache, chunk_rows, gather_rows,
             jnp.int32(lo), last_pos, st["embeds"])
-        st["pos"] = i + 1
+        st["lo"] = lo + C
         self.prefill_dispatches += 1
         if not final:
             return
         del self._chunking[slot]
         self.prefill_count += 1
         self.table[slot, :len(blocks)] = blocks
+        if self._prefix_cache is not None and req.vision_batch is None \
+                and self._default_positions(req):
+            self._insert_prefix(req.input_ids, blocks)
         prow_np = np.zeros((self.vocab,), bool)
         prow_np[req.input_ids] = True
         prow = jnp.asarray(prow_np)
@@ -819,6 +904,9 @@ class Engine:
                 rng, r1 = jax.random.split(rng)
                 free = self._free_slots()
                 head = self.queue[0]
+                if not self._can_place(head) and self._prefix_cache:
+                    # reclaim LRU cached prefixes before deferring
+                    self._evict_prefix(self._blocks_needed(head))
                 if not self._can_place(head):
                     # backpressure (vLLM defer-scheduling role): wait for
                     # running slots to finish and free their blocks
