@@ -375,6 +375,78 @@ def bench_serve_evisrag():
     }))
 
 
+def bench_serve_prefix():
+    """Automatic prefix caching at the shared-system-prompt regime: 16
+    requests share a 4096-token prefix with distinct 512-token suffixes
+    (RAG templates / few-shot headers). Reports total time, prefill
+    dispatches and TTFT with the cache on vs off (Qwen2.5-VL-3B text)."""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
+    n_req = 2 * slots
+    cfg = Qwen25VLConfig.b3()
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+    ids0 = jnp.asarray(rng.integers(1, 150000, size=(1, 100)), "int32")
+    pos0 = jnp.broadcast_to(jnp.arange(100), (3, 1, 100)).astype("int32")
+
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(key, ids0, positions=pos0)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            p)
+
+    t0 = time.time()
+    params = init_bf16(jax.random.PRNGKey(0))
+    log(f"init {time.time()-t0:.0f}s")
+    prefix = rng.integers(1, 150000, size=(4096,)).astype(np.int32)
+    prompts = [dict(input_ids=np.concatenate(
+        [prefix, rng.integers(1, 150000, size=(512,)).astype(np.int32)]))
+        for _ in range(n_req)]
+    sp = SamplingParams(temperature=1.0, max_tokens=64)
+
+    def run(cache):
+        import gc
+        eng = Engine(model, params, num_slots=slots, max_len=8192,
+                     prompt_buckets=(8192,), eos_token_ids=(),
+                     decode_chunk=32, chunked_prefill_tokens=2048,
+                     prefix_cache=cache)
+        eng.generate(prompts[:2], sampling=SamplingParams(
+            temperature=1.0, max_tokens=16))   # warm chunk variants
+        d0, t0 = eng.prefill_dispatches, time.time()
+        reqs = eng.generate_detailed(prompts, sampling=sp)
+        dt = time.time() - t0
+        ttft = np.asarray([r.t_first - r.t_enqueue for r in reqs])
+        ttft -= ttft.min()
+        out = dict(total_s=dt,
+                   prefill_dispatches=eng.prefill_dispatches - d0,
+                   prefix_hits=eng.prefix_hits,
+                   ttft_p50=float(np.percentile(ttft, 50)),
+                   tok_s=sum(len(r.output_ids) for r in reqs) / dt)
+        eng.k_cache = eng.v_cache = None
+        del eng
+        gc.collect()
+        return out
+
+    off = run(False)
+    log(f"cache off: {off}")
+    on = run(True)
+    log(f"cache on:  {on}")
+    print(json.dumps({
+        "metric": "serve_prefix_cache_speedup",
+        "value": round(off["total_s"] / on["total_s"], 2), "unit": "x",
+        "detail": {"requests": n_req, "prefix_tokens": 4096,
+                   "suffix_tokens": 512, "new_tokens": 64,
+                   "on": {k: round(v, 3) for k, v in on.items()},
+                   "off": {k: round(v, 3) for k, v in off.items()}},
+    }))
+
+
 def bench_rl():
     import dataclasses as dc
     import jax
@@ -776,5 +848,6 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     {"train": bench_train, "serve": bench_serve,
      "serve_qwen": bench_serve_qwen, "serve_evisrag": bench_serve_evisrag,
+     "serve_prefix": bench_serve_prefix,
      "rl": bench_rl, "rl_e2e": bench_rl_e2e,
      "rollout": bench_rollout, "retrieve": bench_retrieve}[mode]()
