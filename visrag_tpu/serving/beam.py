@@ -126,7 +126,6 @@ def beam_search(model, params, input_ids, positions=None, *,
     base = int(np.max(positions)) + 1     # first generated token's position
     lengths = np.full((k,), s, np.int32)
     toks = None
-    done = False
 
     for step in range(max_new_tokens):
         if step == 0:
@@ -185,7 +184,6 @@ def beam_search(model, params, input_ids, positions=None, *,
             gen_len = step + 1
             if min(f[0] for f in finished) >= \
                     best_running / (gen_len ** length_penalty):
-                done = True
                 break
 
     # finalize: top up with running beams (HF BeamSearchScorer.finalize)
