@@ -41,6 +41,9 @@ def test_is_hf_repo():
     assert D.is_hf_repo("openbmb/VisRAG-Ret-Test-ArxivQA@test")
     assert not D.is_hf_repo("/tmp/data.parquet")
     assert not D.is_hf_repo("data.parquet")
+    # a MISSING local path with a data extension is a typo, not a hub spec
+    assert not D.is_hf_repo("data/definitely_missing.parquet")
+    assert not D.is_hf_repo("shards/train.jsonl@test")
     # an existing relative dir with a slash is local, not hub
     assert not D.is_hf_repo("tests/../tests")
 

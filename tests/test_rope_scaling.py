@@ -73,6 +73,57 @@ def test_unknown_scaling_type_raises():
                          seq_len=64)
 
 
+def test_dynamic_ntk_inv_freq_matches_static_per_row():
+    """Traced per-row NTK inv_freq == the static oracle-parity table at
+    each row's length."""
+    import jax.numpy as jnp
+    from visrag_tpu.models.common import dynamic_ntk_inv_freq
+    lens = np.array([64, 300, 1024], np.int32)
+    got = np.asarray(dynamic_ntk_inv_freq(DIM, 10000.0, 2.0, MAXPOS,
+                                          jnp.asarray(lens)))
+    for i, length in enumerate(lens):
+        want = rope_frequencies(DIM, 10000.0,
+                                scaling={"type": "dynamic", "factor": 2.0},
+                                max_positions=MAXPOS, seq_len=int(length))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-7)
+
+
+def test_dynamic_ntk_decode_consistent_with_full_forward():
+    """A short sequence in an oversized KV buffer must NOT trigger the NTK
+    rescale: one decode step == the full forward's last-token logits.
+    (Regression: the decode path used to key theta off the KV-buffer
+    CAPACITY, rotating q with a rescaled theta while prompt K was not.)"""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.minicpm import (MiniCPMConfig, MiniCPMForGeneration,
+                                           MiniCPMGenConfig)
+    cfg = MiniCPMGenConfig(llm=MiniCPMConfig.tiny(
+        max_position_embeddings=16, rope_scaling_type="dynamic",
+        rope_scaling_factor=2.0))
+    model = MiniCPMForGeneration(cfg)
+    s, cap, nxt = 8, 64, 42
+    ids = np.arange(1, s + 1, dtype=np.int32)[None]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    full = np.concatenate([ids, [[nxt]]], axis=1)
+    logits_full, _ = model.apply(params, jnp.asarray(full))
+    _, k, v = model.apply(params, jnp.asarray(ids), method=model.prefill)
+    layers = k.shape[0]
+
+    def to_cache(src):   # (1, s, kvh, d) → (1, cap, kvh, d)
+        buf = jnp.zeros((1, cap) + src.shape[2:], src.dtype)
+        return buf.at[:, :s].set(src)
+
+    kc = tuple(to_cache(k[i]) for i in range(layers))
+    vc = tuple(to_cache(v[i]) for i in range(layers))
+    dlg, _, _ = model.apply(params, jnp.asarray([[nxt]], jnp.int32),
+                            jnp.asarray([[s]], jnp.int32), kc, vc,
+                            jnp.asarray([s + 1], jnp.int32),
+                            method=model.decode)
+    np.testing.assert_allclose(np.asarray(dlg[0]),
+                               np.asarray(logits_full[0, -1]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_apply_rope_linear_divides_positions():
     """End-to-end: linear scaling at factor f on positions p equals unscaled
     rope at positions p/f."""

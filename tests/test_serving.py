@@ -628,6 +628,48 @@ def test_chunked_prefill_interleaves_with_decode(tiny_model):
     assert "CC" not in log, log
 
 
+def test_batched_prefill_window_skips_chunkable(tiny_model):
+    """A chunkable (over-bucket) prompt sitting in the batched-prefill
+    selection window must be skipped, not bucketed: with short prompts at
+    the head and a 40-token prompt queued behind them, run() used to crash
+    in _bucket ('exceeds largest bucket') before the long prompt ever
+    reached the chunked path."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(31)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(n,))
+                    .astype(np.int32)) for n in (10, 9, 40)]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    want = Engine(model, params, num_slots=4, max_len=128,
+                  prompt_buckets=(64,)).generate(
+        prompts, sampling=sp, rng=jax.random.PRNGKey(2))
+    eng = Engine(model, params, num_slots=4, max_len=128,
+                 prompt_buckets=(16,), chunked_prefill_tokens=16)
+    got = eng.generate(prompts, sampling=sp, rng=jax.random.PRNGKey(2))
+    assert got == want
+
+
+def test_chunked_prefill_grid_past_max_len(tiny_model):
+    """max_len NOT a multiple of chunk_tokens: the C-aligned chunk grid of
+    a near-max_len prompt rounds past max_len (10 blocks vs max_blocks 9).
+    The final chunk must trim the excess grid blocks back to the pool
+    instead of overflowing the slot's table row (numpy broadcast crash)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(37)
+    ids = rng.integers(0, 100, size=(68,)).astype(np.int32)
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    want = Engine(model, params, num_slots=2, max_len=128,
+                  prompt_buckets=(128,)).generate(
+        [dict(input_ids=ids)], sampling=sp, rng=jax.random.PRNGKey(3))
+    eng = Engine(model, params, num_slots=2, max_len=72,
+                 prompt_buckets=(16,), chunked_prefill_tokens=16)
+    assert eng.max_blocks == 9 and eng.block_size == 8
+    free0 = len(eng.allocator.free)
+    got = eng.generate([dict(input_ids=ids)], sampling=sp,
+                       rng=jax.random.PRNGKey(3))
+    assert got == want
+    assert len(eng.allocator.free) == free0   # excess grid block released
+
+
 def test_engine_sleep_wake(tiny_model):
     """sleep() frees the KV pools between uses (vLLM sleep-mode role);
     run()/wake() reallocates and generation stays correct."""

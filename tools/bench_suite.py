@@ -408,6 +408,13 @@ def bench_serve_prefix():
     prompts = [dict(input_ids=np.concatenate(
         [prefix, rng.integers(1, 150000, size=(512,)).astype(np.int32)]))
         for _ in range(n_req)]
+    # warmup uses a DISTINCT prefix: it warms the chunk-jit variants without
+    # pre-seeding the measured prefix — the timed window pays the one cold
+    # prefix fill, like a real shared-system-prompt serving session would
+    warm_prefix = rng.integers(1, 150000, size=(4096,)).astype(np.int32)
+    warm_prompts = [dict(input_ids=np.concatenate(
+        [warm_prefix, rng.integers(1, 150000, size=(512,)).astype(np.int32)]))
+        for _ in range(2)]
     sp = SamplingParams(temperature=1.0, max_tokens=64)
 
     def run(cache):
@@ -416,16 +423,16 @@ def bench_serve_prefix():
                      prompt_buckets=(8192,), eos_token_ids=(),
                      decode_chunk=32, chunked_prefill_tokens=2048,
                      prefix_cache=cache)
-        eng.generate(prompts[:2], sampling=SamplingParams(
+        eng.generate(warm_prompts, sampling=SamplingParams(
             temperature=1.0, max_tokens=16))   # warm chunk variants
-        d0, t0 = eng.prefill_dispatches, time.time()
+        d0, h0, t0 = eng.prefill_dispatches, eng.prefix_hits, time.time()
         reqs = eng.generate_detailed(prompts, sampling=sp)
         dt = time.time() - t0
         ttft = np.asarray([r.t_first - r.t_enqueue for r in reqs])
         ttft -= ttft.min()
         out = dict(total_s=dt,
                    prefill_dispatches=eng.prefill_dispatches - d0,
-                   prefix_hits=eng.prefix_hits,
+                   prefix_hits=eng.prefix_hits - h0,
                    ttft_p50=float(np.percentile(ttft, 50)),
                    tok_s=sum(len(r.output_ids) for r in reqs) / dt)
         eng.k_cache = eng.v_cache = None

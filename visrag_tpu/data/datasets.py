@@ -62,8 +62,16 @@ def to_pil(image_field) -> Optional[Image.Image]:
 
 def is_hf_repo(path: str) -> bool:
     """True for a hub spec 'org/name[@split]' that is not a local path (the
-    reference's from_hf_repo switch, dataset/train_dataset.py:65-105)."""
+    reference's from_hf_repo switch, dataset/train_dataset.py:65-105).
+    A missing local path with a data-file extension (a typo'd
+    'data/train.parquet') must NOT be treated as a hub spec — that would
+    swallow the FileNotFoundError and try to stream an unrelated public
+    dataset."""
     import re
+    stem = path.partition("@")[0]
+    if stem.lower().endswith((".parquet", ".jsonl", ".json", ".tsv",
+                              ".csv", ".txt", ".gz")):
+        return False
     return (not os.path.exists(path)
             and re.fullmatch(r"[\w.\-]+/[\w.\-]+(@[\w.\-]+)?", path)
             is not None)

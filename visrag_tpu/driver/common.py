@@ -43,6 +43,11 @@ def get_processor(model_path: str, override_chat_template: Optional[str] = None,
     try:
         processor = AutoProcessor.from_pretrained(model_path, **kwargs)
     except (OSError, ValueError):
+        if os.path.isdir(model_path) and os.path.exists(
+                os.path.join(model_path, "preprocessor_config.json")):
+            # a real multimodal checkpoint failed to load — re-raise rather
+            # than silently degrading the run to text-only
+            raise
         return None
     if override_chat_template is not None:
         processor.chat_template = override_chat_template

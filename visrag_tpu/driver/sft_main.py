@@ -14,7 +14,6 @@ mask; ZeRO-3 becomes FSDP param shardings over the mesh `data` axis.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 
@@ -45,15 +44,13 @@ def main(argv=None):
     from ..utils.tracker import Tracker
 
     cfg = SFTConfig()
-    import typing
-    hints = typing.get_type_hints(SFTConfig)   # resolves stringified
-    for kv in args.set:                        # `from __future__` annotations
-        k, v = kv.split("=", 1)
-        if k not in hints:
-            ap.error(f"unknown SFTConfig field {k!r}; valid: {sorted(hints)}")
-        typ = hints[k]
-        cfg = dataclasses.replace(
-            cfg, **{k: typ(v) if callable(typ) and typ is not str else v})
+    # merge_dotlist coerces through config._coerce (bool handles
+    # "False"/"0"/"off" correctly — a bare bool("False") would be True)
+    from ..config import merge_dotlist
+    try:
+        cfg = merge_dotlist(cfg, list(args.set))
+    except (KeyError, ValueError) as e:
+        ap.error(str(e))
 
     os.makedirs(args.output_dir, exist_ok=True)
     from .common import get_processor, get_tokenizer

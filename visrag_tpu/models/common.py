@@ -99,12 +99,9 @@ def rope_frequencies(head_dim: int, theta: float = 10000.0,
     config.rope_scaling). linear divides POSITIONS by factor (handled in
     apply_rope, reference :199-212); dynamic NTK rescales theta here when
     the sequence exceeds max_positions (reference :228-240). seq_len is the
-    STATIC trace-time sequence capacity — exact for prefill/training (the
-    reference keys its cos/sin cache off the same length); the decode path
-    passes its KV-buffer capacity, a static upper bound on the live length
-    (the reference rescales monotonically as the cache grows, so bounding
-    by capacity deviates only for mid-range lengths of an already-unused-
-    by-the-flagship feature)."""
+    STATIC trace-time sequence length — exact for training where S is the
+    real length; paths with per-row live lengths (engine prefill, decode)
+    use dynamic_ntk_inv_freq instead."""
     if scaling:
         kind = scaling.get("type")
         if kind == "dynamic" and seq_len and seq_len > max_positions:
@@ -118,13 +115,34 @@ def rope_frequencies(head_dim: int, theta: float = 10000.0,
     return inv_freq.astype(np.float32)
 
 
+def dynamic_ntk_inv_freq(head_dim: int, theta: float, factor: float,
+                         max_positions: int, seq_lens) -> jnp.ndarray:
+    """Per-row NTK inv_freq from TRACED kv lengths (B,) → (B, D/2).
+
+    HF's DynamicNTKScalingRotaryEmbedding recomputes theta from the live
+    kv_seq_len on every forward (reference modeling_minicpm.py:228-240);
+    already-cached K keep the rotation they were written with (an HF
+    property this preserves). Rows at or under max_positions keep the
+    base theta."""
+    s = seq_lens.astype(jnp.float32)
+    scaled = theta * ((factor * s / max_positions) - (factor - 1.0)) \
+        ** (head_dim / (head_dim - 2))
+    t = jnp.where(s > max_positions, scaled, theta)            # (B,)
+    exp = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    return 1.0 / (t[:, None] ** exp[None, :])
+
+
 def apply_rope(q, k, positions, inv_freq, scaling: Optional[dict] = None):
-    """q,k: (B, S, H, D); positions: (B, S) int32. fp32 rotation, cast back
+    """q,k: (B, S, H, D); positions: (B, S) int32; inv_freq: (D/2,) shared
+    or (B, D/2) per-row (dynamic NTK). fp32 rotation, cast back
     (reference applies in fp32: modeling_minicpm.py:280-291)."""
     pos = positions.astype(jnp.float32)
     if scaling and scaling.get("type") == "linear":
         pos = pos / float(scaling["factor"])
-    freqs = pos[..., None] * inv_freq[None, None, :]          # (B, S, D/2)
+    if inv_freq.ndim == 2:
+        freqs = pos[..., None] * inv_freq[:, None, :]          # (B, S, D/2)
+    else:
+        freqs = pos[..., None] * inv_freq[None, None, :]       # (B, S, D/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)             # (B, S, D)
     cos = jnp.cos(emb)[:, :, None, :]
     sin = jnp.sin(emb)[:, :, None, :]

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import flash_attention
-from .common import Dense, QuantDense, RMSNorm, apply_rope, rope_frequencies
+from .common import (Dense, QuantDense, RMSNorm, apply_rope,
+                     dynamic_ntk_inv_freq, rope_frequencies)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,7 +115,11 @@ class MiniCPMAttention(nn.Module):
         self.o_proj = D(h * d, c.hidden_size, use_bias=False,
                         dtype=c.dtype, name="o_proj")
 
-    def _qkv(self, x, positions, rope_len=None):
+    def _qkv(self, x, positions, seq_lens=None):
+        """seq_lens: optional (B,) traced live kv lengths — drives the
+        per-row dynamic-NTK theta (HF recomputes from the live kv_seq_len
+        each forward); without it the static trace length S is used
+        (exact for training, where S is the real length)."""
         c = self.cfg
         b, s, _ = x.shape
         h, hk, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -124,10 +129,14 @@ class MiniCPMAttention(nn.Module):
         scaling = {"type": c.rope_scaling_type,
                    "factor": c.rope_scaling_factor} \
             if c.rope_scaling_type else None
-        inv_freq = jnp.asarray(rope_frequencies(
-            d, c.rope_theta, scaling=scaling,
-            max_positions=c.max_position_embeddings,
-            seq_len=rope_len if rope_len is not None else s))
+        if scaling and scaling["type"] == "dynamic" and seq_lens is not None:
+            inv_freq = dynamic_ntk_inv_freq(
+                d, c.rope_theta, c.rope_scaling_factor,
+                c.max_position_embeddings, seq_lens)
+        else:
+            inv_freq = jnp.asarray(rope_frequencies(
+                d, c.rope_theta, scaling=scaling,
+                max_positions=c.max_position_embeddings, seq_len=s))
         q, k = apply_rope(q, k, positions, inv_freq, scaling=scaling)
         return q, k, v
 
@@ -135,7 +144,7 @@ class MiniCPMAttention(nn.Module):
                  return_kv=False):
         c = self.cfg
         b, s, _ = x.shape
-        q, k, v = self._qkv(x, positions)
+        q, k, v = self._qkv(x, positions, seq_lens=lengths)
         if lengths is not None:
             use_xla = c.attn_impl == "xla" or (c.attn_impl == "auto"
                                                and not c.remat)
@@ -159,11 +168,10 @@ class MiniCPMAttention(nn.Module):
         qwen25_vl.QwenAttention.decode). mesh: optional TP mesh threaded to
         the paged kernel (serving/paged_kv.paged_decode_attention)."""
         b = x.shape[0]
-        # rope_len: static KV-buffer capacity (dense L, or paged
-        # blocks x block_size) — the dynamic-NTK bound for decode
-        rope_len = kc.shape[1] if block_table is None \
-            else block_table.shape[1] * kc.shape[2]
-        q, k, v = self._qkv(x, positions, rope_len=rope_len)
+        # per-row live kv lengths drive the dynamic-NTK theta (exact HF
+        # semantics — not the KV-buffer capacity, which over-rescales
+        # short sequences in a large cache)
+        q, k, v = self._qkv(x, positions, seq_lens=lengths_incl)
         pos = lengths_incl - 1
         if block_table is None:
             from ..serving.kv_cache import decode_attention

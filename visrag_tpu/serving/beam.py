@@ -45,9 +45,8 @@ def _beam_step(model, params, toks, pos, kc, vc, lengths_incl):
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), kc, vc
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3))
-def _reorder(model, params, kc, vc, idx):
-    del model, params
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _reorder(kc, vc, idx):
     return (tuple(c[idx] for c in kc), tuple(c[idx] for c in vc))
 
 
@@ -144,7 +143,10 @@ def beam_search(model, params, input_ids, positions=None, *,
             cand[b] = penalize(np.asarray(logp[b]), beam_seen[b]) \
                 + beam_scores[b]
         flat = cand.reshape(-1)
-        order = np.argsort(-flat)[:2 * k]
+        # HF takes max(2, 1 + n_eos) * k candidates so that even if every
+        # beam's top pick is an EOS variant, >= k non-EOS survivors remain
+        n_cand = max(2, 1 + len(eos)) * k
+        order = np.argsort(-flat)[:n_cand]
         next_beams = []      # (parent, token, score_sum)
         for rank, fi in enumerate(order):
             parent, token = divmod(int(fi), vocab)
@@ -164,6 +166,10 @@ def beam_search(model, params, input_ids, positions=None, *,
                 break
         finished.sort(key=lambda x: -x[0])
         finished = finished[:k]
+        while len(next_beams) < k:
+            # unreachable under the n_cand guarantee unless vocab < n_cand;
+            # pad with never-winning beams so the (k,)-batched step holds
+            next_beams.append((0, 0, -1e9))
 
         parents = np.asarray([p for p, _, _ in next_beams], np.int32)
         new_tokens = [t for _, t, _ in next_beams]
@@ -174,7 +180,7 @@ def beam_search(model, params, input_ids, positions=None, *,
         for b, t in enumerate(new_tokens):
             beam_seen[b][t] = True
         if step > 0:
-            kc, vc = _reorder(model, params, kc, vc, jnp.asarray(parents))
+            kc, vc = _reorder(kc, vc, jnp.asarray(parents))
         toks = jnp.asarray(new_tokens, jnp.int32)
         lengths = lengths + 1
 

@@ -727,6 +727,14 @@ class Engine:
             return
         del self._chunking[slot]
         self.prefill_count += 1
+        if len(blocks) > self.max_blocks:
+            # the C-aligned chunk grid can round past max_len when max_len
+            # is not a multiple of chunk_tokens; the excess blocks hold only
+            # pad K/V (never read — lengths gates the kernel) and decode
+            # needs at most max_blocks, so trim them back to the pool
+            self.allocator.release(blocks[self.max_blocks:])
+            blocks = blocks[:self.max_blocks]
+            self.slot_blocks[slot] = blocks
         self.table[slot, :len(blocks)] = blocks
         if self._prefix_cache is not None and req.vision_batch is None \
                 and self._default_positions(req):
@@ -961,6 +969,11 @@ class Engine:
                             groups_seen.add(id(r.group))
                         if (r.vision_batch is not None
                                 or (r.group is not None and r.group.ready)
+                                # chunkable (over-bucket) prompts take the
+                                # chunked path when they reach the head —
+                                # _bucket would raise on them here
+                                or self._chunkable(r)
+                                or len(r.input_ids) > self.prompt_buckets[-1]
                                 or _bucket(len(r.input_ids),
                                            self.prompt_buckets) != b0):
                             continue
