@@ -25,6 +25,7 @@ def models():
 
 
 def _hf_beam(ref, ids, *, num_beams, max_new_tokens, rep, eos):
+    eos_list = list(eos) if isinstance(eos, (list, tuple)) else [eos]
     out = ref.generate(
         torch.tensor(ids[None].tolist()), num_beams=num_beams,
         do_sample=False, max_new_tokens=max_new_tokens,
@@ -32,7 +33,7 @@ def _hf_beam(ref, ids, *, num_beams, max_new_tokens, rep, eos):
         return_dict_in_generate=True, output_scores=True)
     seq = out.sequences[0, len(ids):].tolist()
     # strip the EOS and trailing pads HF appends
-    while seq and (seq[-1] == 0 or seq[-1] == eos):
+    while seq and (seq[-1] == 0 or seq[-1] in eos_list):
         seq.pop()
     return seq, float(out.sequences_scores[0])
 
@@ -51,6 +52,25 @@ def test_beam_search_matches_hf(models, rep, seed):
     got_seq, got_score = beam_search(model, params, ids, num_beams=3,
                                      max_new_tokens=12, eos_token_ids=[eos],
                                      repetition_penalty=rep)
+    assert got_seq == want_seq, (got_seq, want_seq)
+    assert abs(got_score - want_score) < 5e-3, (got_score, want_score)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 5])
+def test_beam_search_multi_eos_matches_hf(models, seed):
+    """Many EOS ids: the candidate pool must widen to HF's
+    max(2, 1+n_eos)*k, or a step where beams pick several EOS variants
+    shrinks the beam set below k (old IndexError on the next step)."""
+    from visrag_tpu.serving.beam import beam_search
+    ref, model, params = models
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(1, 90, size=(7,)).astype(np.int32)
+    eos = sorted({int(t) for t in rng.integers(1, 120, size=(12,))})
+    want_seq, want_score = _hf_beam(ref, ids, num_beams=3,
+                                    max_new_tokens=10, rep=1.0, eos=eos)
+    got_seq, got_score = beam_search(model, params, ids, num_beams=3,
+                                     max_new_tokens=10, eos_token_ids=eos,
+                                     repetition_penalty=1.0)
     assert got_seq == want_seq, (got_seq, want_seq)
     assert abs(got_score - want_score) < 5e-3, (got_score, want_score)
 

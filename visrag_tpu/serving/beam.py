@@ -125,6 +125,7 @@ def beam_search(model, params, input_ids, positions=None, *,
     base = int(np.max(positions)) + 1     # first generated token's position
     lengths = np.full((k,), s, np.int32)
     toks = None
+    stopped_early = False
 
     for step in range(max_new_tokens):
         if step == 0:
@@ -190,17 +191,19 @@ def beam_search(model, params, input_ids, positions=None, *,
             gen_len = step + 1
             if min(f[0] for f in finished) >= \
                     best_running / (gen_len ** length_penalty):
+                stopped_early = True
                 break
 
-    # finalize: top up with running beams (HF BeamSearchScorer.finalize)
-    if len(finished) < k:
-        for b in np.argsort(-beam_scores):
-            gen_len = len(beam_tokens[b])
+    # finalize (HF BeamSearchScorer.finalize): unless the done heuristic
+    # fired, ALL running beams join the hypothesis pool and compete on the
+    # length-normalized score — a finished-via-EOS hypothesis must not win
+    # over a better still-running beam just because it finished
+    if not stopped_early:
+        for b in range(k):
+            gen_len = max(len(beam_tokens[b]), 1)
             norm = float(beam_scores[b]) / (gen_len ** length_penalty)
             finished.append((norm, float(beam_scores[b]),
                              list(beam_tokens[b])))
-            if len(finished) >= k:
-                break
     finished.sort(key=lambda x: -x[0])
     best = finished[0]
     return best[2], best[0]
