@@ -777,6 +777,130 @@ def test_prefix_cache_reuses_blocks(tiny_model):
     assert eng.prefix_hits > 0
 
 
+def test_add_request_validates_length(tiny_model):
+    """Bad prompts fail at add_request, not mid-run: a max_len prompt has
+    no room for even one generated token; an over-bucket prompt that cannot
+    chunk has no dispatch path."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(61)
+    eng = Engine(model, params, num_slots=2, max_len=64, prompt_buckets=(64,))
+    with pytest.raises(ValueError, match="KV slots"):
+        eng.add_request(rng.integers(0, 100, size=(64,)).astype(np.int32))
+    eng2 = Engine(model, params, num_slots=2, max_len=128,
+                  prompt_buckets=(16,))
+    with pytest.raises(ValueError, match="chunked"):
+        eng2.add_request(rng.integers(0, 100, size=(40,)).astype(np.int32))
+
+
+def test_set_params_clears_prefix_cache(tiny_model):
+    """Cached prefix KV was computed with the old weights: set_params must
+    drop it (and release its block references) or generations after a
+    weight update silently attend stale KV."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(67)
+    p = dict(input_ids=rng.integers(0, 100, size=(40,)).astype(np.int32))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    eng = Engine(model, params, num_slots=1, max_len=128,
+                 prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                 prefix_cache=True)
+    want = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
+    assert len(eng._prefix_cache) > 0
+    free_before = len(eng.allocator.free)
+    eng.set_params(params)
+    assert len(eng._prefix_cache) == 0
+    assert len(eng.allocator.free) > free_before   # cache refs released
+    d0 = eng.prefill_dispatches
+    got = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
+    assert got == want
+    assert eng.prefill_dispatches - d0 == 3        # full re-prefill, no hits
+
+
+def test_prefix_cache_shares_only_below_resume_point(tiny_model):
+    """Cached blocks are refcount-shared READ-ONLY: the resumed chunk
+    rewrites its whole [lo, lo+C) row range, so blocks straddling the
+    resume point must be recomputed privately, never shared. Observable as
+    hits == blocks fully below the chunk-aligned resume point (4, not the
+    full 5-block match for a 40-token prompt at bs=8, C=16; max_len=72
+    makes the gcd-derived block_size 8 so blocks straddle chunks)."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(71)
+    p = dict(input_ids=rng.integers(0, 100, size=(40,)).astype(np.int32))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    eng = Engine(model, params, num_slots=1, max_len=72,
+                 prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                 prefix_cache=True)
+    assert eng.block_size == 8
+    want = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
+    d0, h0 = eng.prefill_dispatches, eng.prefix_hits
+    got = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
+    assert got == want
+    assert eng.prefix_hits - h0 == 4, eng.prefix_hits - h0
+    assert eng.prefill_dispatches - d0 == 1
+
+
+def test_prefix_cache_bucketed_prompts_populate(tiny_model):
+    """Sub-chunk prompts go through bucketed prefill and cannot MATCH (no
+    resume point) but must POPULATE the cache: a later long prompt sharing
+    their prefix resumes past it."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(73)
+    short = rng.integers(0, 100, size=(16,)).astype(np.int32)
+    long_ids = np.concatenate(
+        [short, rng.integers(0, 100, size=(24,)).astype(np.int32)])
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    eng0 = Engine(model, params, num_slots=1, max_len=72,
+                  prompt_buckets=(16, 64), chunked_prefill_tokens=16)
+    want = [eng0.generate([dict(input_ids=i)], sampling=sp,
+                          rng=jax.random.PRNGKey(0))[0]
+            for i in (short, long_ids)]
+    eng = Engine(model, params, num_slots=1, max_len=72,
+                 prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                 prefix_cache=True)
+    assert eng.block_size == 8
+    got0 = eng.generate([dict(input_ids=short)], sampling=sp,
+                        rng=jax.random.PRNGKey(0))[0]
+    assert len(eng._prefix_cache) == 2            # bucketed prompt inserted
+    d0 = eng.prefill_dispatches
+    got1 = eng.generate([dict(input_ids=long_ids)], sampling=sp,
+                        rng=jax.random.PRNGKey(0))[0]
+    assert [got0, got1] == want
+    assert eng.prefix_hits == 2                   # resumed at token 16
+    assert eng.prefill_dispatches - d0 == 2       # chunks [16,32) + [32,40)
+
+
+def test_pressure_spares_heads_own_prefix_chain(tiny_model):
+    """Under pool pressure, _blocks_needed discounts the blocks a prefix
+    hit will share — otherwise the scheduler evicts the head's own cached
+    chain to make room it doesn't need and recomputes from scratch."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(79)
+    p = dict(input_ids=rng.integers(0, 100, size=(32,)).astype(np.int32))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    eng = Engine(model, params, num_slots=1, max_len=72,
+                 prompt_buckets=(16, 64), chunked_prefill_tokens=16,
+                 prefix_cache=True, cache_blocks=8)
+    assert eng.block_size == 8
+    want = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
+    # cache now holds the 4 full prompt blocks; free = 8 - 4 = 4 < the 5
+    # undiscounted blocks the same prompt "needs" — the discounted need (3)
+    # must place WITHOUT evicting the chain
+    assert len(eng.allocator.free) == 4
+    d0 = eng.prefill_dispatches
+    got = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
+    assert got == want
+    assert eng.prefix_hits == 2                   # resumed at token 16
+    assert eng.prefill_dispatches - d0 == 1       # only chunk [16,32) reran
+
+
+def test_allocator_rejects_double_release():
+    from visrag_tpu.serving.paged_kv import BlockAllocator
+    a = BlockAllocator(4)
+    b = a.alloc(2)
+    a.release(b)
+    with pytest.raises(AssertionError, match="double release"):
+        a.release(b)
+
+
 def test_prefix_cache_eviction_under_pressure(tiny_model):
     """A tiny pool forces LRU eviction of cached prefixes; outputs stay
     correct and the allocator stays balanced across many requests."""

@@ -229,13 +229,16 @@ class Engine:
             self.chunk_tokens = C
         self._chunking: Dict[int, dict] = {}     # slot → chunk state
         self._chunk_groups = set()               # groups mid-chunk-prefill
-        # AUTOMATIC PREFIX CACHING (vLLM role): finished text prompts leave
+        # AUTOMATIC PREFIX CACHING (vLLM role): prefilled text prompts leave
         # their full KV blocks in a chained-hash cache (key_i = sha1(key_{i-1}
-        # + block_i tokens) — identical prefixes map to identical chains);
-        # a new prompt shares every matched block (refcounted) and prefill
-        # resumes at the first uncached chunk. Requires chunked prefill
-        # (the resume path) and standard text positions. LRU-evicted under
-        # pool pressure; cleared by sleep().
+        # + block_i tokens) — identical prefixes map to identical chains).
+        # ALL text prompts with standard positions POPULATE the cache;
+        # only prompts longer than chunked_prefill_tokens can MATCH (the
+        # chunked path is the resume mechanism — whole-bucket dispatches
+        # have none, so repeated sub-chunk prompts still pay full prefill).
+        # Shared blocks are refcounted and strictly read-only (resume starts
+        # at the first chunk boundary past the match). LRU-evicted under
+        # pool pressure; cleared by sleep() and by set_params (stale KV).
         self._prefix_cache = None
         if prefix_cache:
             if self.chunk_tokens is None:
@@ -291,6 +294,13 @@ class Engine:
         if self.tp > 1:
             from ..mesh import shard_params_tp
             params = shard_params_tp(params, self.mesh)
+        # cached prefix KV was computed with the OLD weights — serving it
+        # after a weight update would silently corrupt generations (sleep()
+        # also clears, but RL configs must not have to rely on that)
+        if getattr(self, "_prefix_cache", None):
+            for blk in self._prefix_cache.values():
+                self.allocator.release([blk])
+            self._prefix_cache.clear()
         self.params = params
 
     # ---- request management ------------------------------------------
@@ -302,6 +312,23 @@ class Engine:
         is prefilled once and n independent decode forks share its KV blocks
         (returns the list of n request ids; n == 1 returns a single id)."""
         input_ids = np.asarray(input_ids, np.int32)
+        s = len(input_ids)
+        # validate NOW, not mid-run: the prompt plus at least one generated
+        # token must fit the per-slot KV capacity, and a prompt the chunked
+        # path cannot take must fit a prompt bucket
+        if s + 1 > self.max_len:
+            raise ValueError(
+                f"prompt length {s} needs {s + 1} KV slots (prompt + first "
+                f"generated token) but max_len is {self.max_len}")
+        can_chunk = (self.chunk_tokens is not None and s > self.chunk_tokens
+                     and (vision_batch is None
+                          or hasattr(self.model, "embed_prompt")))
+        if not can_chunk and s > self.prompt_buckets[-1]:
+            raise ValueError(
+                f"prompt length {s} exceeds the largest prompt bucket "
+                f"{self.prompt_buckets[-1]} and cannot take the chunked "
+                f"path (chunked_prefill_tokens="
+                f"{self.chunk_tokens}, vision={vision_batch is not None})")
         if positions is None:
             positions = np.broadcast_to(np.arange(len(input_ids)),
                                         (3, len(input_ids)))
@@ -353,7 +380,16 @@ class Engine:
             # chunked prompts need no prompt bucket (and may exceed the
             # largest one) — blocks cover the block-aligned chunk grid
             C = self.chunk_tokens
-            return max(total, (-(-s // C)) * C // self.block_size)
+            need = max(total, (-(-s // C)) * C // self.block_size)
+            if self._prefix_cache is not None and req.vision_batch is None \
+                    and self._default_positions(req):
+                # discount the blocks a prefix-cache hit will share (same
+                # trim as _start_chunked) — otherwise pool pressure evicts
+                # the head's own chain to make room it doesn't need
+                m = len(self._match_prefix(req.input_ids))
+                lo0 = min((m * self.block_size) // C * C, (s - 1) // C * C)
+                need -= lo0 // self.block_size
+            return need
         bucket = _bucket(s, self.prompt_buckets)
         return max(bucket // self.block_size, total)
 
@@ -476,6 +512,12 @@ class Engine:
             rows, state, bucket, rng)
         self.prefill_count += 1
         self.prefill_dispatches += 1
+        if self._prefix_cache is not None and req.vision_batch is None \
+                and self._default_positions(req):
+            # bucketed prompts POPULATE the cache (their full prompt blocks
+            # are valid chain entries); only the chunked path can MATCH —
+            # whole-bucket dispatches have no resume point
+            self._insert_prefix(req.input_ids, blocks)
         self._publish_group(req, blocks, s, last, prow)
         return self._activate_slot(req, slot, tok, logp, s)
 
@@ -544,6 +586,9 @@ class Engine:
         toks = np.asarray(tok)
         logps = np.asarray(logp)
         for i, (req, slot) in enumerate(zip(reqs, slots)):
+            if self._prefix_cache is not None \
+                    and self._default_positions(req):
+                self._insert_prefix(req.input_ids, blocks_per[i])
             self._publish_group(req, blocks_per[i], len(req.input_ids),
                                 last[i], prows[i])
             self._activate_slot(req, slot, toks[i], logps[i],
@@ -600,6 +645,10 @@ class Engine:
             yield key
 
     def _match_prefix(self, ids: np.ndarray) -> List[int]:
+        """Longest cached block chain for this prompt. Matched entries move
+        to MRU so pool-pressure eviction spares the chain a waiting request
+        is about to reuse. Does NOT count hits — callers count the blocks
+        they actually share."""
         blocks: List[int] = []
         for key in self._chain_keys(np.asarray(ids, np.int32)):
             blk = self._prefix_cache.get(key)
@@ -607,7 +656,6 @@ class Engine:
                 break
             self._prefix_cache.move_to_end(key)
             blocks.append(blk)
-        self.prefix_hits += len(blocks)
         return blocks
 
     def _insert_prefix(self, ids: np.ndarray, blocks: List[int]) -> None:
@@ -665,15 +713,20 @@ class Engine:
         if self._prefix_cache is not None and req.vision_batch is None \
                 and self._default_positions(req):
             shared = self._match_prefix(req.input_ids)
-        if shared:
-            self.allocator.retain(shared)
-        blocks = shared + self.allocator.alloc(need - len(shared))
         # resume at the last cached CHUNK boundary (cached blocks are
         # bs-aligned; chunks are C-aligned — round down so the partial
         # chunk recomputes, which also yields the prompt-end logits when
-        # the whole prompt was cached)
+        # the whole prompt was cached) — and share ONLY blocks fully below
+        # the resume point: the resumed chunk rewrites its whole [lo, lo+C)
+        # row range, and cached blocks are refcount-shared read-only (other
+        # live slots and the cache itself hold references)
         lo0 = (len(shared) * bs_blk) // C * C
         lo0 = min(lo0, (s - 1) // C * C)
+        shared = shared[:lo0 // bs_blk]
+        self.prefix_hits += len(shared)
+        if shared:
+            self.allocator.retain(shared)
+        blocks = shared + self.allocator.alloc(need - len(shared))
         self.slot_blocks[slot] = blocks
         self.slot_req[slot] = req
         self.active[slot] = False
@@ -906,12 +959,15 @@ class Engine:
             budget = self.prefill_token_budget
             spent = 0
             while self.queue and self._free_slots():
-                if budget is not None and spent >= budget and \
-                        any(r is not None for r in self.slot_req):
+                head = self.queue[0]
+                if (budget is not None and spent >= budget
+                        and any(r is not None for r in self.slot_req)
+                        # ready forks cost no model forward — never gated
+                        # by the prefill budget
+                        and not (head.group is not None and head.group.ready)):
                     break
                 rng, r1 = jax.random.split(rng)
                 free = self._free_slots()
-                head = self.queue[0]
                 if not self._can_place(head) and self._prefix_cache:
                     # reclaim LRU cached prefixes before deferring
                     self._evict_prefix(self._blocks_needed(head))

@@ -75,6 +75,7 @@ class BlockAllocator:
     def release(self, blocks: List[int]) -> None:
         """Drop one reference; blocks return to the free list at zero."""
         for b in blocks:
+            assert self.ref[b] > 0, f"double release of block {b}"
             self.ref[b] -= 1
             if self.ref[b] == 0:
                 self.free.append(b)
