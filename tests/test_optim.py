@@ -132,3 +132,35 @@ def test_state_dtypes_and_memory():
     assert dtypes == {jnp.dtype(jnp.bfloat16)}, dtypes
     with pytest.raises(ValueError):
         adamw_from_config(1e-3, state_dtype="float16")
+
+
+def test_init_preserves_param_sharding():
+    """tx.init must inherit the params' FSDP shardings (zeros_like, not
+    zeros(shape)): plain zeros would materialize the whole bf16 state tree
+    on one device — an init-time OOM for the models this optimizer exists
+    to fit."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    p = jax.device_put(jnp.zeros((8, 16), jnp.bfloat16),
+                       NamedSharding(mesh, P("data", None)))
+    tx = anyprecision_adamw(1e-2)
+    state = tx.init({"w": p})
+    for leaf in (state.mu["w"], state.nu["w"], state.comp["w"]):
+        assert leaf.sharding == p.sharding, leaf.sharding
+
+
+def test_schedule_alignment_matches_optax():
+    """The lr schedule is evaluated at the PRE-increment count (optax
+    convention): with a warmup starting at 0.0, the first step must be a
+    no-op for BOTH state_dtype configs — flipping the memory knob must not
+    shift the lr trajectory by one step."""
+    sched = optax.linear_schedule(0.0, 1e-2, 10)
+    params = _tree_rand(jax.random.PRNGKey(0))
+    grads = _tree_rand(jax.random.PRNGKey(1))
+    for tx in (optax.adamw(sched), anyprecision_adamw(sched)):
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(new[k]),
+                                       np.asarray(params[k]), atol=1e-7)

@@ -894,3 +894,70 @@ def test_rl_hybrid_tp_rollout():
                     jax.tree_util.tree_leaves(t_dp.params["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def _estimator_trainer(cfg_extra=None, **trainer_kw):
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+    import dataclasses
+
+    ref, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in ref.state_dict().items()})}
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+    cfg = dataclass_replace(__import__(
+        "visrag_tpu.config", fromlist=["RLConfig"]).RLConfig())
+    if cfg_extra:
+        cfg = dataclasses.replace(
+            cfg, algorithm=dataclasses.replace(cfg.algorithm, **cfg_extra))
+    trainer = RLTrainer(
+        model, params, cfg,
+        tokenizer_decode=lambda ids: ("<answer>x</answer>"
+                                      if sum(ids) % 2 == 0 else "wrong"),
+        tag_token_ids={"<think>": [50], "<evidence>": [51], "<answer>": [52]},
+        engine_kwargs=dict(num_slots=4, max_len=64, prompt_buckets=(16,)),
+        **trainer_kw)
+    return trainer
+
+
+@pytest.mark.parametrize("estimator", ["grpo", "rloo", "reinforce_plus_plus"])
+def test_rl_fit_token_level_estimators(estimator):
+    """grpo/rloo/reinforce_plus_plus run end-to-end through fit() (they
+    used to crash in _finalize on token_rewards=None); advantages land in
+    the (bs, 1, S) per-token layout the policy loss expects."""
+    trainer = _estimator_trainer({"adv_estimator": estimator})
+    rng = np.random.default_rng(4)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
+                    .astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    hist = trainer.fit([prompts])
+    assert len(hist) == 1
+    _, m = hist[0]
+    assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"])
+
+
+def test_rl_remax_raises_clearly():
+    with pytest.raises(NotImplementedError, match="greedy baseline"):
+        _estimator_trainer({"adv_estimator": "remax"})
+
+
+def test_rl_nonfinite_grad_skips_optimizer_state():
+    """A skipped (NaN-grad) step must leave params AND optimizer state
+    untouched — advancing count/mu/nu on a skip shifts bias correction and
+    consumes the Kahan compensation against an update never applied."""
+    trainer = _estimator_trainer()
+    p0 = [np.asarray(x).copy() for x in
+          jax.tree_util.tree_leaves(trainer.params["params"])]
+    o0 = [np.asarray(x).copy() for x in
+          jax.tree_util.tree_leaves(trainer.opt_state)]
+    bad = jax.tree_util.tree_map(lambda p: jnp.full(p.shape, jnp.nan, p.dtype),
+                                 trainer.params["params"])
+    newp, newo, m = trainer._apply_jit(trainer.params["params"],
+                                       trainer.opt_state, bad)
+    assert m["grad_skipped"] == 1.0
+    for a, b in zip(p0, jax.tree_util.tree_leaves(newp)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(o0, jax.tree_util.tree_leaves(newo)):
+        np.testing.assert_array_equal(a, np.asarray(b))

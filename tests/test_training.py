@@ -160,6 +160,47 @@ def test_sft_step():
         np.testing.assert_array_equal(np.asarray(leaf_b), np.asarray(leaf_a))
 
 
+def test_sft_freeze_survives_weight_decay():
+    """Decoupled weight decay must not shrink the frozen tower: grad
+    zeroing alone lets adamw's add_decayed_weights move zero-grad params;
+    the freeze must mask the optimizer itself."""
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.training.sft import SFTConfig, make_sft_step
+
+    ref, _ = _hf_tiny()
+    params = convert_qwen25_vl({k: v for k, v in ref.state_dict().items()})
+    model = Qwen25VL(Qwen25VLConfig.tiny())
+
+    def apply(p, ids, **kw):
+        return model.apply({"params": p}, ids, **{k: v for k, v in kw.items()
+                                                  if v is not None})
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 100, size=(2, 12)))
+    rmask = np.zeros((2, 12), np.int32)
+    rmask[:, 6:] = 1
+    batch = {"input_ids": ids, "attention_mask": jnp.ones((2, 12), jnp.int32),
+             "response_mask": jnp.asarray(rmask)}
+    cfg = SFTConfig(lr=1e-2, weight_decay=0.5, total_steps=2,
+                    freeze_vision_tower=True)
+    tx, step = make_sft_step(apply, cfg)
+    opt_state = tx.init(params)
+    for _ in range(2):
+        params, opt_state, _ = step(params, opt_state, batch)
+    before = convert_qwen25_vl({k: v for k, v in ref.state_dict().items()})
+    for leaf_b, leaf_a in zip(
+            jax.tree_util.tree_leaves(before["visual"]),
+            jax.tree_util.tree_leaves(params["visual"])):
+        np.testing.assert_array_equal(np.asarray(leaf_b), np.asarray(leaf_a))
+    # non-frozen params DID move (decay + grads)
+    moved = any((np.asarray(a) != np.asarray(b)).any() for a, b in zip(
+        jax.tree_util.tree_leaves(params["model"]),
+        jax.tree_util.tree_leaves(before["model"])))
+    assert moved
+
+
 def test_sft_step_sp_matches_single():
     """SFT with ulysses_size=4 on a (data=2, seq=4) mesh == the plain
     single-device step (SP reachable from SFTConfig, VERDICT #4)."""

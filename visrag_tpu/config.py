@@ -282,7 +282,10 @@ class ActorConfig:
 
 @dataclass
 class AlgorithmConfig:
-    adv_estimator: str = "router"  # grpo|router|rloo|gae|reinforce_plus_plus|remax
+    # router|grpo|rloo|reinforce_plus_plus|gae all run end-to-end; "remax"
+    # (the estimator math exists in rl/advantage.py) raises in RLTrainer —
+    # its greedy-baseline rollout is not wired
+    adv_estimator: str = "router"
     gamma: float = 1.0
     lam: float = 1.0
     norm_adv_by_std: bool = True

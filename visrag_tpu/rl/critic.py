@@ -52,9 +52,17 @@ class CriticTrainer:
         self._value_jit = jax.jit(self._value_fn)
         self._grad_jit = jax.jit(self._grad_fn)
         self._apply_jit = jax.jit(self._apply_fn, donate_argnums=(0, 1, 2))
-        self._add_jit = jax.jit(
-            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b),
-            donate_argnums=(0, 1))
+        # accumulation FUSED into the grad program with a donated
+        # accumulator (same OOM fix as the actor's _grad_acc_jit: a
+        # separate add keeps two full param-sized grad trees live)
+        self._grad_acc_jit = jax.jit(
+            lambda p, b, t, acc: self._fold(self._grad_fn(p, b, t), acc),
+            donate_argnums=(3,))
+
+    @staticmethod
+    def _fold(out, acc):
+        loss, metrics, grads = out
+        return loss, metrics, jax.tree_util.tree_map(jnp.add, acc, grads)
 
     def _put(self, x, batch_dim: Optional[int] = 0):
         x = jnp.asarray(x)
@@ -101,6 +109,9 @@ class CriticTrainer:
         new_params = optax.apply_updates(params, updates)
         new_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), new_params, params)
+        # skipped step: optimizer state stays untouched too (see RLTrainer)
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, opt_state)
         return new_params, new_opt, {"grad_norm": gnorm}
 
     def compute_values(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
@@ -146,11 +157,14 @@ class CriticTrainer:
                     gi = list(g) + [g[0]] * (rows - len(g))
                     micro = _reindex(mini, gi)
                     micro["response_mask"][len(g):] = 0
-                    loss, m, gr = self._grad_jit(
-                        self.params["params"],
-                        {k: self._put(v, 1 if k == "positions" else 0)
-                         for k, v in micro.items()}, total)
-                    grads = gr if grads is None else self._add_jit(grads, gr)
+                    dev = {k: self._put(v, 1 if k == "positions" else 0)
+                           for k, v in micro.items()}
+                    if grads is None:
+                        loss, m, grads = self._grad_jit(
+                            self.params["params"], dev, total)
+                    else:
+                        loss, m, grads = self._grad_acc_jit(
+                            self.params["params"], dev, total, grads)
                     agg["vf_loss"].append(loss)
                     for k, v in m.items():
                         agg[k].append(v)

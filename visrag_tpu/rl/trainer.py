@@ -37,7 +37,8 @@ from __future__ import annotations
 import dataclasses
 import time
 from collections import defaultdict
-from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import (Callable, Dict, Iterable, Iterator, List, Optional,
+                    Sequence, Tuple)
 
 import jax
 import jax.numpy as jnp
@@ -112,8 +113,22 @@ class RLTrainer:
         # critic: rl.critic.CriticTrainer, required for adv_estimator "gae"
         self.critic = critic
         alg = cfg.algorithm
+        if alg.adv_estimator == "remax":
+            raise NotImplementedError(
+                "adv_estimator 'remax' needs a greedy baseline rollout "
+                "(reference gen_baseline) which this trainer does not wire; "
+                "use router/grpo/rloo/reinforce_plus_plus/gae "
+                "(remax_advantage itself is implemented and tested in "
+                "rl/advantage.py)")
         self.kl_ctrl = None
         if ref_params is not None and not alg.use_kl_loss:
+            if alg.adv_estimator == "router":
+                raise ValueError(
+                    "the reward-side KL penalty (use_kl_loss=False with "
+                    "ref_params) is wired for gae/grpo/rloo/"
+                    "reinforce_plus_plus — the router estimator works on "
+                    "per-channel scalar rewards; use use_kl_loss=True "
+                    "(in-loss KL) with router instead")
             from .ppo import get_kl_controller
             self.kl_ctrl = get_kl_controller(alg.kl_type, alg.kl_coef,
                                              alg.kl_target, alg.kl_horizon)
@@ -167,13 +182,18 @@ class RLTrainer:
         if cfg.actor.freeze_vision_tower:
             # the reference freezes the tower via requires_grad
             # (fsdp_workers.py:228-238); here a masked optimizer also stops
-            # weight-decay drift on the zero-grad vision params
+            # weight-decay drift on the zero-grad vision params. NOTE
+            # optax.masked passes the masked-out leaves' RAW GRADIENTS
+            # through as updates — they must be explicitly zeroed or
+            # apply_updates would add unscaled grads to the frozen params
             frozen = ("visual", "vpm")
             mask = jax.tree_util.tree_map_with_path(
                 lambda path, x: not any(
                     getattr(k, "key", "") in frozen for k in path),
                 params["params"])
-            self.tx = optax.masked(self.tx, mask)
+            inv = jax.tree_util.tree_map(lambda m: not m, mask)
+            self.tx = optax.chain(optax.masked(self.tx, mask),
+                                  optax.masked(optax.set_to_zero(), inv))
         self.opt_state = self.tx.init(params["params"])
         self.step = 0
         self._vision_jit = None
@@ -207,7 +227,11 @@ class RLTrainer:
         return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
-        return {k: self._put(v, 1 if k == "positions" else 0)
+        # vision_batch is a DICT of tables (pixels/grids) — replicate its
+        # leaves; jnp.asarray on the dict itself would raise
+        return {k: ({kk: self._put(vv, None) for kk, vv in v.items()}
+                    if isinstance(v, dict)
+                    else self._put(v, 1 if k == "positions" else 0))
                 for k, v in batch.items()}
 
     def _row_bucket(self, n: int) -> int:
@@ -308,6 +332,12 @@ class RLTrainer:
         new_params = optax.apply_updates(params, updates)
         new_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), new_params, params)
+        # a skipped step must leave the optimizer state untouched too
+        # (reference skips optimizer.step() entirely, dp_actor.py:163-166):
+        # otherwise count/bias-correction advance, mu/nu decay, and the
+        # Kahan compensation is consumed against an update never applied
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, opt_state)
         return new_params, new_opt, {
             "grad_norm": gnorm, "grad_skipped": 1.0 - ok.astype(jnp.float32)}
 
@@ -514,17 +544,17 @@ class RLTrainer:
             nr = int(resp_m[j].sum())
             reward_masks[j, :, pl:pl + nr] = reward_masks_resp[j, :, :nr]
 
-        if self.cfg.algorithm.adv_estimator == "gae":
-            # GAE needs critic values over the FULL assembled batch —
-            # fit() fills advantages/returns after compute_values
-            adv = np.zeros((bs, len(REWARD_CHANNELS)), np.float32)
-        else:
+        if self.cfg.algorithm.adv_estimator == "router":
             adv, _ = compute_advantage(
-                self.cfg.algorithm.adv_estimator,
-                reward_tensor=reward_tensor[sel],
-                token_rewards=None, response_mask=rb.response_mask[sel],
+                "router", reward_tensor=reward_tensor[sel],
                 index=rb.uid[sel],
                 norm_by_std=self.cfg.algorithm.norm_adv_by_std)
+        else:
+            # gae AND the token-level estimators (grpo/rloo/r++) compute
+            # over the FULL assembled batch in fit() — critic values /
+            # batch whitening / the reward-side KL penalty all need the
+            # whole batch, not one filtering part
+            adv = np.zeros((bs, len(REWARD_CHANNELS)), np.float32)
         part = dict(input_ids=rb.input_ids[sel],
                     attention_mask=rb.attention_mask[sel],
                     positions=rb.positions[:, sel],
@@ -685,6 +715,12 @@ class RLTrainer:
                 self.params = {"params": self.params["params"]}
                 for k, v in am.items():
                     agg[k].append(v)
+        if self._engine is not None and self._engine.tp == 1:
+            # at tp==1 set_params keeps a zero-copy ALIAS of the trainer's
+            # arrays, which _apply_jit just donated — invalidate so any
+            # engine use before the next rollout() (which re-set_params)
+            # fails loudly instead of dereferencing deleted buffers
+            self._engine.params = None
         return {k: float(np.mean([np.asarray(x) for x in v]))
                 for k, v in agg.items()}
 
@@ -700,9 +736,25 @@ class RLTrainer:
         alg = self.cfg.algorithm
         values = self.critic.compute_values(batch)      # (bs, S), logp space
         batch["values"] = values
+        tok_scores, metrics = self._scored_tokens(batch)
+        values_tok = np.roll(values, 1, axis=1) * batch["response_mask"]
+        adv_tok, ret_tok = compute_advantage(
+            "gae", token_rewards=tok_scores, values=values_tok,
+            response_mask=batch["response_mask"], gamma=alg.gamma,
+            lam=alg.lam)
+        batch["advantages"] = adv_tok[:, None, :]
+        batch["reward_masks"] = \
+            batch["response_mask"][:, None, :].astype(np.int32)
+        batch["returns"] = np.roll(ret_tok, -1, axis=1)   # logp space
+        return metrics
+
+    def _scored_tokens(self, batch) -> Tuple[np.ndarray, Dict[str, float]]:
+        """(bs, S) token-space scores: the scalar reward at the last
+        response token (sequential reward manager role, reward/function.py:
+        80-105), plus the optional reward-side KL penalty
+        (ray_trainer.py:110-127 — applied for ALL estimators that consume
+        token rewards, not just GAE)."""
         bs, S = batch["input_ids"].shape
-        # sequential reward manager role: scalar score at the last response
-        # token (reward/function.py:80-105)
         tok_scores = np.zeros((bs, S), np.float32)
         last = batch["attention_mask"].sum(1) - 1
         tok_scores[np.arange(bs), last] = batch["reward_tensor"].sum(-1)
@@ -713,16 +765,25 @@ class RLTrainer:
             ref_tok = np.roll(batch["ref_log_probs"], 1, axis=1)
             tok_scores, metrics = apply_kl_penalty(
                 tok_scores, old_tok, ref_tok, batch["response_mask"],
-                self.kl_ctrl, alg.kl_penalty)
-        values_tok = np.roll(values, 1, axis=1) * batch["response_mask"]
-        adv_tok, ret_tok = compute_advantage(
-            "gae", token_rewards=tok_scores, values=values_tok,
-            response_mask=batch["response_mask"], gamma=alg.gamma,
-            lam=alg.lam)
+                self.kl_ctrl, self.cfg.algorithm.kl_penalty)
+        return tok_scores, metrics
+
+    def _prepare_token_adv(self, batch: Dict[str, np.ndarray]
+                           ) -> Dict[str, float]:
+        """Per-token advantages for grpo/rloo/reinforce_plus_plus over the
+        FULL assembled batch (group stats / batch whitening need every row;
+        ray_trainer.compute_advantage :130-159). Stored (bs, 1, S) — the
+        same already-per-token layout the GAE path and compute_policy_loss
+        use; reward_masks collapse to the response mask."""
+        alg = self.cfg.algorithm
+        tok_scores, metrics = self._scored_tokens(batch)
+        adv_tok, _ = compute_advantage(
+            alg.adv_estimator, token_rewards=tok_scores,
+            response_mask=batch["response_mask"], index=batch["uid"],
+            gamma=alg.gamma, norm_by_std=alg.norm_adv_by_std)
         batch["advantages"] = adv_tok[:, None, :]
         batch["reward_masks"] = \
             batch["response_mask"][:, None, :].astype(np.int32)
-        batch["returns"] = np.roll(ret_tok, -1, axis=1)   # logp space
         return metrics
 
     # ---- validation / checkpointing ---------------------------------------
@@ -853,6 +914,8 @@ class RLTrainer:
             extra_metrics = {}
             if self.cfg.algorithm.adv_estimator == "gae":
                 extra_metrics = self._prepare_gae(batch)
+            elif self.cfg.algorithm.adv_estimator != "router":
+                extra_metrics = self._prepare_token_adv(batch)
             if self.step >= self.cfg.trainer.critic_warmup:
                 m = self.update_policy(batch)
             else:

@@ -58,14 +58,18 @@ def anyprecision_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
         return hasattr(x, "shape") and hasattr(x, "dtype")
 
     def init(params):
+        # zeros_like (not zeros(shape)) PRESERVES the params' shardings:
+        # plain zeros would materialize the whole bf16 state tree on one
+        # device under FSDP — an init-time OOM for exactly the models this
+        # optimizer exists to fit
         mu = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, momentum_dtype)
+            lambda p: jnp.zeros_like(p, dtype=momentum_dtype)
             if _is_array(p) else p, params)
         nu = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, variance_dtype)
+            lambda p: jnp.zeros_like(p, dtype=variance_dtype)
             if _is_array(p) else p, params)
         comp = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, compensation_dtype)
+            lambda p: jnp.zeros_like(p, dtype=compensation_dtype)
             if _is_array(p) else p, params) \
             if use_kahan_summation else None
         return AnyPrecisionAdamWState(jnp.zeros([], jnp.int32), mu, nu, comp)
@@ -75,7 +79,10 @@ def anyprecision_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
             raise ValueError("anyprecision_adamw requires params")
         count = state.count + 1
         t = count.astype(jnp.float32)
-        lr = _lr(count).astype(jnp.float32)
+        # schedule evaluated at the PRE-increment count — optax.adamw's
+        # scale_by_learning_rate convention (schedule(0) on the first step);
+        # flipping state_dtype must not shift the lr trajectory by one step
+        lr = _lr(state.count).astype(jnp.float32)
         bc1 = 1.0 - b1 ** t
         bc2_sqrt = jnp.sqrt(1.0 - b2 ** t)
         step_size = lr / bc1

@@ -66,6 +66,22 @@ def make_sft_step(model_apply: Callable, cfg: SFTConfig, mesh=None):
         optax.clip_by_global_norm(cfg.grad_clip),
         adamw_from_config(schedule, weight_decay=cfg.weight_decay,
                           state_dtype=cfg.optimizer_state_dtype))
+    if cfg.freeze_vision_tower:
+        # grad zeroing alone is NOT a freeze under decoupled weight decay:
+        # adamw's add_decayed_weights still shrinks zero-grad params toward
+        # zero. Mask the optimizer like rl/trainer.py (mask as a callable —
+        # params aren't available at build time), and zero the masked-out
+        # leaves' pass-through updates explicitly.
+        def _trainable(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, x: cfg.vision_key not in
+                [getattr(p, "key", getattr(p, "name", "")) for p in path],
+                params)
+        tx = optax.chain(
+            optax.masked(tx, _trainable),
+            optax.masked(optax.set_to_zero(),
+                         lambda params: jax.tree_util.tree_map(
+                             lambda m: not m, _trainable(params))))
     sp_mesh = mesh if (cfg.ulysses_size > 1 and mesh is not None) else None
     if sp_mesh is not None and dict(mesh.shape).get("seq", 1) != cfg.ulysses_size:
         raise ValueError(f"ulysses_size={cfg.ulysses_size} needs a mesh with "
