@@ -588,9 +588,14 @@ def test_adaptive_kl_controller_matches_reference():
     assert get_kl_controller("fixed", 0.3).kl_coef == 0.3
 
 
-def test_rl_gae_critic_path():
+@pytest.mark.parametrize("with_vision", [False, True])
+def test_rl_gae_critic_path(with_vision):
     """GAE estimator end-to-end: critic values → advantages/returns →
-    actor + clipped critic updates, with the adaptive reward-KL penalty."""
+    actor + clipped critic updates, with the adaptive reward-KL penalty.
+    with_vision=True runs EVisRAG-style image prompts: the critic consumes
+    the frozen-tower vision_embeds table through its value model (reference
+    dp_critic.py:64-117 multi_modal_inputs), and its values must differ
+    from the text-blind ones (VERDICT round-3 missing #1)."""
     import dataclasses as dc
 
     from test_qwen25_vl import _hf_tiny
@@ -627,22 +632,54 @@ def test_rl_gae_critic_path():
         tokenizer_decode=lambda ids: ("<answer>x</answer>"
                                       if sum(ids) % 2 == 0 else "wrong"),
         tag_token_ids={"<think>": [50], "<evidence>": [51], "<answer>": [52]},
-        engine_kwargs=dict(num_slots=4, max_len=64, prompt_buckets=(16,)),
+        engine_kwargs=(dict(num_slots=4, max_len=128, prompt_buckets=(64,))
+                       if with_vision else
+                       dict(num_slots=4, max_len=64, prompt_buckets=(16,))),
         ref_params=jax.tree_util.tree_map(lambda x: x, params),
         critic=critic)
     rng = np.random.default_rng(4)
-    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,)).astype(np.int32),
-                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    if with_vision:
+        mcfg = Qwen25VLConfig.tiny()
+        prompts = [_vision_prompt(rng, mcfg, px=56),
+                   _vision_prompt(rng, mcfg, px=42)]
+    else:
+        prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
+                        .astype(np.int32),
+                        ground_truth="<answer>x</answer>")
+                   for _ in range(2)]
     before = [np.asarray(x).copy()
               for x in jax.tree_util.tree_leaves(critic.params["params"])]
+    captured = {}
+    orig = critic.compute_values
+
+    def spy(batch):
+        captured["batch"] = {k: v for k, v in batch.items()}
+        return orig(batch)
+
+    critic.compute_values = spy
     hist = trainer.fit([prompts])
     assert len(hist) == 1
     m = hist[0][1]
     assert np.isfinite(m["loss"]) and np.isfinite(m["critic/vf_loss"])
     assert "critic/kl" in m
+    # GAE-only metric families (reference metrics.py:86-99 use_critic=True)
+    for k in ("critic/values/mean", "critic/vf_explained_var",
+              "timing_s/values", "timing_s/update_critic",
+              "timing_per_token_ms/update_critic"):
+        assert k in m and np.isfinite(m[k]), k
     after = [np.asarray(x)
              for x in jax.tree_util.tree_leaves(critic.params["params"])]
     assert any((a != b).any() for a, b in zip(before, after))
+    if with_vision:
+        b = captured["batch"]
+        assert "vision_embeds" in b and "slot_map" in b
+        v_seeing = orig(b)
+        blind = {k: v for k, v in b.items()
+                 if k not in ("vision_embeds", "slot_map")}
+        v_blind = orig(blind)
+        # the value model must actually SEE the images: a text-blind
+        # critic returns different values on image prompts
+        assert not np.allclose(v_seeing, v_blind, atol=1e-5)
 
 
 def test_rl_validate_save_resume(tmp_path):
@@ -922,11 +959,13 @@ def _estimator_trainer(cfg_extra=None, **trainer_kw):
     return trainer
 
 
-@pytest.mark.parametrize("estimator", ["grpo", "rloo", "reinforce_plus_plus"])
+@pytest.mark.parametrize("estimator", ["grpo", "rloo", "reinforce_plus_plus",
+                                       "remax"])
 def test_rl_fit_token_level_estimators(estimator):
-    """grpo/rloo/reinforce_plus_plus run end-to-end through fit() (they
-    used to crash in _finalize on token_rewards=None); advantages land in
-    the (bs, 1, S) per-token layout the policy loss expects."""
+    """grpo/rloo/reinforce_plus_plus/remax run end-to-end through fit();
+    advantages land in the (bs, 1, S) per-token layout the policy loss
+    expects. remax wires the greedy baseline rollout (VERDICT round-3
+    missing #2): one extra n=1/temperature=0 rollout per prompt batch."""
     trainer = _estimator_trainer({"adv_estimator": estimator})
     rng = np.random.default_rng(4)
     prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
@@ -936,11 +975,31 @@ def test_rl_fit_token_level_estimators(estimator):
     assert len(hist) == 1
     _, m = hist[0]
     assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"])
+    if estimator == "remax":
+        # 2 prompt groups + 2 greedy baseline prefills
+        assert trainer._engine.prefill_count == 4
 
 
-def test_rl_remax_raises_clearly():
-    with pytest.raises(NotImplementedError, match="greedy baseline"):
-        _estimator_trainer({"adv_estimator": "remax"})
+def test_rl_remax_baseline_values():
+    """ReMax advantages equal (sampled score − greedy baseline) broadcast
+    over response tokens (core_algos.py:323-349): inject known rewards via
+    the decode hook and check the assembled batch."""
+    trainer = _estimator_trainer({"adv_estimator": "remax"})
+    rng = np.random.default_rng(4)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
+                    .astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    batch = trainer.make_batch(iter([prompts]), jax.random.PRNGKey(0))
+    assert "reward_baselines" in batch
+    assert batch["reward_baselines"].shape == (batch["input_ids"].shape[0],)
+    trainer.ref_params = None
+    m = trainer._prepare_token_adv(batch)
+    adv = batch["advantages"]          # (bs, 1, S)
+    scores = batch["reward_tensor"].sum(-1)
+    want = scores - batch["reward_baselines"]
+    for i in range(len(want)):
+        row = adv[i, 0][batch["response_mask"][i].astype(bool)]
+        assert np.allclose(row, want[i]), (row, want[i])
 
 
 def test_rl_nonfinite_grad_skips_optimizer_state():
@@ -961,3 +1020,143 @@ def test_rl_nonfinite_grad_skips_optimizer_state():
         np.testing.assert_array_equal(a, np.asarray(b))
     for a, b in zip(o0, jax.tree_util.tree_leaves(newo)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_rl_rollout_bans_image_token():
+    """RLTrainer(banned_token_ids=...) suppresses the ids in every rollout
+    sample (the reference's image-token logit bias,
+    vllm_rollout_spmd.py:42-49,132) — without the ban the same ids DO
+    appear, so the ban is load-bearing."""
+    rng = np.random.default_rng(9)
+    prompts = [dict(input_ids=rng.integers(1, 90, size=(6,)).astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    base = _estimator_trainer({"adv_estimator": "grpo"})
+    rb = base.rollout([dict(p) for p in prompts], jax.random.PRNGKey(3))
+    seen = sorted({t for o in rb.responses for t in o})[:4]
+    assert seen
+    banned = _estimator_trainer({"adv_estimator": "grpo"},
+                                banned_token_ids=seen)
+    rb2 = banned.rollout([dict(p) for p in prompts], jax.random.PRNGKey(3))
+    for o in rb2.responses:
+        assert not set(o) & set(seen), (o, seen)
+
+
+def test_rl_optimizer_warmup_scales_first_steps():
+    """actor.lr_warmup_steps wraps the optimizer in constant-with-warmup
+    (reference fsdp_workers.py:309-316): the first optimizer step runs at
+    lr·0/warmup = 0, so params stay EXACTLY put, while the no-warmup
+    trainer moves (VERDICT round-3 missing #4)."""
+    rng = np.random.default_rng(13)
+    batch = _synth_train_batch(rng)
+    t0 = _tiny_trainer()
+    tw = _tiny_trainer(lr_warmup_steps=1000)
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(tw.params["params"])]
+    for t in (t0, tw):
+        b = dict(batch)
+        b["old_log_probs"] = t.compute_log_probs(t.params, b)
+        t.update_policy(b)
+    after_w = [np.asarray(x)
+               for x in jax.tree_util.tree_leaves(tw.params["params"])]
+    after_0 = [np.asarray(x)
+               for x in jax.tree_util.tree_leaves(t0.params["params"])]
+    assert all((a == b).all() for a, b in zip(before, after_w))
+    assert any((a != b).any() for a, b in zip(before, after_0))
+
+
+def test_rl_optimizer_warmup_ratio_and_betas_consumed():
+    """lr_warmup_ratio resolves against trainer.total_steps; betas feed
+    AdamW (honesty plumbing for the reference's OptimConfig surface)."""
+    from visrag_tpu.training.optim import (constant_schedule_with_warmup,
+                                           resolve_warmup_steps)
+    assert resolve_warmup_steps(None, 0.05, 200) == 10
+    assert resolve_warmup_steps(7, 0.05, 200) == 7
+    sched = constant_schedule_with_warmup(1e-3, 4)
+    assert float(sched(jnp.asarray(0))) == 0.0
+    assert float(sched(jnp.asarray(2))) == pytest.approx(5e-4)
+    assert float(sched(jnp.asarray(100))) == pytest.approx(1e-3)
+    assert constant_schedule_with_warmup(1e-3, 0) == 1e-3
+
+
+def test_rl_fit_metric_families():
+    """fit() emits the reference's per-step metric families with matching
+    key names (trainer/metrics.py:27-123; VERDICT round-3 missing #5):
+    critic/* stats, length stats + clip ratios, timing_s/* +
+    timing_per_token_ms/* per phase, perf/throughput."""
+    trainer = _estimator_trainer({"adv_estimator": "grpo"})
+    rng = np.random.default_rng(4)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(6,))
+                    .astype(np.int32),
+                    ground_truth="<answer>x</answer>") for _ in range(2)]
+    hist = trainer.fit([prompts])
+    m = hist[0][1]
+    want = [
+        "critic/score/mean", "critic/score/max", "critic/score/min",
+        "critic/rewards/mean", "critic/rewards/max", "critic/rewards/min",
+        "critic/advantages/mean", "critic/advantages/max",
+        "critic/advantages/min",
+        "critic/returns/mean", "critic/returns/max", "critic/returns/min",
+        "response_length/mean", "response_length/max",
+        "response_length/min", "response_length/clip_ratio",
+        "prompt_length/mean", "prompt_length/max", "prompt_length/min",
+        "prompt_length/clip_ratio",
+        "timing_s/gen", "timing_s/reward", "timing_s/host_assemble",
+        "timing_s/old", "timing_s/adv", "timing_s/update_actor",
+        "timing_s/step",
+        "timing_per_token_ms/gen", "timing_per_token_ms/reward",
+        "timing_per_token_ms/old", "timing_per_token_ms/adv",
+        "timing_per_token_ms/update_actor",
+        "perf/total_num_tokens", "perf/time_per_step", "perf/throughput",
+    ]
+    missing = [k for k in want if k not in m]
+    assert not missing, missing
+    assert all(np.isfinite(m[k]) for k in want), \
+        {k: m[k] for k in want if not np.isfinite(m[k])}
+    assert m["perf/throughput"] > 0
+    # no EOS in the tiny model: every response runs to max_response_length,
+    # so the clip ratio must read exactly 1 (and prompts never clip)
+    assert m["response_length/clip_ratio"] == 1.0
+    assert m["prompt_length/clip_ratio"] == 0.0
+
+
+def test_rl_rollout_prefix_cache_cleared_on_update():
+    """RL rollouts with the prefix cache on (driver default for long
+    prompts): shared-prefix prompts reuse cached KV blocks within a step,
+    greedy outputs are identical to the uncached engine, and
+    Engine.set_params (the per-step weight handoff) clears the cache so
+    post-update rollouts can never serve stale-weight KV (VERDICT round-3
+    next #8)."""
+    rng = np.random.default_rng(21)
+    prefix = rng.integers(1, 90, size=(40,)).astype(np.int32)
+    prompts = [dict(input_ids=np.concatenate(
+                        [prefix, rng.integers(1, 90, size=(8,))
+                         .astype(np.int32)]),
+                    ground_truth="<answer>x</answer>") for _ in range(3)]
+    kw = dict(num_slots=4, max_len=128, prompt_buckets=(16, 64),
+              chunked_prefill_tokens=16)
+    t_plain = _estimator_trainer({"adv_estimator": "grpo"})
+    t_plain.engine_kwargs = dict(kw)
+    t_cache = _estimator_trainer({"adv_estimator": "grpo"})
+    t_cache.engine_kwargs = dict(kw, prefix_cache=True)
+    import dataclasses as dc
+    for t in (t_plain, t_cache):
+        t.cfg = dc.replace(t.cfg, rollout=dc.replace(
+            t.cfg.rollout, n=2, temperature=0.0, max_response_length=8))
+    rb_p = t_plain.rollout([dict(p) for p in prompts], jax.random.PRNGKey(5))
+    rb_c = t_cache.rollout([dict(p) for p in prompts], jax.random.PRNGKey(5))
+    assert rb_c.responses == rb_p.responses
+    eng = t_cache._engine
+    assert eng.prefix_hits > 0          # the shared prefix was reused
+    # rollout() sleeps the engine (KV HBM to the trainer) — that already
+    # cleared the cache
+    assert not eng._prefix_cache
+    # re-populate directly, then verify the weight handoff clears it too
+    # (set_params: stale-weight KV must not survive an update)
+    eng.wake()
+    from visrag_tpu.serving.sampling import SamplingParams
+    eng.generate([dict(input_ids=prompts[0]["input_ids"])],
+                 sampling=SamplingParams(temperature=0.0, max_tokens=2),
+                 rng=jax.random.PRNGKey(0))
+    assert len(eng._prefix_cache) > 0
+    eng.set_params(t_cache.params)
+    assert len(eng._prefix_cache) == 0

@@ -922,3 +922,56 @@ def test_prefix_cache_eviction_under_pressure(tiny_model):
     assert got == want
     eng.sleep()      # releases cache refs; would assert on imbalance
     assert len(eng.allocator.free) == 10
+
+
+def test_logit_bias_bans_tokens_all_paths(tiny_model):
+    """SamplingParams.logit_bias (the reference rollout's image-token ban,
+    vllm_rollout_spmd.py:42-49: {image_token_id: -100}) suppresses banned
+    ids in every sampling path: whole prefill, batched prefill, n-sampling
+    forks, decode, and chunked prefill."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(61)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(12,))
+                    .astype(np.int32)) for _ in range(3)]
+    long_prompt = dict(input_ids=rng.integers(0, 100, size=(40,))
+                       .astype(np.int32))
+
+    def run(bias, n=1, chunked=False):
+        kw = dict(num_slots=4, max_len=128, prompt_buckets=(16, 64))
+        if chunked:
+            kw["chunked_prefill_tokens"] = 16
+        eng = Engine(model, params, **kw)
+        sp = SamplingParams(temperature=0.0, max_tokens=8, logit_bias=bias)
+        ps = prompts + ([long_prompt] if chunked else [])
+        return eng.generate(ps, sampling=sp, rng=jax.random.PRNGKey(7), n=n)
+
+    # greedy baseline: collect the ids the model actually wants to emit
+    base = run((), n=2, chunked=True)
+    banned = sorted({t for o in base for t in o})[:8]
+    assert banned, "baseline emitted nothing to ban"
+    bias = tuple((t, -1e9) for t in banned)
+
+    got = run(bias, n=2, chunked=True)     # forks + batched + chunked
+    for o in got:
+        assert not set(o) & set(banned), (o, banned)
+    # single-request path too (no batching possible)
+    eng = Engine(model, params, num_slots=1, max_len=64,
+                 prompt_buckets=(16,))
+    out = eng.generate([prompts[0]],
+                       sampling=SamplingParams(temperature=0.0, max_tokens=8,
+                                               logit_bias=bias),
+                       rng=jax.random.PRNGKey(7))[0]
+    assert not set(out) & set(banned)
+    # outputs still differ from the unbanned run (the ban did something)
+    assert got != base
+
+
+def test_logit_bias_too_many_entries_raises(tiny_model):
+    ref, model, params = tiny_model
+    eng = Engine(model, params, num_slots=1, max_len=64,
+                 prompt_buckets=(16,), max_logit_bias=2)
+    sp = SamplingParams(temperature=0.0, max_tokens=2,
+                        logit_bias=((1, -1.0), (2, -1.0), (3, -1.0)))
+    with pytest.raises(ValueError, match="logit_bias"):
+        eng.generate([dict(input_ids=np.arange(8, dtype=np.int32))],
+                     sampling=sp)

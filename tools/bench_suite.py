@@ -375,6 +375,213 @@ def bench_serve_evisrag():
     }))
 
 
+def _page_image(rng, w=1236, h=1754):
+    """Synthetic document page (A4 aspect): structured rows of dark 'text'
+    lines on white — realistic resize behavior without a corpus on disk."""
+    from PIL import Image
+    arr = np.full((h, w, 3), 255, np.uint8)
+    for y in range(60, h - 60, 26):
+        line_w = int(rng.integers(w // 2, w - 120))
+        arr[y:y + 12, 60:60 + line_w] = rng.integers(
+            0, 90, size=(12, line_w, 3), dtype=np.uint8)
+    return Image.fromarray(arr)
+
+
+def _vision_prompt_b3(rng, cfg, vb, instr_tokens=380, tail_tokens=220):
+    """EVisRAG-shape prompt around a prepared vision batch: instruction
+    text, the per-image pad spans, then the query tail; real mrope
+    positions + flat slot map (predict.py:134-145's processor output)."""
+    from visrag_tpu.models.mrope import get_rope_index
+    mu = 4    # spatial merge 2x2
+    hi = min(cfg.text.vocab_size, 150000)
+    spans = []
+    for (t, h, w) in vb.grid_thw:
+        spans.append(np.full((t * h * w // mu,), cfg.image_token_id,
+                             np.int32))
+    ids = np.concatenate(
+        [rng.integers(1, hi, size=(instr_tokens,)).astype(np.int32)]
+        + [x for s in spans for x in
+           (np.asarray([cfg.vision_start_token_id], np.int32), s)]
+        + [rng.integers(1, hi, size=(tail_tokens,)).astype(np.int32)])
+    # random text ids may collide with the image token — scrub non-span
+    # positions so the slot map stays exact
+    span_mask = np.zeros(ids.shape, bool)
+    off = instr_tokens
+    for s in spans:
+        off += 1                      # the vision_start token
+        span_mask[off:off + len(s)] = True
+        off += len(s)
+    ids[(ids == cfg.image_token_id) & ~span_mask] = 11
+    ids[(ids == cfg.vision_start_token_id) & ~span_mask] = 12
+    pos = get_rope_index(ids, vb.grid_thw, cfg.image_token_id)
+    slot = np.full(ids.shape, -1, np.int32)
+    slot[ids == cfg.image_token_id] = np.arange(vb.n_tokens)
+    return ids, pos, slot
+
+
+def bench_serve_evisrag_vision():
+    """The EVisRAG paper's ACTUAL inference workload on chip (VERDICT
+    round-3 next #1): Qwen2.5-VL-3B WITH the real 32-block vision tower;
+    each request carries BENCH_VISION_IMAGES (default 3) page images as
+    uint8 device-mode vision batches with real mrope positions — the
+    reference serves top-3 retrieved pages per query through vLLM with
+    limit_mm_per_prompt={"image": 5} (evisrag/predict.py:112-145).
+    Multimodal prompts prefill CHUNKED (Engine.embed_prompt: the vision
+    tower runs once per prompt, text chunks slice the embeds), 2x
+    oversubscribed slots. Reports tok/s, TTFT/ITL p50/p99, and the
+    vision-tower share of prefill (probed standalone)."""
+    import gc
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.preprocess.qwen_vision import prepare_vision_batch
+    from visrag_tpu.serving.engine import Engine
+    from visrag_tpu.serving.sampling import SamplingParams
+
+    slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
+    n_req = int(os.environ.get("BENCH_SERVE_REQS", 2 * slots))
+    n_img = int(os.environ.get("BENCH_VISION_IMAGES", 3))
+    new_tokens = int(os.environ.get("BENCH_SERVE_NEW", 256))
+    max_px = int(os.environ.get("BENCH_VISION_MAX_PIXELS", 1048576))
+    chunk = int(os.environ.get("BENCH_CHUNK_PREFILL", 2048))
+    tiny = bool(os.environ.get("BENCH_TINY"))   # CPU wiring smoke
+    cfg = Qwen25VLConfig.tiny(image_token_id=151655,
+                              vision_start_token_id=151652) if tiny \
+        else Qwen25VLConfig.b3()
+    if tiny:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, text=_dc.replace(
+            cfg.text, vocab_size=152064))
+        new_tokens, max_px, chunk = 8, 262144, 512
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+
+    # 4 distinct vision batches cycled across requests: page pixels ship to
+    # HBM once (23 MB uint8 each through the ~30-50 MB/s relay); serving
+    # cost per request is unchanged — every request still runs the full
+    # vision tower + prefill on its own slots
+    t0 = time.time()
+    vbs = [prepare_vision_batch(
+        [_page_image(rng) for _ in range(n_img)],
+        head_dim=cfg.vision.head_dim, min_pixels=262144, max_pixels=max_px,
+        device_mode=True) for _ in range(4)]
+    log(f"host preprocess {time.time()-t0:.1f}s; "
+        f"{vbs[0].patches.shape[0]} patches / {vbs[0].n_tokens} slots per "
+        f"request ({n_img} images)")
+    dev_tables = []
+    for vb in vbs:
+        dev_tables.append({k: jnp.asarray(getattr(vb, k)) for k in
+                           ("patches", "rot_cos", "rot_sin", "seg_window",
+                            "seg_full", "reverse_index")})
+
+    prompts = []
+    for i in range(n_req):
+        vb = vbs[i % 4]
+        ids, pos, slot = _vision_prompt_b3(rng, cfg, vb)
+        prompts.append(dict(input_ids=ids, positions=pos,
+                            vision_batch=dev_tables[i % 4], slot_map=slot))
+    plen = len(prompts[0]["input_ids"])
+    log(f"prompt length {plen} tokens ({vbs[0].n_tokens} vision slots)")
+
+    ids0 = jnp.asarray(rng.integers(1, 150000, size=(1, 64)), "int32")
+    pos0 = jnp.broadcast_to(jnp.arange(64), (3, 1, 64)).astype("int32")
+    # init must touch the vision tower too (flax creates params lazily):
+    # a tiny 4-patch batch exercises encode_images without real compute
+    tiny_vb = prepare_vision_batch(
+        [_page_image(rng, w=56, h=56)], head_dim=cfg.vision.head_dim,
+        min_pixels=56 * 56, max_pixels=56 * 56, device_mode=True)
+    sm0 = np.full((1, 64), -1, np.int32)
+    sm0[0, 2:2 + tiny_vb.n_tokens] = np.arange(tiny_vb.n_tokens)
+
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(
+            key, ids0, positions=pos0,
+            vision_batch={k: jnp.asarray(getattr(tiny_vb, k)) for k in
+                          ("patches", "rot_cos", "rot_sin", "seg_window",
+                           "seg_full", "reverse_index")},
+            slot_map=jnp.asarray(sm0))
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+            else x, p)
+
+    t0 = time.time()
+    params = init_bf16(jax.random.PRNGKey(0))
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params "
+        "(text + vision tower)")
+
+    max_len = 1024 * (-(-(plen + new_tokens + 128) // 1024))
+    eng = Engine(model, params, num_slots=slots, max_len=max_len,
+                 prompt_buckets=(4096, 8192), eos_token_ids=(),
+                 decode_chunk=32, chunked_prefill_tokens=chunk)
+    sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
+
+    # vision-tower probe: the standalone embed_prompt cost per prompt
+    # (exactly what the engine's _embed_jit runs once per request)
+    n_chunks = -(-plen // chunk)
+    ids_pad = np.zeros((1, n_chunks * chunk), np.int32)
+    ids_pad[0, :plen] = prompts[0]["input_ids"]
+    sm_pad = np.full((1, n_chunks * chunk), -1, np.int32)
+    sm_pad[0, :plen] = prompts[0]["slot_map"]
+    embed_fn = jax.jit(lambda p, i, v, s: model.apply(
+        p, i, vision_batch=v, slot_map=s, method=model.embed_prompt))
+    emb = embed_fn(params, jnp.asarray(ids_pad), dev_tables[0],
+                   jnp.asarray(sm_pad))
+    np.asarray(emb[0, 0, :2])           # force compile + completion
+    t0 = time.time()
+    reps = 8
+    for _ in range(reps):
+        emb = embed_fn(params, jnp.asarray(ids_pad), dev_tables[0],
+                       jnp.asarray(sm_pad))
+    np.asarray(emb[0, 0, :2])           # fetch-last amortizes relay latency
+    t_vision = (time.time() - t0) / reps
+    log(f"embed_prompt (vision tower + scatter): {t_vision*1e3:.0f} ms "
+        "per prompt")
+
+    t0 = time.time()
+    eng.generate(prompts[:slots], sampling=SamplingParams(
+        temperature=1.0, max_tokens=32))
+    log(f"warmup {time.time()-t0:.0f}s")
+    t0 = time.time()
+    reqs = eng.generate_detailed(prompts, sampling=sp)
+    dt = time.time() - t0
+    total = sum(len(r.output_ids) for r in reqs)
+    ttft = np.asarray([r.t_first - r.t_enqueue for r in reqs])
+    ttft = ttft - ttft.min()
+    gaps = []
+    for r in reqs:
+        for (t_a, _), (t_b, nb) in zip(r.emits, r.emits[1:]):
+            gaps.extend([(t_b - t_a) / nb] * nb)
+    gaps = np.asarray(gaps)
+    vision_share = n_req * t_vision / dt
+    out = dict(tok_s=total / dt,
+               ttft_p50=float(np.percentile(ttft, 50)),
+               ttft_p99=float(np.percentile(ttft, 99)),
+               itl_p50_ms=float(np.percentile(gaps, 50)) * 1e3,
+               itl_p99_ms=float(np.percentile(gaps, 99)) * 1e3)
+    log(f"vision mode: {out}; wall {dt:.1f}s; vision share of wall "
+        f"{vision_share:.1%}")
+    print(json.dumps({
+        "metric": "serve_evisrag_vision_tok_s",
+        "value": round(out["tok_s"], 1), "unit": "tok/s/chip",
+        "detail": {"slots": slots, "requests": n_req,
+                   "images_per_request": n_img,
+                   "prompt_tokens": plen,
+                   "vision_slots": int(vbs[0].n_tokens),
+                   "new_tokens": new_tokens,
+                   "params_b": round(float(n_params) / 1e9, 2),
+                   "embed_prompt_ms": round(t_vision * 1e3, 1),
+                   "vision_share_of_wall": round(vision_share, 4),
+                   "chunked_prefill_tokens": chunk,
+                   **{k: round(v, 4) for k, v in out.items()}},
+    }))
+    eng.k_cache = eng.v_cache = None
+    del eng
+    gc.collect()
+
+
 def bench_serve_prefix():
     """Automatic prefix caching at the shared-system-prompt regime: 16
     requests share a 4096-token prefix with distinct 512-token suffixes
@@ -654,6 +861,159 @@ def bench_rl_e2e():
     }))
 
 
+def bench_rl_e2e_vision():
+    """Multimodal RS-GRPO step on chip (VERDICT round-3 next #2): the
+    reference's headline RL regime is Qwen2.5-VL WITH images
+    (assets/baselines.md:37-42) — this runs the largest image-bearing
+    actor that fits one 16 GB chip: the Qwen-1.5B text stack + the REAL
+    32-block Qwen vision tower (frozen, as the reference freezes it —
+    fsdp_workers.py:228-238), BENCH_RL_PROMPTS prompts × n samples with
+    BENCH_RL_IMAGES page images each. Full pipeline: engine rollout with
+    vision prefill → ONE frozen-tower embed table → old-logp → padded
+    dual-clip PPO update. Reports tok/s/chip + the per-phase split from
+    the fit() timers (gen/vision_embed/old/adv/update_actor)."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.mrope import get_rope_index
+    from visrag_tpu.models.qwen25_vl import (Qwen25VL, Qwen25VLConfig,
+                                             QwenTextConfig,
+                                             QwenVisionConfig)
+    from visrag_tpu.preprocess.qwen_vision import prepare_vision_batch
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    n_prompts = int(os.environ.get("BENCH_RL_PROMPTS", 4))
+    n_samples = int(os.environ.get("BENCH_RL_N", 8))
+    n_img = int(os.environ.get("BENCH_RL_IMAGES", 2))
+    resp_len = int(os.environ.get("BENCH_RL_RESP", 512))
+    max_px = int(os.environ.get("BENCH_RL_MAX_PIXELS", 262144))
+    tiny = bool(os.environ.get("BENCH_TINY"))   # CPU wiring smoke
+    # Qwen-1.5B text + the full-size vision tower projected to hidden 1536
+    tcfg = QwenTextConfig(hidden_size=1536, intermediate_size=8960,
+                          num_hidden_layers=28, num_attention_heads=12,
+                          num_key_value_heads=2, vocab_size=151936,
+                          mrope_section=(16, 24, 24), dtype=jnp.bfloat16,
+                          remat=True)
+    vcfg = QwenVisionConfig(out_hidden_size=1536)
+    if tiny:
+        tcfg = QwenTextConfig.tiny(vocab_size=152064,
+                                   mrope_section=(2, 2, 2))
+        vcfg = QwenVisionConfig.tiny(out_hidden_size=tcfg.hidden_size)
+        resp_len, max_px = 8, 64 * 64
+    qcfg = Qwen25VLConfig(vision=vcfg, text=tcfg)
+    model = Qwen25VL(qcfg)
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    vbs = [prepare_vision_batch(
+        [_page_image(rng) for _ in range(n_img)],
+        head_dim=vcfg.head_dim, min_pixels=min(262144 // 4, max_px),
+        max_pixels=max_px, device_mode=True)
+        for _ in range(min(n_prompts, 2))]
+    log(f"host preprocess {time.time()-t0:.1f}s; "
+        f"{vbs[0].patches.shape[0]} patches / {vbs[0].n_tokens} slots "
+        f"per prompt")
+    keys = ("patches", "rot_cos", "rot_sin", "seg_window", "seg_full",
+            "reverse_index")
+    prompts = []
+    for i in range(n_prompts):
+        vb = vbs[i % len(vbs)]
+        ids, pos, slot = _vision_prompt_b3(rng, qcfg, vb,
+                                           instr_tokens=200, tail_tokens=120)
+        prompts.append(dict(
+            input_ids=ids, positions=pos, slot_map=slot,
+            vision_batch={k: getattr(vb, k) for k in keys},
+            ground_truth="<answer>x</answer>"))
+    plen = len(prompts[0]["input_ids"])
+    log(f"prompt length {plen} ({vbs[0].n_tokens} vision slots)")
+
+    ids0 = jnp.asarray(rng.integers(1, 150000, size=(1, 32)), "int32")
+    pos0 = jnp.broadcast_to(jnp.arange(32), (3, 1, 32)).astype("int32")
+    tiny_vb = prepare_vision_batch(
+        [_page_image(rng, w=56, h=56)], head_dim=vcfg.head_dim,
+        min_pixels=56 * 56, max_pixels=56 * 56, device_mode=True)
+    sm0 = np.full((1, 32), -1, np.int32)
+    sm0[0, 2:2 + tiny_vb.n_tokens] = np.arange(tiny_vb.n_tokens)
+
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(
+            key, ids0, positions=pos0,
+            vision_batch={k: jnp.asarray(getattr(tiny_vb, k))
+                          for k in keys},
+            slot_map=jnp.asarray(sm0))
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+            else x, p)
+
+    t0 = time.time()
+    params = init_bf16(jax.random.PRNGKey(0))
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree_util.tree_leaves(params))
+    n_text = sum(
+        np.prod(x.shape) for path, x in
+        jax.tree_util.tree_flatten_with_path(params)[0]
+        if "visual" not in jax.tree_util.keystr(path))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params total "
+        f"({n_text/1e9:.2f}B text + "
+        f"{(n_params-n_text)/1e9:.2f}B frozen vision)")
+
+    bsz = n_prompts * n_samples
+    pb = 128
+    while pb < plen:
+        pb *= 2
+    cfg = RLConfig()
+    cfg = dc.replace(
+        cfg,
+        rollout=dc.replace(cfg.rollout, n=n_samples,
+                           max_response_length=resp_len, temperature=1.0),
+        trainer=dc.replace(cfg.trainer, total_steps=2,
+                           rollout_batch_size=n_prompts,
+                           global_batch_size=bsz),
+        actor=dc.replace(cfg.actor, ppo_epochs=1,
+                         optimizer_state_dtype=os.environ.get(
+                             "BENCH_RL_OPT", "bfloat16_nokahan"),
+                         micro_batch_tokens=2 * (pb + resp_len)))
+    rollout_model = Qwen25VL(dc.replace(qcfg, text=dc.replace(
+        tcfg, remat=False)))
+    trainer = RLTrainer(
+        model, params, cfg,
+        tokenizer_decode=lambda ids: "<answer>x</answer>"
+        if sum(ids) % 2 == 0 else "wrong",
+        tag_token_ids={"<think>": [50], "<evidence>": [51],
+                       "<answer>": [52]},
+        engine_kwargs=dict(num_slots=bsz, max_len=pb + resp_len + 128,
+                           prompt_buckets=(pb,), decode_chunk=32),
+        rollout_model=rollout_model)
+
+    hist = trainer.fit(iter([prompts, prompts]))
+    assert len(hist) == 2
+    m1, m2 = hist[0][1], hist[1][1]     # step 1 = compile pass
+    log(f"compile step {m1['timing_s/step']:.0f}s; "
+        f"warm step {m2['timing_s/step']:.1f}s")
+    toks = int(m2["perf/total_num_tokens"])
+    phases = {k.split("/")[1]: round(m2[k], 2) for k in m2
+              if k.startswith("timing_s/")}
+    log(f"phases {phases}")
+    flops = 2.0 * float(n_text) * toks * 5.0
+    mfu = flops / (m2["timing_s/update_actor"] + m2["timing_s/old"]) / 197e12
+    print(json.dumps({
+        "metric": "rl_e2e_vision_throughput",
+        "value": round(m2["perf/throughput"], 1), "unit": "tok/s/chip",
+        "detail": {"params_b": round(float(n_params) / 1e9, 2),
+                   "text_params_b": round(float(n_text) / 1e9, 2),
+                   "prompts": n_prompts, "n": n_samples,
+                   "images_per_prompt": n_img,
+                   "prompt_len": plen, "resp_len": resp_len,
+                   "vision_slots": int(vbs[0].n_tokens),
+                   "tokens": toks, "phase_s": phases,
+                   "update_logp_mfu": round(mfu, 4),
+                   "optimizer_state_dtype": os.environ.get(
+                       "BENCH_RL_OPT", "bfloat16_nokahan")},
+    }))
+
+
 def bench_rollout():
     """n-sampling rollout: prompt groups (ONE prefill per prompt, forked
     decode slots sharing the prompt KV blocks) vs the old expanded path
@@ -855,6 +1215,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     {"train": bench_train, "serve": bench_serve,
      "serve_qwen": bench_serve_qwen, "serve_evisrag": bench_serve_evisrag,
+     "serve_evisrag_vision": bench_serve_evisrag_vision,
      "serve_prefix": bench_serve_prefix,
      "rl": bench_rl, "rl_e2e": bench_rl_e2e,
+     "rl_e2e_vision": bench_rl_e2e_vision,
      "rollout": bench_rollout, "retrieve": bench_retrieve}[mode]()

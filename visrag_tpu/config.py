@@ -250,11 +250,28 @@ class RolloutConfig:
     limit_images: int = 5
     min_pixels: int = 262144
     max_pixels: int = 1568000
+    # rollout engine scheduling (vLLM enable_chunked_prefill /
+    # enable_prefix_caching roles): chunked_prefill_tokens None = auto
+    # (2048 when max_prompt_length ≥ 4096, else whole-prompt prefill);
+    # prefix_cache reuses shared-instruction-prefix KV across the step's
+    # prompts (cleared by Engine.set_params on every weight update — stale
+    # KV can never serve post-update rollouts) and needs chunked prefill
+    # (its resume mechanism)
+    chunked_prefill_tokens: Optional[int] = None
+    prefix_cache: bool = True
 
 
 @dataclass
 class ActorConfig:
     lr: float = 1e-6
+    # optimizer knobs the reference exposes per role (actor/config.py:44-52
+    # OptimConfig): AdamW betas/weight_decay + constant-with-warmup LR
+    # (fsdp_workers.py:309-316). lr_warmup_steps wins over lr_warmup_ratio
+    # (× trainer.total_steps); warmup counts optimizer (minibatch) steps
+    weight_decay: float = 1e-2
+    betas: tuple = (0.9, 0.999)
+    lr_warmup_ratio: float = 0.0
+    lr_warmup_steps: Optional[int] = None
     ppo_epochs: int = 1
     clip_ratio_low: float = 0.2
     clip_ratio_high: float = 0.3
@@ -282,9 +299,9 @@ class ActorConfig:
 
 @dataclass
 class AlgorithmConfig:
-    # router|grpo|rloo|reinforce_plus_plus|gae all run end-to-end; "remax"
-    # (the estimator math exists in rl/advantage.py) raises in RLTrainer —
-    # its greedy-baseline rollout is not wired
+    # router|grpo|rloo|reinforce_plus_plus|remax|gae all run end-to-end
+    # (remax adds one greedy n=1 rollout per prompt batch as its baseline —
+    # reference ray_trainer.py:497-509)
     adv_estimator: str = "router"
     gamma: float = 1.0
     lam: float = 1.0
@@ -307,6 +324,12 @@ class AlgorithmConfig:
 @dataclass
 class CriticConfig:
     lr: float = 1e-5
+    # same optimizer surface as ActorConfig (critic/config.py shares
+    # OptimConfig in the reference)
+    weight_decay: float = 1e-2
+    betas: tuple = (0.9, 0.999)
+    lr_warmup_ratio: float = 0.0
+    lr_warmup_steps: Optional[int] = None
     ppo_epochs: int = 1
     cliprange_value: float = 0.5
     grad_clip: float = 1.0

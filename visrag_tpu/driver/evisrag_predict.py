@@ -65,9 +65,18 @@ def main(argv=None):
                     # vision tower runs once; chunks slice the embeds), so
                     # running decodes stall at most one 2048-token chunk
                     chunked_prefill_tokens=2048)
+    # ban the image token in generation (the rollout-side logit_bias of
+    # vllm_rollout_spmd.py:42-49, applied here too: an <image> id in the
+    # prediction text would corrupt the QA eval's answer extraction)
+    from ..serving.sampling import banned_ids_bias
+    bias = ()
+    image_token = getattr(processor, "image_token", None)
+    if image_token is not None:
+        bias = banned_ids_bias([tok.convert_tokens_to_ids(image_token)])
     sampling = SamplingParams(temperature=args.temperature,
                               repetition_penalty=1.05,
-                              max_tokens=args.max_tokens)
+                              max_tokens=args.max_tokens,
+                              logit_bias=bias)
 
     with open(args.input) as f, open(args.output, "a") as out:
         for line in f:

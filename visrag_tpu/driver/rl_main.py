@@ -72,6 +72,13 @@ def main(argv=None):
 
     tags = {t: tok.encode(t, add_special_tokens=False)
             for t in ("<think>", "<evidence>", "<answer>")}
+    # ban the image token in rollout sampling (the reference's logit_bias
+    # {image_token_id: -100}, vllm_rollout_spmd.py:42-49) — a sampled
+    # <image> mid-response would enter the update with a dangling slot map
+    banned = []
+    image_token = getattr(processor, "image_token", None)
+    if image_token is not None:
+        banned.append(tok.convert_tokens_to_ids(image_token))
 
     from .common import encode_qwen_prompt_row
 
@@ -100,19 +107,25 @@ def main(argv=None):
         cfg.mesh.model = cfg.rollout.tensor_parallel_size
     mcfg_mesh = multihost_mesh_config(cfg.mesh, nproc)
     mesh = build_mesh(mcfg_mesh) if len(jax.devices()) > 1 else None
+    # long text prompts prefill chunk-at-a-time so running decodes never
+    # stall a whole 15k-token forward (vision prompts run the tower once
+    # and chunk the embeds); the prefix cache then reuses the shared
+    # instruction prefix across the step's prompts (cleared on every
+    # weight update by Engine.set_params)
+    cpt = cfg.rollout.chunked_prefill_tokens
+    if cpt is None and cfg.rollout.max_prompt_length >= 4096:
+        cpt = 2048
     trainer = RLTrainer(
         model, params, cfg, tokenizer_decode=lambda ids: tok.decode(ids),
+        tokenizer_batch_decode=lambda seqs: tok.batch_decode(list(seqs)),
         tag_token_ids=tags, eos_token_ids=[tok.eos_token_id],
         engine_kwargs=dict(num_slots=8,
                            max_len=cfg.rollout.max_prompt_length +
                            cfg.rollout.max_response_length,
-                           # long text prompts prefill chunk-at-a-time so
-                           # running decodes never stall a whole 15k-token
-                           # forward (vision prompts still prefill whole)
-                           chunked_prefill_tokens=2048
-                           if cfg.rollout.max_prompt_length >= 4096
-                           else None),
-        mesh=mesh)
+                           chunked_prefill_tokens=cpt,
+                           prefix_cache=bool(cfg.rollout.prefix_cache
+                                             and cpt is not None)),
+        mesh=mesh, banned_token_ids=banned)
 
     # checkpointable prompt cursor (StatefulDataLoader role): resume
     # continues at the exact dataset row with the saved rng

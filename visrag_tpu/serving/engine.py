@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import SamplingParams, sample_vec
+from .sampling import SamplingParams, bias_arrays, sample_vec
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -98,7 +98,7 @@ class Engine:
                  decode_unroll: int = 1, mesh=None,
                  prefill_token_budget: Optional[int] = None,
                  chunked_prefill_tokens: Optional[int] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, max_logit_bias: int = 8):
         """mesh: optional tensor-parallel mesh (axis "model" > 1) — the
         vLLM tensor_parallel_size role (reference vllm_rollout_spmd.py:
         106-127, fsdp_workers.py:331-350). Params are sharded with the
@@ -179,6 +179,13 @@ class Engine:
         self.temp = np.ones((num_slots,), np.float32)
         self.top_p = np.ones((num_slots,), np.float32)
         self.rep_pen = np.ones((num_slots,), np.float32)
+        # per-slot logit bias (SamplingParams.logit_bias — the reference's
+        # image-token ban, vllm_rollout_spmd.py:42-49): fixed-width
+        # (id, value) pairs applied as a scatter-add before every sample;
+        # id-0/val-0.0 padding is a no-op
+        self.max_bias = int(max_logit_bias)
+        self.bias_ids = np.zeros((num_slots, self.max_bias), np.int32)
+        self.bias_vals = np.zeros((num_slots, self.max_bias), np.float32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.queue: List[Request] = []
         self._next_id = 0
@@ -194,12 +201,12 @@ class Engine:
                                     static_argnums=(11,))
         self._prefill_batch_jit = jax.jit(self._prefill_batch_fn,
                                           donate_argnums=(4, 5, 6),
-                                          static_argnums=(13,))
+                                          static_argnums=(15,))
         self._fork_jit = jax.jit(self._fork_fn, donate_argnums=(2, 3, 4),
                                  static_argnums=(9,))
         self._chunk_jit = jax.jit(self._decode_chunk_fn,
                                   donate_argnums=(1, 2, 3),
-                                  static_argnums=(14,))
+                                  static_argnums=(16,))
         self.prefill_count = 0      # full-model prompt passes (group = 1)
         self.prefill_dispatches = 0  # prefill jit calls (batched = 1)
         # anti-starvation bound (VERDICT round-2 weak #2: prefill stalls
@@ -334,6 +341,11 @@ class Engine:
                                         (3, len(input_ids)))
         positions = np.asarray(positions)
         sampling = sampling or SamplingParams()
+        if len(sampling.logit_bias) > self.max_bias:
+            raise ValueError(
+                f"logit_bias has {len(sampling.logit_bias)} entries; this "
+                f"engine supports at most {self.max_bias} "
+                "(Engine(max_logit_bias=...))")
         group = None
         if n > 1:
             group = PromptGroup(prompt_len=len(input_ids),
@@ -403,9 +415,10 @@ class Engine:
         """Full-model prompt pass for ONE request: write prompt K/V into the
         slot's pool blocks, rebuild the slot's seen row, sample the first
         token on device. rows: (bucket//block_size,) pool block ids;
-        state = (slot, length, temp, top_p, rep_pen) as traced scalars."""
+        state = (slot, length, temp, top_p, rep_pen, bias_ids, bias_vals)
+        as traced scalars/arrays."""
         from .paged_kv import write_prefill
-        slot, length, temp, top_p, rep_pen = state
+        slot, length, temp, top_p, rep_pen, bias_ids, bias_vals = state
         # last_pos: logits computed ONLY at the prompt end inside the model
         # (a full-bucket logits buffer at 15k tokens × 152k vocab is 4.7 GB
         # bf16 + ~17 TF of lm_head the engine never reads)
@@ -419,6 +432,7 @@ class Engine:
         k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
         prow = jnp.zeros((self.vocab,), jnp.bool_)
         prow = prow.at[ids[0]].max(mask[0] > 0)
+        last = last.at[0, bias_ids].add(bias_vals.astype(last.dtype))
         tok, logp = sample_vec(last, rng, temp[None], top_p[None],
                                rep_pen[None], prow[None])
         row = prow.at[tok[0]].set(True)
@@ -430,7 +444,7 @@ class Engine:
 
     def _prefill_batch_fn(self, params, ids, pos, mask, k_cache, v_cache,
                           seen, rows, slots, lengths, temp, top_p, rep_pen,
-                          bucket, rng):
+                          bias_ids, bias_vals, bucket, rng):
         """Batched full-model prompt pass for K text requests in ONE
         dispatch (vLLM-style batched prefill). One (K, bucket) forward
         instead of K single-prompt dispatches: K× fewer relay round-trips
@@ -445,6 +459,8 @@ class Engine:
         K = ids.shape[0]
         prows = jnp.zeros((K, self.vocab), jnp.bool_)
         prows = prows.at[jnp.arange(K)[:, None], ids].max(mask > 0)
+        last = last.at[jnp.arange(K)[:, None], bias_ids].add(
+            bias_vals.astype(last.dtype))
         tok, logp = sample_vec(last, rng, temp, top_p, rep_pen, prows)
         rows_seen = prows.at[jnp.arange(K), tok].set(True)
         seen = seen.at[slots].set(rows_seen)
@@ -457,7 +473,8 @@ class Engine:
         from the group's prompt-end logits, install its seen row, and (when
         the prompt ends mid-block) copy the leader's partial block src → the
         fork's own block dst in every layer pool."""
-        slot, temp, top_p, rep_pen = state
+        slot, temp, top_p, rep_pen, bias_ids, bias_vals = state
+        logits = logits.at[bias_ids].add(bias_vals.astype(logits.dtype))
         tok, logp = sample_vec(logits[None], rng, temp[None], top_p[None],
                                rep_pen[None], prow[None])
         row = prow.at[tok[0]].set(True)
@@ -503,8 +520,10 @@ class Engine:
         self.table[slot] = self.null_block
         self.table[slot, :need] = blocks
         rows = jnp.asarray(blocks[:bucket // bs_blk], jnp.int32)
+        b_ids, b_vals = bias_arrays(sp, self.max_bias)
         state = (jnp.int32(slot), jnp.int32(s), jnp.float32(sp.temperature),
-                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
+                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty),
+                 jnp.asarray(b_ids), jnp.asarray(b_vals))
         (tok, logp, last, prow, self.k_cache, self.v_cache,
          self.seen) = self._prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(pos),
@@ -556,6 +575,8 @@ class Engine:
         temp = np.ones((K,), np.float32)
         topp = np.ones((K,), np.float32)
         rp = np.ones((K,), np.float32)
+        b_ids = np.zeros((K, self.max_bias), np.int32)
+        b_vals = np.zeros((K, self.max_bias), np.float32)
         blocks_per = []
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             s = len(req.input_ids)
@@ -566,6 +587,7 @@ class Engine:
             sp = req.sampling
             temp[i], topp[i], rp[i] = (sp.temperature, sp.top_p,
                                        sp.repetition_penalty)
+            b_ids[i], b_vals[i] = bias_arrays(sp, self.max_bias)
             budget = max(min(sp.max_tokens, self.max_len - s), 1)
             need = max(nb, -(-(s + budget) // bs_blk))
             blocks = self.allocator.alloc(need)
@@ -580,7 +602,8 @@ class Engine:
             jnp.asarray(mask), self.k_cache, self.v_cache, self.seen,
             jnp.asarray(rows), jnp.asarray(np.asarray(slots, np.int32)),
             jnp.asarray(lens), jnp.asarray(temp), jnp.asarray(topp),
-            jnp.asarray(rp), bucket, rng)
+            jnp.asarray(rp), jnp.asarray(b_ids), jnp.asarray(b_vals),
+            bucket, rng)
         self.prefill_count += K
         self.prefill_dispatches += 1
         toks = np.asarray(tok)
@@ -612,8 +635,10 @@ class Engine:
         self.table[slot] = self.null_block
         self.table[slot, :len(blocks)] = blocks
         do_copy = g.partial_src >= 0
+        b_ids, b_vals = bias_arrays(sp, self.max_bias)
         state = (jnp.int32(slot), jnp.float32(sp.temperature),
-                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
+                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty),
+                 jnp.asarray(b_ids), jnp.asarray(b_vals))
         tok, logp, self.k_cache, self.v_cache, self.seen = self._fork_jit(
             g.last_logits, g.prompt_row, self.k_cache, self.v_cache,
             self.seen, state, jnp.int32(max(g.partial_src, 0)),
@@ -796,8 +821,10 @@ class Engine:
         prow_np[req.input_ids] = True
         prow = jnp.asarray(prow_np)
         sp = req.sampling
+        b_ids, b_vals = bias_arrays(sp, self.max_bias)
         state = (jnp.int32(slot), jnp.float32(sp.temperature),
-                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty))
+                 jnp.float32(sp.top_p), jnp.float32(sp.repetition_penalty),
+                 jnp.asarray(b_ids), jnp.asarray(b_vals))
         # sample the first token from the prompt-end logits (the fork fn
         # with do_copy=False is exactly this: sample + install seen row)
         tok, logp, self.k_cache, self.v_cache, self.seen = self._fork_jit(
@@ -825,6 +852,8 @@ class Engine:
         self.temp[slot] = sp.temperature
         self.top_p[slot] = sp.top_p
         self.rep_pen[slot] = sp.repetition_penalty
+        self.bias_ids[slot], self.bias_vals[slot] = \
+            bias_arrays(sp, self.max_bias)
         done = (tok in self.eos or sp.max_tokens <= 1
                 or s + 1 >= self.max_len)
         self.active[slot] = not done
@@ -844,7 +873,7 @@ class Engine:
 
     def _decode_chunk_fn(self, params, k_cache, v_cache, seen, table,
                          lengths, last_tok, cur_pos, active, gen_left, temp,
-                         top_p, rep_pen, rng, n_steps):
+                         top_p, rep_pen, bias_ids, bias_vals, rng, n_steps):
         """lax.scan over n_steps decode steps for ALL slots. Inactive slots
         re-write their own last position (their blocks stay safe) and record
         nothing. Returns donated pools/seen + one packed int32 array for a
@@ -863,6 +892,8 @@ class Engine:
                 params, last_tok[:, None], pos3, k_cache, v_cache,
                 lengths_incl, table, method=self.model.decode,
                 mesh=self._attn_mesh)
+            logits = logits.at[jnp.arange(B)[:, None], bias_ids] \
+                .add(bias_vals.astype(logits.dtype))
             tok, logp = sample_vec(logits, rng_t, temp, top_p, rep_pen, seen)
             tok = jnp.where(active, tok, last_tok)
             seen = seen.at[jnp.arange(B), tok].max(active)
@@ -910,7 +941,8 @@ class Engine:
             jnp.asarray(self.lengths), jnp.asarray(self.last_tok),
             jnp.asarray(self.cur_pos), jnp.asarray(self.active),
             jnp.asarray(self.gen_left), jnp.asarray(self.temp),
-            jnp.asarray(self.top_p), jnp.asarray(self.rep_pen), rng,
+            jnp.asarray(self.top_p), jnp.asarray(self.rep_pen),
+            jnp.asarray(self.bias_ids), jnp.asarray(self.bias_vals), rng,
             self.chunk)
         packed = np.asarray(packed)          # ONE host fetch per chunk
         T = self.chunk

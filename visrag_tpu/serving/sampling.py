@@ -8,7 +8,7 @@ RS-GRPO rollout (rollout/config.py: temperature, top_p, n samples).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +22,36 @@ class SamplingParams:
     repetition_penalty: float = 1.0
     max_tokens: int = 2048
     stop_token_ids: Sequence[int] = ()
+    # per-request additive logit bias, ((token_id, bias), ...) — the vLLM
+    # SamplingParams.logit_bias surface the reference rollout uses to ban
+    # the image token during generation (vllm_rollout_spmd.py:42-49,132:
+    # {image_token_id: -100}). Applied to the logits before sampling in
+    # every engine path (prefill, batched prefill, fork, decode).
+    logit_bias: Tuple[Tuple[int, float], ...] = ()
+
+
+def banned_ids_bias(token_ids: Sequence[int],
+                    bias: float = -100.0) -> Tuple[Tuple[int, float], ...]:
+    """The reference's image-token ban as a logit_bias tuple
+    (vllm_rollout_spmd._get_logit_bias: {image_token_id: -100})."""
+    return tuple((int(t), float(bias)) for t in token_ids)
+
+
+def bias_arrays(sp: SamplingParams, width: int):
+    """Pad a request's logit_bias to fixed-width (ids, vals) numpy arrays
+    for the engine's jitted scatter-add (id 0 / bias 0.0 padding is a
+    no-op under scatter-add, even when duplicated)."""
+    import numpy as np
+    if len(sp.logit_bias) > width:
+        raise ValueError(
+            f"logit_bias has {len(sp.logit_bias)} entries; the engine "
+            f"supports at most {width} (Engine(max_logit_bias=...))")
+    ids = np.zeros((width,), np.int32)
+    vals = np.zeros((width,), np.float32)
+    for j, (t, b) in enumerate(sp.logit_bias):
+        ids[j] = t
+        vals[j] = b
+    return ids, vals
 
 
 def apply_repetition_penalty(logits, seen_mask, penalty: float):

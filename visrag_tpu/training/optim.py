@@ -175,3 +175,29 @@ def adamw_from_config(learning_rate, *, weight_decay: float = 0.0,
                               weight_decay=weight_decay,
                               momentum_dtype=dt, variance_dtype=dt,
                               use_kahan_summation=kahan)
+
+
+def constant_schedule_with_warmup(lr: float, num_warmup_steps: int):
+    """Constant LR with linear warmup — the schedule the reference wraps
+    every actor/critic optimizer in (torch_functional.py:190-200 via
+    fsdp_workers.py:309-316: lr_lambda = min(1, step / max(1, warmup))).
+    Evaluated at the pre-increment count (schedule(0) on the first step),
+    matching torch's LambdaLR-before-scheduler-step semantics. Returns the
+    plain float when no warmup is requested."""
+    if num_warmup_steps <= 0:
+        return lr
+
+    def sched(count):
+        frac = jnp.minimum(1.0, count.astype(jnp.float32)
+                           / float(max(1, num_warmup_steps)))
+        return jnp.asarray(lr, jnp.float32) * frac
+    return sched
+
+
+def resolve_warmup_steps(warmup_steps, warmup_ratio: float,
+                         training_steps: int) -> int:
+    """fsdp_workers.py:309-313: explicit lr_warmup_steps wins; otherwise
+    lr_warmup_ratio × training_steps."""
+    if warmup_steps is not None:
+        return int(warmup_steps)
+    return int(warmup_ratio * max(int(training_steps), 0))
