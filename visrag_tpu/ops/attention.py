@@ -484,8 +484,16 @@ def _pick_blocks(sq: int, sk: int, pref_q: Optional[int],
     v5e — at the ViT encode shape (64,1152,16,72→128) full-sequence blocks
     run 10.4 ms vs 16.4 ms at 384² and 26+ ms at 512² (grid padding): fewer
     programs amortize prologue/epilogue and keep the MXU streaming. Cap the
-    fp32 score tile at _SCORE_BUDGET elements; fall back to divisor-friendly
-    sub-blocks for long sequences."""
+    fp32 score tile at _SCORE_BUDGET elements, then clamp by sk: the fwd
+    kernel stages the FULL key sequence per program (K/V BlockSpecs are
+    (1,1,sk,d)), so long sequences squeeze the scoped-VMEM left for score
+    tiles. Boundaries are chip-calibrated by compile probes at the in-model
+    conditions (d padded to 128, v5e 16M scoped VMEM): sk 12288 lowers at
+    512² but not 768×512; sk 15488 lowers at 128×256 but not 256²; sk
+    ≥ 20480 does not lower AT ALL (K/V staging alone exceeds VMEM) — such
+    shapes must use flash_attention_kvgrid (banded/long-S kernel) instead.
+    Found by the multimodal RL bench's combined 4-prompt vision table
+    (S=12288, 18.32M stack vs the 16M limit at 1024² tiles)."""
     if pref_q is not None and pref_k is not None:
         return pref_q, pref_k
     sq128, sk128 = _round_up(sq, 128), _round_up(sk, 128)
@@ -503,7 +511,11 @@ def _pick_blocks(sq: int, sk: int, pref_q: Optional[int],
                 bq //= 2
             else:
                 bk //= 2
-        bq, bk = max(bq, 128), max(bk, 128)
+    if sk128 > 12288:
+        bq, bk = min(bq, 128), min(bk, 256)
+    elif sk128 > 8192:
+        bq, bk = min(bq, 512), min(bk, 512)
+    bq, bk = max(bq, 128), max(bk, 128)
     return (pref_q or bq), (pref_k or bk)
 
 
