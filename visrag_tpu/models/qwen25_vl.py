@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import flash_attention
+from ..ops.attention_kvgrid import flash_attention_kvgrid
 from .common import Dense, RMSNorm
 from .mrope import apply_rope_cos_sin, mrope_cos_sin
 
@@ -51,6 +52,9 @@ class QwenVisionConfig:
     rms_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    # "auto": banded kvgrid kernel on TPU (window layers skip out-of-band
+    # K blocks; any S lowers). "packed": the legacy full-scan segment kernel.
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -191,6 +195,7 @@ class Qwen25VLConfig:
 
 class QwenVisionBlock(nn.Module):
     cfg: QwenVisionConfig
+    full_att: bool = False   # full-attention layer (per-image segments)
 
     @nn.compact
     def __call__(self, x, cos, sin, seg):
@@ -202,7 +207,16 @@ class QwenVisionBlock(nn.Module):
         q, k, v = jnp.split(qkv.reshape(s, 3, h, d), 3, axis=1)
         q, k, v = (t[:, 0][None] for t in (q, k, v))       # (1, S, H, D)
         q, k = apply_rope_cos_sin(q, k, cos[None], sin[None])
-        o = flash_attention(q, k, v, seg[None], seg[None], causal=False)
+        if c.attn_impl == "auto" and jax.default_backend() == "tpu":
+            # banded kernel: window segments are bounded by the window grid
+            # (preprocess/qwen_vision.window_index caps them at vit_ws²·mu);
+            # full-attention layers band per image span with an open bound
+            msl = None if self.full_att else (
+                (c.window_size // c.spatial_merge_size // c.patch_size) ** 2
+                * c.spatial_merge_size ** 2)
+            o = flash_attention_kvgrid(q, k, v, seg[None], max_seg_len=msl)
+        else:
+            o = flash_attention(q, k, v, seg[None], seg[None], causal=False)
         o = Dense(e, e, use_bias=True, dtype=c.dtype,
                   name="attn_proj")(o.reshape(s, e))
         x = x + o
@@ -240,8 +254,10 @@ class QwenVisionTower(nn.Module):
         if c.remat:
             block = nn.remat(QwenVisionBlock)  # see siglip_vit: CSE undoes remat
         for i in range(c.depth):
-            seg = seg_full if i in c.fullatt_block_indexes else seg_window
-            x = block(c, name=f"blocks_{i}")(x, rot_cos, rot_sin, seg)
+            full = i in c.fullatt_block_indexes
+            seg = seg_full if full else seg_window
+            x = block(c, full_att=full,
+                      name=f"blocks_{i}")(x, rot_cos, rot_sin, seg)
 
         # merger: RMSNorm then group merge² neighbors → MLP
         mu = c.spatial_merge_size ** 2
