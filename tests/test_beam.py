@@ -75,6 +75,29 @@ def test_beam_search_multi_eos_matches_hf(models, seed):
     assert abs(got_score - want_score) < 5e-3, (got_score, want_score)
 
 
+@pytest.mark.parametrize("rep", [1.0, 1.2])
+def test_beam_search_batched_matches_sequential(models, rep):
+    """beam_search_batched runs P prompts' k-beam loops in one batched
+    decode; tokens and scores must be identical to per-prompt beam_search
+    (varying prompt lengths; EOS set so prompts finish at different steps
+    and exercise the done-prompt freeze path)."""
+    from visrag_tpu.serving.beam import beam_search, beam_search_batched
+    ref, model, params = models
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 90, size=(int(rng.integers(4, 14)),))
+               .astype(np.int32) for _ in range(4)]
+    eos = [97, 55]
+    got = beam_search_batched(
+        model, params, [dict(input_ids=p) for p in prompts], num_beams=3,
+        max_new_tokens=10, eos_token_ids=eos, repetition_penalty=rep)
+    for p, (seq_b, score_b) in zip(prompts, got):
+        seq_s, score_s = beam_search(model, params, p, num_beams=3,
+                                     max_new_tokens=10, eos_token_ids=eos,
+                                     repetition_penalty=rep)
+        assert seq_b == seq_s, (seq_b, seq_s)
+        np.testing.assert_allclose(score_b, score_s, rtol=1e-5, atol=1e-5)
+
+
 def test_beam_beats_greedy_cumlogprob(models):
     """The beam winner's length-normalized score is >= the greedy sequence's
     (sanity: beam search optimizes exactly this objective)."""

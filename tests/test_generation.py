@@ -94,6 +94,37 @@ def test_weighted_selection():
     assert idx == 1 and best == "b"
 
 
+def test_weighted_selection_strategy_batched_branch():
+    """generate_with_strategy takes the score_fn.batched path when present
+    (ONE call with every page) and returns the same winner as sequential."""
+    from visrag_tpu.generation.strategies import generate_with_strategy
+    pages = [Image.new("RGB", (8, 8), (c, 0, 0)) for c in (10, 20, 30)]
+    scores = {10: -5.0, 20: -0.1, 30: -4.0}
+
+    def score_fn(prompt, images):
+        c = images[0].getpixel((0, 0))[0]
+        return f"ans{c}", scores[c]
+
+    seq = generate_with_strategy(
+        "weighted_selection", "q", pages, [2.0, 1.5, 0.1],
+        generate_fn=score_fn, prompt_builder=lambda q, n: q,
+        score_fn=score_fn)
+
+    calls = []
+
+    def batched(items):
+        calls.append(len(items))
+        return [score_fn(p, imgs) for p, imgs in items]
+
+    score_fn.batched = batched
+    got = generate_with_strategy(
+        "weighted_selection", "q", pages, [2.0, 1.5, 0.1],
+        generate_fn=score_fn, prompt_builder=lambda q, n: q,
+        score_fn=score_fn)
+    assert calls == [3]          # one batched call covering all pages
+    assert got == seq == "ans20"
+
+
 # ---- VisRAG-Gen per-dataset eval protocol (generate.py parity) -------------
 
 

@@ -139,6 +139,29 @@ def _minicpmv_backend(checkpoint: str, max_new_tokens: int,
             repetition_penalty=1.2)
         return tok.decode(ids, skip_special_tokens=True), score
 
+    def score_batch_fn(items):
+        """Batched beam scoring: one (P*k,)-batched decode loop for all of
+        a query's top-k pages (Engine.beam_search_batched) — results
+        identical to sequential score_fn calls."""
+        prompts = []
+        for prompt, images in items:
+            assert len(images) <= 1, "minicpmv backend takes at most one image"
+            arrs = build_encode_batch(tok, [(prompt, images[0] if images
+                                             else None)], pcfg)
+            s = int(arrs["attention_mask"][0].sum())
+            vb = {k: jnp.asarray(arrs[k]) for k in
+                  ("patches", "patch_mask", "pos_matrix", "grid_h",
+                   "grid_w")} if images else None
+            prompts.append(dict(
+                input_ids=arrs["input_ids"][0, :s], vision_batch=vb,
+                slot_map=arrs["slot_map"][0, :s] if images else None))
+        results = engine.beam_search_batched(
+            prompts, num_beams=3, max_new_tokens=max_new_tokens,
+            repetition_penalty=1.2)
+        return [(tok.decode(ids, skip_special_tokens=True), score)
+                for ids, score in results]
+
+    score_fn.batched = score_batch_fn
     generate_fn.score_fn = score_fn
     return generate_fn
 

@@ -90,7 +90,10 @@ def generate_with_strategy(task_type: str, query: str,
     scores candidates with num_beams=3 sequences_scores, MiniCPMV20
     modeling_minicpmv.py:360-392) — falls back to generate_fn's
     single-sequence cum_logprob when absent (a documented deviation;
-    engine backends pass Engine.beam_search here).
+    engine backends pass Engine.beam_search here). When score_fn carries a
+    `.batched` attribute — score_fn.batched(items) with items a list of
+    (prompt, images) → list of (text, score) — weighted_selection scores
+    all top-k pages in ONE batched beam call (Engine.beam_search_batched).
     """
     if task_type == "text":
         text, _ = generate_fn(prompt_builder(query, 0), [])
@@ -103,12 +106,19 @@ def generate_with_strategy(task_type: str, query: str,
         text, _ = generate_fn(prompt_builder(query, len(pages)), list(pages))
         return text
     if task_type == "weighted_selection":
-        answers, lps = [], []
         fn = score_fn if score_fn is not None else generate_fn
-        for img in pages:
-            text, lp = fn(prompt_builder(query, 1), [img])
-            answers.append(text)
-            lps.append(lp)
+        batched = getattr(fn, "batched", None)
+        if batched is not None:
+            results = batched([(prompt_builder(query, 1), [img])
+                               for img in pages])
+            answers = [t for t, _ in results]
+            lps = [lp for _, lp in results]
+        else:
+            answers, lps = [], []
+            for img in pages:
+                text, lp = fn(prompt_builder(query, 1), [img])
+                answers.append(text)
+                lps.append(lp)
         best, _ = weighted_selection(answers, lps, list(doc_scores))
         return best
     raise ValueError(f"unknown task_type {task_type!r}")

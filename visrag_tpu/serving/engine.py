@@ -1147,6 +1147,33 @@ class Engine:
             repetition_penalty=repetition_penalty,
             length_penalty=length_penalty)
 
+    def beam_search_batched(self, prompts: Sequence[dict], *,
+                            num_beams: int = 3, max_new_tokens: int = 64,
+                            repetition_penalty: float = 1.2,
+                            length_penalty: float = 1.0,
+                            max_batch: int = 8):
+        """`beam_search` over many prompts with the per-token decode steps
+        batched (P*k,) — token/score-identical to the sequential path
+        (tests/test_beam.py); the weighted_selection strategy scores one
+        query's top-k retrieved pages in one call instead of k sequential
+        HF-generate loops (reference generate.py:240-267). `max_batch`
+        chunks the prompt list to bound the dense-cache footprint."""
+        from .beam import beam_search_batched
+        out = []
+        for i in range(0, len(prompts), max_batch):
+            chunk = prompts[i:i + max_batch]
+            out.extend(beam_search_batched(
+                self.model, self.params,
+                [dict(input_ids=p["input_ids"],
+                      positions=p.get("positions"),
+                      vision_batch=p.get("vision_batch"),
+                      slot_map=p.get("slot_map")) for p in chunk],
+                num_beams=num_beams, max_new_tokens=max_new_tokens,
+                eos_token_ids=sorted(self.eos),
+                repetition_penalty=repetition_penalty,
+                length_penalty=length_penalty))
+        return out
+
     def generate_detailed(self, prompts: Sequence[dict],
                           sampling: Optional[SamplingParams] = None,
                           rng=None, n: int = 1) -> List[Request]:
