@@ -1007,14 +1007,13 @@ def test_rl_nonfinite_grad_skips_optimizer_state():
     untouched — advancing count/mu/nu on a skip shifts bias correction and
     consumes the Kahan compensation against an update never applied."""
     trainer = _estimator_trainer()
-    p0 = [np.asarray(x).copy() for x in
-          jax.tree_util.tree_leaves(trainer.params["params"])]
+    train, _ = trainer._split_params(trainer.params["params"])
+    p0 = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(train)]
     o0 = [np.asarray(x).copy() for x in
           jax.tree_util.tree_leaves(trainer.opt_state)]
-    bad = jax.tree_util.tree_map(lambda p: jnp.full(p.shape, jnp.nan, p.dtype),
-                                 trainer.params["params"])
-    newp, newo, m = trainer._apply_jit(trainer.params["params"],
-                                       trainer.opt_state, bad)
+    bad = jax.tree_util.tree_map(
+        lambda p: jnp.full(p.shape, jnp.nan, p.dtype), train)
+    newp, newo, m = trainer._apply_jit(train, trainer.opt_state, bad)
     assert m["grad_skipped"] == 1.0
     for a, b in zip(p0, jax.tree_util.tree_leaves(newp)):
         np.testing.assert_array_equal(a, np.asarray(b))

@@ -195,22 +195,20 @@ class RLTrainer:
             adamw_from_config(lr, weight_decay=a.weight_decay,
                               b1=a.betas[0], b2=a.betas[1],
                               state_dtype=a.optimizer_state_dtype))
-        if cfg.actor.freeze_vision_tower:
-            # the reference freezes the tower via requires_grad
-            # (fsdp_workers.py:228-238); here a masked optimizer also stops
-            # weight-decay drift on the zero-grad vision params. NOTE
-            # optax.masked passes the masked-out leaves' RAW GRADIENTS
-            # through as updates — they must be explicitly zeroed or
-            # apply_updates would add unscaled grads to the frozen params
-            frozen = ("visual", "vpm")
-            mask = jax.tree_util.tree_map_with_path(
-                lambda path, x: not any(
-                    getattr(k, "key", "") in frozen for k in path),
-                params["params"])
-            inv = jax.tree_util.tree_map(lambda m: not m, mask)
-            self.tx = optax.chain(optax.masked(self.tx, mask),
-                                  optax.masked(optax.set_to_zero(), inv))
-        self.opt_state = self.tx.init(params["params"])
+        # the reference freezes the tower via requires_grad
+        # (fsdp_workers.py:228-238); here the frozen subtree is EXCLUDED
+        # from differentiation entirely — value_and_grad runs over the
+        # trainable top-level keys only, with the frozen leaves passed as a
+        # non-differentiated argument. This is stronger than a masked
+        # optimizer: no zero-grad tree for the tower is ever materialized
+        # (a 0.67B bf16 tower costs ~1.3 GB of structural zeros per grad
+        # tree — the single-chip multimodal OOM line), no weight-decay
+        # drift, and the optimizer never sees the frozen leaves at all.
+        self._frozen_keys = tuple(
+            k for k in ("visual", "vpm") if k in params["params"]
+        ) if cfg.actor.freeze_vision_tower else ()
+        self.opt_state = self.tx.init(
+            self._split_params(params["params"])[0])
         self.step = 0
         self._vision_jit = None
         self._logp_jit = jax.jit(self._logp_fn)
@@ -222,13 +220,21 @@ class RLTrainer:
         # line of the 1.5B single-chip bench); fused, XLA folds each
         # leaf's grad into the donated buffer as the backward emits it
         self._grad_acc_jit = jax.jit(
-            lambda p, b, t, acc: self._acc(self._grad_fn(p, b, t), acc),
-            donate_argnums=(3,))
+            lambda p, f, b, t, acc: self._acc(self._grad_fn(p, f, b, t),
+                                              acc),
+            donate_argnums=(4,))
         self._grad_packed_acc_jit = jax.jit(
-            lambda p, b, t, acc: self._acc(self._grad_packed_fn(p, b, t),
-                                           acc),
-            donate_argnums=(3,))
+            lambda p, f, b, t, acc: self._acc(
+                self._grad_packed_fn(p, f, b, t), acc),
+            donate_argnums=(4,))
         self._apply_jit = jax.jit(self._apply_fn, donate_argnums=(0, 1, 2))
+
+    def _split_params(self, p):
+        """→ (trainable subtree, frozen subtree) by top-level key."""
+        if not self._frozen_keys:
+            return p, {}
+        return ({k: v for k, v in p.items() if k not in self._frozen_keys},
+                {k: v for k, v in p.items() if k in self._frozen_keys})
 
     # ---- device placement ---------------------------------------------
 
@@ -294,10 +300,10 @@ class RLTrainer:
             clip_ratio_dual=self.cfg.actor.clip_ratio_dual,
             total_tokens=total_tokens)
 
-    def _grad_fn(self, params, batch, total_tokens):
-        def loss_fn(p):
+    def _grad_fn(self, train, frozen, batch, total_tokens):
+        def loss_fn(tp):
             logits, _ = self.model.apply(
-                {"params": p}, batch["input_ids"],
+                {"params": {**tp, **frozen}}, batch["input_ids"],
                 attention_mask=batch["attention_mask"],
                 positions=batch["positions"],
                 sp_mesh=self._sp_mesh,
@@ -309,16 +315,16 @@ class RLTrainer:
             logp = logp * batch["response_mask"]   # already shifted
             return self._ppo_terms(logp, batch, total_tokens)
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            loss_fn, has_aux=True)(train)
         return loss, metrics, grads
 
-    def _grad_packed_fn(self, params, batch, total_tokens):
+    def _grad_packed_fn(self, train, frozen, batch, total_tokens):
         """Padding-free micro step: rows pack several sequences; segment-id
         attention keeps them independent; masks (packed, logp-aligned) zero
         out cross-segment label positions."""
-        def loss_fn(p):
+        def loss_fn(tp):
             logits, _ = self.model.apply(
-                {"params": p}, batch["input_ids"],
+                {"params": {**tp, **frozen}}, batch["input_ids"],
                 positions=batch["positions"],
                 segment_ids=batch["segment_ids"],
                 sp_mesh=self._sp_mesh,
@@ -331,7 +337,7 @@ class RLTrainer:
             logp = logp * batch["response_mask"]
             return self._ppo_terms(logp, batch, total_tokens)
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            loss_fn, has_aux=True)(train)
         return loss, metrics, grads
 
     @staticmethod
@@ -726,16 +732,17 @@ class RLTrainer:
                                   .sum((0, 2)).astype(np.float32), None)
                 groups, _ = token_budget_micro_batches(
                     mlens, max(cfg.actor.micro_batch_tokens, int(S)))
+                train, frozen = self._split_params(self.params["params"])
                 grads = None
                 for g in groups:
                     if packed_ok:
                         micro = self._pack_micro(mini, g, mlens, S)
                         if grads is None:
                             loss, m, grads = self._grad_packed_jit(
-                                self.params["params"], micro, total)
+                                train, frozen, micro, total)
                         else:
                             loss, m, grads = self._grad_packed_acc_jit(
-                                self.params["params"], micro, total, grads)
+                                train, frozen, micro, total, grads)
                     else:
                         rows = self._row_bucket(len(g))
                         # pad with duplicates of a real row (an all-zero
@@ -748,16 +755,16 @@ class RLTrainer:
                         micro = self._put_batch(micro)
                         if grads is None:
                             loss, m, grads = self._grad_jit(
-                                self.params["params"], micro, total)
+                                train, frozen, micro, total)
                         else:
                             loss, m, grads = self._grad_acc_jit(
-                                self.params["params"], micro, total, grads)
+                                train, frozen, micro, total, grads)
                     agg["loss"].append(loss)
                     for k, v in m.items():
                         agg[k].append(v)
-                self.params["params"], self.opt_state, am = self._apply_jit(
-                    self.params["params"], self.opt_state, grads)
-                self.params = {"params": self.params["params"]}
+                train, self.opt_state, am = self._apply_jit(
+                    train, self.opt_state, grads)
+                self.params = {"params": {**train, **frozen}}
                 for k, v in am.items():
                     agg[k].append(v)
         if self._engine is not None and self._engine.tp == 1:
