@@ -162,3 +162,36 @@ def test_kvgrid_gqa_and_uneven_seq():
     real = seg > 0
     np.testing.assert_allclose(np.asarray(o)[:, real],
                                np.asarray(ref)[:, real], atol=2e-5, rtol=2e-4)
+
+
+def test_attn_impl_banded_and_invalid():
+    """QwenVisionConfig.attn_impl='banded' explicitly selects the kvgrid
+    path (off-TPU it falls back to the XLA reference — output must equal
+    the 'packed' impl); an unknown impl raises instead of silently running
+    the packed kernel (the misconfiguration that would cost 7.1x on TPU)."""
+    import dataclasses
+
+    import pytest
+
+    from visrag_tpu.models.qwen25_vl import QwenVisionConfig, QwenVisionTower
+    from visrag_tpu.preprocess.qwen_vision import prepare_vision_batch
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(rng.integers(0, 255, (140, 196, 3), np.uint8))
+    cfg = QwenVisionConfig.tiny()
+    vb = prepare_vision_batch([img], head_dim=cfg.head_dim,
+                              min_pixels=56 * 56, max_pixels=140 * 196)
+    keys = ("patches", "rot_cos", "rot_sin", "seg_window", "seg_full",
+            "reverse_index")
+    batch = {k: jnp.asarray(getattr(vb, k)) for k in keys}
+
+    def run(impl):
+        tower = QwenVisionTower(dataclasses.replace(cfg, attn_impl=impl))
+        p = tower.init(jax.random.PRNGKey(0), **batch)
+        return np.asarray(tower.apply(p, **batch))
+
+    np.testing.assert_allclose(run("banded"), run("packed"),
+                               atol=1e-4, rtol=1e-3)
+    with pytest.raises(ValueError, match="attn_impl"):
+        run("flash")

@@ -105,6 +105,31 @@ def test_rl_main_cli_and_resume(tiny_ckpt, tmp_path):
     assert ck2 is not None and ck2 != ck1
 
 
+def test_rl_main_cli_gae_builds_critic(tiny_ckpt, tmp_path):
+    """adv_estimator=gae from the CLI builds a critic (reference
+    main_ppo.py spawns a critic worker for gae) — backbone copied from the
+    actor checkpoint, fresh value head, warmup horizon from total_steps."""
+    from visrag_tpu.driver.rl_main import main
+    data = tmp_path / "rl.jsonl"
+    with open(data, "w") as f:
+        for i in range(2):
+            f.write(json.dumps({
+                "problem": f"what is on this page tok{i}",
+                "answer": "< answer > tok1 < / answer >"}) + "\n")
+    out = tmp_path / "out_gae"
+    args = ["--data", str(data), "--checkpoint", tiny_ckpt,
+            "--output-dir", str(out),
+            "--set", "algorithm.adv_estimator=gae",
+            "--set", "critic.lr_warmup_ratio=0.5",
+            "--set", "trainer.total_steps=1",
+            "--set", "trainer.rollout_batch_size=2",
+            "--set", "trainer.critic_warmup=0",
+            "--set", "rollout.n=2", "--set", "rollout.max_response_length=8",
+            "--set", "rollout.max_prompt_length=504"]
+    assert main(args) == 0
+    assert (out / "run_config.json").exists()
+
+
 def test_evisrag_predict_cli(tiny_ckpt, tmp_path):
     from PIL import Image
     from visrag_tpu.driver.evisrag_predict import main

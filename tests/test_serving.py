@@ -966,7 +966,37 @@ def test_logit_bias_bans_tokens_all_paths(tiny_model):
     assert got != base
 
 
-def test_logit_bias_too_many_entries_raises(tiny_model):
+def test_logit_bias_forks_not_double_biased(tiny_model):
+    """A MODERATE logit bias must be applied exactly once to n-sampling
+    forks: the whole-prefill path publishes RAW prompt-end logits for the
+    group (the bias is added once, in _fork_fn), so fork tokens and
+    cum_logprobs are identical to the chunked-prefill path, which always
+    published raw logits. A double application (biasing the published
+    array in place AND in _fork_fn) skews fork sampling at any |bias|
+    small enough not to ban outright — invisible to the -1e9 ban test."""
+    ref, model, params = tiny_model
+    rng = np.random.default_rng(62)
+    prompts = [dict(input_ids=rng.integers(0, 100, size=(18,))
+                    .astype(np.int32)) for _ in range(2)]
+
+    def run(chunked):
+        kw = dict(num_slots=4, max_len=128, prompt_buckets=(16, 64))
+        if chunked:
+            kw["chunked_prefill_tokens"] = 16   # 18-token prompts chunk
+        eng = Engine(model, params, **kw)
+        sp = SamplingParams(temperature=0.0, max_tokens=6,
+                            logit_bias=((5, 1.5), (7, -1.5)))
+        reqs = eng.generate_detailed(prompts, sampling=sp,
+                                     rng=jax.random.PRNGKey(3), n=2)
+        return [(r.output_ids, r.cum_logprob) for r in reqs]
+
+    whole, chunked = run(False), run(True)
+    # tokens exactly equal; logprobs to 1e-3 (whole vs chunked prefill
+    # accumulate differently at f32 noise scale — a double-applied 1.5
+    # bias would shift fork logprobs by O(1))
+    for (tw, lw), (tc, lc) in zip(whole, chunked):
+        assert tw == tc, (whole, chunked)
+        assert abs(lw - lc) < 1e-3, (whole, chunked)
     ref, model, params = tiny_model
     eng = Engine(model, params, num_slots=1, max_len=64,
                  prompt_buckets=(16,), max_logit_bias=2)

@@ -408,7 +408,8 @@ def _vision_prompt_b3(rng, cfg, vb, instr_tokens=380, tail_tokens=220):
     span_mask = np.zeros(ids.shape, bool)
     off = instr_tokens
     for s in spans:
-        off += 1                      # the vision_start token
+        span_mask[off] = True         # the real vision_start marker
+        off += 1
         span_mask[off:off + len(s)] = True
         off += len(s)
     ids[(ids == cfg.image_token_id) & ~span_mask] = 11
@@ -1086,6 +1087,84 @@ def bench_rollout():
     }))
 
 
+def bench_beam_ws():
+    """weighted_selection page scoring at scale (the VisRAG-Gen eval
+    protocol, reference generate.py:240-267: each of a query's top-k
+    retrieved pages is scored with an HF num_beams=3 generate loop,
+    sequentially). Sequential beam_search (P host loops, one (k,)-batched
+    decode dispatch per token per page) vs beam_search_batched (ONE
+    (P*k,)-batched dispatch per token for all pages). Qwen-3B text stack,
+    P pages x 600-token evidence prompts, 64 scored tokens, no EOS so both
+    paths run the full token budget (deterministic equal work). Results
+    are token/score-identical (asserted)."""
+    import jax
+    import jax.numpy as jnp
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.serving.beam import beam_search, beam_search_batched
+
+    n_pages = int(os.environ.get("BENCH_BEAM_PAGES", 10))
+    plen = int(os.environ.get("BENCH_BEAM_PROMPT", 600))
+    new = int(os.environ.get("BENCH_BEAM_NEW", 64))
+    k = 3
+    if os.environ.get("BENCH_TINY"):
+        cfg = Qwen25VLConfig.tiny()
+        n_pages, plen, new = 3, 24, 8
+    else:
+        cfg = Qwen25VLConfig.b3()
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+    ids0 = jnp.asarray(rng.integers(1, 150000, size=(1, 32)), "int32")
+    pos0 = jnp.broadcast_to(jnp.arange(32), (3, 1, 32)).astype("int32")
+
+    @jax.jit
+    def init_bf16(key):
+        p = model.init(key, ids0, positions=pos0)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+            else x, p)
+
+    t0 = time.time()
+    params = init_bf16(jax.random.PRNGKey(0))
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"init {time.time()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    hi = min(150000, cfg.text.vocab_size - 1)
+    prompts = [dict(input_ids=rng.integers(1, hi, size=(plen,))
+                    .astype(np.int32)) for _ in range(n_pages)]
+    kw = dict(num_beams=k, max_new_tokens=new, eos_token_ids=(),
+              repetition_penalty=1.2)
+
+    t0 = time.time()
+    got_b = beam_search_batched(model, params, prompts, **kw)
+    log(f"batched cold (compile+run) {time.time()-t0:.0f}s")
+    t0 = time.time()
+    got_s = [beam_search(model, params, p["input_ids"], **kw)
+             for p in prompts]
+    log(f"sequential cold {time.time()-t0:.0f}s")
+    for (sb, cb), (ss, cs) in zip(got_b, got_s):
+        assert sb == ss and abs(cb - cs) < 1e-4, "batched != sequential"
+
+    t0 = time.time()
+    beam_search_batched(model, params, prompts, **kw)
+    t_batched = time.time() - t0
+    t0 = time.time()
+    for p in prompts:
+        beam_search(model, params, p["input_ids"], **kw)
+    t_seq = time.time() - t0
+    log(f"warm: batched {t_batched:.2f}s vs sequential {t_seq:.2f}s; "
+        f"decode dispatches {new - 1} vs {n_pages * (new - 1)}")
+    print(json.dumps({
+        "metric": "beam_ws_batched_speedup",
+        "value": round(t_seq / t_batched, 2), "unit": "x (P-page scoring)",
+        "detail": {"pages": n_pages, "num_beams": k, "prompt_len": plen,
+                   "scored_tokens": new,
+                   "s_batched": round(t_batched, 2),
+                   "s_sequential": round(t_seq, 2),
+                   "params_b": round(float(n_params) / 1e9, 2)},
+    }))
+
+
 def bench_retrieve():
     """Retrieval serving latency (the BASELINE.json p50 headline): one live
     query → flagship VisRAG-Ret text encode (full-width 2.4B LM, wmean pool,
@@ -1219,4 +1298,5 @@ if __name__ == "__main__":
      "serve_prefix": bench_serve_prefix,
      "rl": bench_rl, "rl_e2e": bench_rl_e2e,
      "rl_e2e_vision": bench_rl_e2e_vision,
-     "rollout": bench_rollout, "retrieve": bench_retrieve}[mode]()
+     "rollout": bench_rollout, "beam_ws": bench_beam_ws,
+     "retrieve": bench_retrieve}[mode]()

@@ -115,6 +115,27 @@ def main(argv=None):
     cpt = cfg.rollout.chunked_prefill_tokens
     if cpt is None and cfg.rollout.max_prompt_length >= 4096:
         cpt = 2048
+    critic = None
+    if cfg.algorithm.adv_estimator == "gae":
+        # gae needs a learned value baseline: build the critic the way the
+        # reference's driver does (main_ppo.py role="critic" worker — same
+        # base model, fresh token-classification head, dp_critic.py). The
+        # backbone is COPIED from the actor checkpoint (fresh buffers: the
+        # critic trains and donates its params; sharing arrays with the
+        # actor would invalidate them), the value head is the random init.
+        import jax.numpy as jnp
+        from ..models.qwen25_vl import QwenForValue
+        from ..rl.critic import CriticTrainer
+        vmodel = QwenForValue(mcfg.text)
+        vparams = jax.jit(vmodel.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+            positions=jnp.zeros((3, 1, 8), jnp.int32))
+        vparams["params"]["model"] = jax.tree_util.tree_map(
+            jnp.array, params["params"]["model"])
+        critic = CriticTrainer(
+            vmodel, vparams, cfg.critic, mesh=mesh,
+            global_batch_size=cfg.trainer.global_batch_size,
+            total_steps=cfg.trainer.total_steps)
     trainer = RLTrainer(
         model, params, cfg, tokenizer_decode=lambda ids: tok.decode(ids),
         tokenizer_batch_decode=lambda seqs: tok.batch_decode(list(seqs)),
@@ -125,7 +146,7 @@ def main(argv=None):
                            chunked_prefill_tokens=cpt,
                            prefix_cache=bool(cfg.rollout.prefix_cache
                                              and cpt is not None)),
-        mesh=mesh, banned_token_ids=banned)
+        mesh=mesh, banned_token_ids=banned, critic=critic)
 
     # checkpointable prompt cursor (StatefulDataLoader role): resume
     # continues at the exact dataset row with the saved rng

@@ -207,7 +207,13 @@ class QwenVisionBlock(nn.Module):
         q, k, v = jnp.split(qkv.reshape(s, 3, h, d), 3, axis=1)
         q, k, v = (t[:, 0][None] for t in (q, k, v))       # (1, S, H, D)
         q, k = apply_rope_cos_sin(q, k, cos[None], sin[None])
-        if c.attn_impl == "auto" and jax.default_backend() == "tpu":
+        if c.attn_impl not in ("auto", "banded", "packed"):
+            raise ValueError(
+                f"QwenVisionConfig.attn_impl {c.attn_impl!r}: expected "
+                "'auto' (banded on TPU, packed elsewhere), 'banded', or "
+                "'packed'")
+        if c.attn_impl == "banded" or (
+                c.attn_impl == "auto" and jax.default_backend() == "tpu"):
             # banded kernel: window segments are bounded by the window grid
             # (preprocess/qwen_vision.window_index caps them at vit_ws²·mu);
             # full-attention layers band per image span with an open bound

@@ -432,8 +432,12 @@ class Engine:
         k_cache, v_cache = write_prefill(k_cache, v_cache, k, v, rows, bucket)
         prow = jnp.zeros((self.vocab,), jnp.bool_)
         prow = prow.at[ids[0]].max(mask[0] > 0)
-        last = last.at[0, bias_ids].add(bias_vals.astype(last.dtype))
-        tok, logp = sample_vec(last, rng, temp[None], top_p[None],
+        # bias only the sampling input — the RAW prompt-end logits are
+        # published for n-sampling forks, which apply their OWN bias in
+        # _fork_fn (biasing `last` itself would double-apply it there,
+        # and the chunked path already publishes raw logits)
+        biased = last.at[0, bias_ids].add(bias_vals.astype(last.dtype))
+        tok, logp = sample_vec(biased, rng, temp[None], top_p[None],
                                rep_pen[None], prow[None])
         row = prow.at[tok[0]].set(True)
         seen = jax.lax.dynamic_update_slice(seen, row[None], (slot, 0))
@@ -459,9 +463,10 @@ class Engine:
         K = ids.shape[0]
         prows = jnp.zeros((K, self.vocab), jnp.bool_)
         prows = prows.at[jnp.arange(K)[:, None], ids].max(mask > 0)
-        last = last.at[jnp.arange(K)[:, None], bias_ids].add(
+        # raw `last` is published for forks (see _prefill_fn note)
+        biased = last.at[jnp.arange(K)[:, None], bias_ids].add(
             bias_vals.astype(last.dtype))
-        tok, logp = sample_vec(last, rng, temp, top_p, rep_pen, prows)
+        tok, logp = sample_vec(biased, rng, temp, top_p, rep_pen, prows)
         rows_seen = prows.at[jnp.arange(K), tok].set(True)
         seen = seen.at[slots].set(rows_seen)
         k_cache, v_cache = self._pin_pools(k_cache, v_cache)
