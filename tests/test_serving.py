@@ -777,6 +777,112 @@ def test_prefix_cache_reuses_blocks(tiny_model):
     assert eng.prefix_hits > 0
 
 
+def _vision_prefix_prompt(rng, cfg, prefix, px=112, tail=4, img_rng=None):
+    """Vision prompt with an explicit shared TEXT prefix before the image
+    (the EVisRAG evidence-instruction layout, predict.py:100-105)."""
+    from PIL import Image
+    from visrag_tpu.models.mrope import get_rope_index
+    from visrag_tpu.preprocess.qwen_vision import prepare_vision_batch
+
+    irng = img_rng if img_rng is not None else rng
+    img = Image.fromarray(irng.integers(0, 255, (px, px, 3), dtype=np.uint8))
+    vb = prepare_vision_batch([img], head_dim=cfg.vision.head_dim,
+                              patch_size=cfg.vision.patch_size,
+                              min_pixels=16 * 16, max_pixels=px * px)
+    n_img = vb.n_tokens
+    ids = np.concatenate([
+        np.asarray(prefix, np.int32),
+        np.full((n_img,), cfg.image_token_id),
+        rng.integers(0, 100, size=(tail,)),
+    ]).astype(np.int32)
+    pos = get_rope_index(ids, vb.grid_thw, cfg.image_token_id)
+    slot = np.full(ids.shape, -1, np.int32)
+    slot[ids == cfg.image_token_id] = np.arange(n_img)
+    vision_batch = {k: getattr(vb, k) for k in
+                    ("patches", "rot_cos", "rot_sin", "seg_window",
+                     "seg_full", "reverse_index")}
+    return dict(input_ids=ids, positions=pos, vision_batch=vision_batch,
+                slot_map=slot)
+
+
+def test_prefix_cache_vision_pre_image_span(tiny_model):
+    """Multimodal prefix caching (VERDICT round-4 #3): vision prompts share
+    the pre-first-image TEXT span. A second vision prompt with the same
+    evidence instruction resumes past the cached text chunks, and a text
+    prompt with the same leading ids shares them too (pre-image K/V is a
+    pure function of the ids under causal attention). Greedy outputs must
+    be identical to an engine without the cache."""
+    ref, model, params = tiny_model
+    cfg = model.cfg
+    rng = np.random.default_rng(83)
+    prefix = rng.integers(0, 100, size=(48,)).astype(np.int32)
+    p1 = _vision_prefix_prompt(rng, cfg, prefix)
+    p2 = _vision_prefix_prompt(rng, cfg, prefix)   # different image + tail
+    p3 = dict(input_ids=np.concatenate(
+        [prefix, rng.integers(0, 100, size=(9,)).astype(np.int32)]))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+
+    def fresh(cache):
+        return Engine(model, params, num_slots=1, max_len=256,
+                      prompt_buckets=(16, 128), chunked_prefill_tokens=16,
+                      prefix_cache=cache)
+
+    eng0 = fresh(False)
+    want = [eng0.generate([p], sampling=sp, rng=jax.random.PRNGKey(4))[0]
+            for p in (p1, p2, p3)]
+    eng = fresh(True)
+    got, disp = [], []
+    for p in (p1, p2, p3):
+        before = eng.prefill_dispatches
+        got.append(eng.generate([p], sampling=sp,
+                                rng=jax.random.PRNGKey(4))[0])
+        disp.append(eng.prefill_dispatches - before)
+    assert got == want, (got, want)
+    # p2 and p3 both resumed past cached text chunks
+    assert disp[1] < disp[0], disp
+    assert eng.prefix_hits > 0
+
+
+def test_prefix_cache_vision_no_image_block_cross_hit(tiny_model):
+    """Correctness guard: two vision prompts with IDENTICAL token ids but
+    DIFFERENT images must never share image-span blocks — image-pad K/V
+    depends on pixel content the id-keyed chain cannot see. Only the
+    pre-image text span may hit; outputs equal the uncached engine."""
+    ref, model, params = tiny_model
+    cfg = model.cfg
+    rng = np.random.default_rng(89)
+    prefix = rng.integers(0, 100, size=(48,)).astype(np.int32)
+    tail_rng = np.random.default_rng(5)
+    imgs = [np.random.default_rng(s) for s in (11, 22)]
+    prompts = []
+    for ir in imgs:
+        prompts.append(_vision_prefix_prompt(
+            np.random.default_rng(5), cfg, prefix, img_rng=ir))
+    # identical ids/positions/slots, different pixels
+    np.testing.assert_array_equal(prompts[0]["input_ids"],
+                                  prompts[1]["input_ids"])
+    assert not np.array_equal(
+        np.asarray(prompts[0]["vision_batch"]["patches"]),
+        np.asarray(prompts[1]["vision_batch"]["patches"]))
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+
+    def fresh(cache):
+        return Engine(model, params, num_slots=1, max_len=256,
+                      prompt_buckets=(16, 128), chunked_prefill_tokens=16,
+                      prefix_cache=cache)
+
+    eng0 = fresh(False)
+    want = [eng0.generate([p], sampling=sp, rng=jax.random.PRNGKey(4))[0]
+            for p in prompts]
+    eng = fresh(True)
+    got = [eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(4))[0]
+           for p in prompts]
+    assert got == want, (got, want)
+    assert eng.prefix_hits > 0     # the text span did hit
+    # the cache holds only pre-image chain entries: at most prefix//bs
+    assert len(eng._prefix_cache) <= len(prefix) // eng.block_size
+
+
 def test_add_request_validates_length(tiny_model):
     """Bad prompts fail at add_request, not mid-run: a max_len prompt has
     no room for even one generated token; an over-bucket prompt that cannot
@@ -888,8 +994,10 @@ def test_pressure_spares_heads_own_prefix_chain(tiny_model):
     d0 = eng.prefill_dispatches
     got = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
     assert got == want
-    assert eng.prefix_hits == 2                   # resumed at token 16
-    assert eng.prefill_dispatches - d0 == 1       # only chunk [16,32) reran
+    # block-aligned resume: 3 of the 4 cached blocks shared (resume at
+    # token 24 — the cap below s forces the last block to recompute)
+    assert eng.prefix_hits == 3
+    assert eng.prefill_dispatches - d0 == 1       # one chunk [24,40) reran
 
 
 def test_allocator_rejects_double_release():
@@ -997,6 +1105,9 @@ def test_logit_bias_forks_not_double_biased(tiny_model):
     for (tw, lw), (tc, lc) in zip(whole, chunked):
         assert tw == tc, (whole, chunked)
         assert abs(lw - lc) < 1e-3, (whole, chunked)
+
+
+def test_logit_bias_too_many_entries_raises(tiny_model):
     ref, model, params = tiny_model
     eng = Engine(model, params, num_slots=1, max_len=64,
                  prompt_buckets=(16,), max_logit_bias=2)

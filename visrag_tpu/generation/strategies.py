@@ -106,6 +106,8 @@ def generate_with_strategy(task_type: str, query: str,
         text, _ = generate_fn(prompt_builder(query, len(pages)), list(pages))
         return text
     if task_type == "weighted_selection":
+        if not pages:
+            raise ValueError("weighted_selection needs at least one page")
         fn = score_fn if score_fn is not None else generate_fn
         batched = getattr(fn, "batched", None)
         if batched is not None:

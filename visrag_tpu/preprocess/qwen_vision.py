@@ -285,6 +285,21 @@ def combine_vision_batches(vbs, merge_size: int = 2):
         offsets.append(row_offset)
         sw = np.asarray(get("seg_window"))
         sf = np.asarray(get("seg_full"))
+        # The banded kernel's _band_bounds (ops/attention_kvgrid.py) assumes
+        # each table's real ids form ONE non-decreasing run with padding (0)
+        # only at the tail; an interior zero run (e.g. a pad_to'd sub-table)
+        # would silently truncate the K band and drop real attention.
+        for name, seg in (("seg_window", sw), ("seg_full", sf)):
+            real = seg > 0
+            if real.any():
+                last = int(np.flatnonzero(real)[-1])
+                if not real[:last + 1].all() or \
+                        np.any(np.diff(seg[:last + 1]) < 0):
+                    raise ValueError(
+                        f"combine_vision_batches: {name} must be one "
+                        "non-decreasing run of real ids with padding only "
+                        "at the tail (pass unpadded per-prompt tables, not "
+                        "pad_to'd ones)")
         arrs["patches"].append(np.asarray(get("patches")))
         arrs["rot_cos"].append(np.asarray(get("rot_cos")))
         arrs["rot_sin"].append(np.asarray(get("rot_sin")))

@@ -101,7 +101,11 @@ def compute_kl(log_probs, ref_log_probs, kind: str = "low_var_kl"):
         d = jnp.clip(ref_log_probs - log_probs, -20.0, 20.0)
         return jnp.clip(jnp.exp(d) - d - 1.0, -10.0, 10.0)
     if kind == "full":
-        raise NotImplementedError("full KL needs the whole distribution")
+        raise NotImplementedError(
+            "kl_penalty='full' is a deliberate wontfix (see BASELINE.md "
+            "'full-KL' note): the reference's F.kl_div over the SEQUENCE "
+            "dim of chosen-token logprobs (core_algos.py:559-560) is not a "
+            "KL between distributions; use kl/abs/mse/low_var_kl")
     raise ValueError(kind)
 
 
