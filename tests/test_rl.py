@@ -482,6 +482,11 @@ def test_make_batch_fresh_prompts():
             self.cfg = cfg
             self.tag_token_ids = {"<think>": [50], "<evidence>": [51],
                                   "<answer>": [52]}
+            from visrag_tpu.rl.reward_manager import RewardManager
+            self.reward_manager = RewardManager(
+                cfg.reward,
+                max_response_length=cfg.rollout.max_response_length)
+            self.channels = self.reward_manager.channels
             self._uid_next = 0
             self.consumed = []
 

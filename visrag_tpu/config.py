@@ -298,6 +298,31 @@ class ActorConfig:
 
 
 @dataclass
+class RewardConfig:
+    """Pluggable rule-based reward (reference verl/workers/reward/config.py
+    + function.py:47-105).
+
+    reward_function: "path/to/file.py" or "path/to/file.py:fn_name" —
+    importlib-loaded with loud errors on a missing file / attribute, exactly
+    like FunctionRewardManager.__init__ (function.py:52-68). None = the
+    in-tree evidencecot channels (rl/rewards.py), today's default behavior.
+    reward_function_name: explicit fn name (wins over the ":name" suffix);
+    None → ":name" split or "main" (config.py post_init :34-43).
+    reward_type selects the manager: "batch" = span-scoped multi-channel
+    (BatchFunctionRewardManager role; the loaded module may export
+    REWARD_CHANNELS (tuple of names) and CHANNEL_SPANS (name →
+    (start_tag|None, end_tag|None)) to override the evidencecot spans);
+    "sequential" = one scalar per response (SequentialFunctionRewardManager's
+    scalar-at-last-token — scoped over the whole response here, which is
+    equivalent after the estimators broadcast the scalar advantage)."""
+    reward_type: str = "batch"
+    reward_function: Optional[str] = None
+    reward_function_name: Optional[str] = None
+    reward_function_kwargs: dict = field(default_factory=dict)
+    skip_special_tokens: bool = True
+
+
+@dataclass
 class AlgorithmConfig:
     # router|grpo|rloo|reinforce_plus_plus|remax|gae all run end-to-end
     # (remax adds one greedy n=1 rollout per prompt batch as its baseline —
@@ -363,4 +388,5 @@ class RLConfig:
     actor: ActorConfig = field(default_factory=ActorConfig)
     critic: CriticConfig = field(default_factory=CriticConfig)
     algorithm: AlgorithmConfig = field(default_factory=AlgorithmConfig)
+    reward: RewardConfig = field(default_factory=RewardConfig)
     trainer: RLTrainerConfig = field(default_factory=RLTrainerConfig)

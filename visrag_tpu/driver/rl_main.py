@@ -70,8 +70,14 @@ def main(argv=None):
     mcfg = qwen_config_from_checkpoint(args.checkpoint, state)
     model = Qwen25VL(mcfg)
 
+    # the reward manager owns the channel list + span-tag table; tags are
+    # encoded for exactly the spans it declares (custom reward modules may
+    # declare their own via REWARD_CHANNELS/CHANNEL_SPANS exports)
+    from ..rl.reward_manager import RewardManager
+    reward_manager = RewardManager(
+        cfg.reward, max_response_length=cfg.rollout.max_response_length)
     tags = {t: tok.encode(t, add_special_tokens=False)
-            for t in ("<think>", "<evidence>", "<answer>")}
+            for t in sorted(reward_manager.required_tags)}
     # ban the image token in rollout sampling (the reference's logit_bias
     # {image_token_id: -100}, vllm_rollout_spmd.py:42-49) — a sampled
     # <image> mid-response would enter the update with a dangling slot map
@@ -138,7 +144,10 @@ def main(argv=None):
             total_steps=cfg.trainer.total_steps)
     trainer = RLTrainer(
         model, params, cfg, tokenizer_decode=lambda ids: tok.decode(ids),
-        tokenizer_batch_decode=lambda seqs: tok.batch_decode(list(seqs)),
+        tokenizer_batch_decode=lambda seqs: tok.batch_decode(
+            list(seqs),
+            skip_special_tokens=cfg.reward.skip_special_tokens),
+        reward_manager=reward_manager,
         tag_token_ids=tags, eos_token_ids=[tok.eos_token_id],
         engine_kwargs=dict(num_slots=8,
                            max_len=cfg.rollout.max_prompt_length +

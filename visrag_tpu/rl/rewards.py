@@ -195,19 +195,27 @@ def find_first_subsequence(row: np.ndarray, sub: np.ndarray) -> int:
 
 def build_reward_masks(response_ids: np.ndarray, response_mask: np.ndarray,
                        tag_token_ids: Dict[str, Sequence[int]],
-                       channels: Sequence[str] = REWARD_CHANNELS) -> np.ndarray:
+                       channels: Sequence[str] = REWARD_CHANNELS,
+                       spans: Optional[Dict[str, Tuple[Optional[str],
+                                                       Optional[str]]]] = None
+                       ) -> np.ndarray:
     """(bs, len) response ids → (bs, n_channels, len) scoped masks.
 
     tag_token_ids: tag string ("<think>" etc.) → token-id subsequence (the
     tokenizer's encode of the tag, reference function.py:162-180).
+    spans: channel → (start_tag|None, end_tag|None); defaults to the
+    evidencecot CHANNEL_SPANS (custom reward modules supply their own via
+    rl.reward_manager.RewardManager.spans).
     """
+    if spans is None:
+        spans = CHANNEL_SPANS
     bs, seq_len = response_ids.shape
     out = np.repeat(response_mask[:, None, :], len(channels), axis=1).astype(np.int32)
     pos = np.arange(seq_len)
     for b in range(bs):
         row = response_ids[b]
         for ci, ch in enumerate(channels):
-            start_tag, end_tag = CHANNEL_SPANS[ch]
+            start_tag, end_tag = spans[ch]
             if start_tag is not None:
                 sub = np.asarray(tag_token_ids[start_tag])
                 idx = find_first_subsequence(row, sub)

@@ -53,7 +53,8 @@ from ..serving.sampling import SamplingParams
 from .advantage import compute_advantage
 from .packing import pack_sequences
 from .ppo import log_probs_from_logits, ppo_loss
-from .rewards import REWARD_CHANNELS, build_reward_masks, compute_rewards
+from .reward_manager import RewardManager
+from .rewards import build_reward_masks
 from .seqlen import reorder_for_dp, token_budget_micro_batches
 
 # batch keys indexed by row (dim 0); "positions" is (3, bs, S) → dim 1
@@ -103,7 +104,8 @@ class RLTrainer:
                  rollout_model=None,
                  banned_token_ids: Sequence[int] = (),
                  tokenizer_batch_decode: Optional[
-                     Callable[[Sequence[Sequence[int]]], List[str]]] = None):
+                     Callable[[Sequence[Sequence[int]]], List[str]]] = None,
+                 reward_manager: Optional[RewardManager] = None):
         self.model = model
         # rollout_model: same architecture/params for the Engine, typically
         # the remat=False variant — inference needs no rematerialization and
@@ -163,6 +165,21 @@ class RLTrainer:
         self.batch_decode = tokenizer_batch_decode if \
             tokenizer_batch_decode is not None else \
             (lambda seqs: [tokenizer_decode(s) for s in seqs])
+        # pluggable rewards (reference FunctionRewardManager,
+        # function.py:47-105): cfg.reward.reward_function importlib-loads a
+        # user scorer; None = in-tree evidencecot. The manager owns the
+        # channel list + token-span table consumed everywhere below.
+        self.reward_manager = reward_manager if reward_manager is not None \
+            else RewardManager(
+                cfg.reward,
+                max_response_length=cfg.rollout.max_response_length)
+        self.channels = self.reward_manager.channels
+        missing_tags = self.reward_manager.required_tags - set(tag_token_ids)
+        if missing_tags:
+            raise ValueError(
+                f"tag_token_ids is missing encodings for span tags "
+                f"{sorted(missing_tags)} required by the reward channels — "
+                "encode them with the tokenizer (add_special_tokens=False)")
         self.tag_token_ids = tag_token_ids
         self.eos = tuple(eos_token_ids)
         # rollout sampling bans these ids via logit bias -100 — the
@@ -485,10 +502,9 @@ class RLTrainer:
             with timers("gen"):
                 rb = self.rollout(prompts, r1)
             with timers("reward"):
-                reward_tensor, _metrics = compute_rewards(
+                reward_tensor, _metrics = self.reward_manager.compute(
                     rb.response_texts, rb.ground_truths,
-                    [len(r) for r in rb.responses],
-                    max_response_length=self.cfg.rollout.max_response_length)
+                    [len(r) for r in rb.responses])
             baselines = None
             if alg.adv_estimator == "remax":
                 # ReMax greedy baseline (ray_trainer.py:497-509): one extra
@@ -499,15 +515,17 @@ class RLTrainer:
                 with timers("gen"):
                     grb = self.rollout(prompts, r2, n=1, temperature=0.0)
                 with timers("reward"):
-                    g_rewards, _ = compute_rewards(
+                    g_rewards, _ = self.reward_manager.compute(
                         grb.response_texts, grb.ground_truths,
-                        [len(r) for r in grb.responses],
-                        max_response_length=self.cfg.rollout
-                        .max_response_length)
+                        [len(r) for r in grb.responses])
                 baselines = np.repeat(g_rewards.sum(-1), n)
             keep_uids = set(rb.uid.tolist())
             if alg.online_filtering:
-                ch = REWARD_CHANNELS.index(alg.filter_key)
+                if alg.filter_key not in self.channels:
+                    raise ValueError(
+                        f"algorithm.filter_key={alg.filter_key!r} is not a "
+                        f"reward channel (have {list(self.channels)})")
+                ch = self.channels.index(alg.filter_key)
                 keep_uids = set()
                 for uid in np.unique(rb.uid):
                     sel = rb.uid == uid
@@ -581,11 +599,12 @@ class RLTrainer:
             r = rb.responses[i]
             resp_arr[j, :len(r)] = r
             resp_m[j, :len(r)] = 1
-        reward_masks_resp = build_reward_masks(resp_arr, resp_m,
-                                               self.tag_token_ids)
+        reward_masks_resp = build_reward_masks(
+            resp_arr, resp_m, self.tag_token_ids,
+            channels=self.channels, spans=self.reward_manager.spans)
         # lift response-relative masks onto the full sequence layout
         bs, S = rb.input_ids[sel].shape
-        reward_masks = np.zeros((bs, len(REWARD_CHANNELS), S), np.int32)
+        reward_masks = np.zeros((bs, len(self.channels), S), np.int32)
         for j, i in enumerate(sel):
             pl = int(np.sum(rb.attention_mask[i]) -
                      np.sum(rb.response_mask[i]))
@@ -602,7 +621,7 @@ class RLTrainer:
             # over the FULL assembled batch in fit() — critic values /
             # batch whitening / the reward-side KL penalty all need the
             # whole batch, not one filtering part
-            adv = np.zeros((bs, len(REWARD_CHANNELS)), np.float32)
+            adv = np.zeros((bs, len(self.channels)), np.float32)
         part = dict(input_ids=rb.input_ids[sel],
                     attention_mask=rb.attention_mask[sel],
                     positions=rb.positions[:, sel],
@@ -646,7 +665,7 @@ class RLTrainer:
                     seqlens, width: int) -> Dict[str, jax.Array]:
         """Build the packed (padding-free) micro-batch: trim each sequence to
         its true length, pack with segment ids, pad rows to a dp-multiple."""
-        nch = len(REWARD_CHANNELS)
+        nch = len(self.channels)
         seqs, extra = [], defaultdict(list)
         for i in g:
             L = int(seqlens[i])
@@ -860,10 +879,9 @@ class RLTrainer:
         t = self.cfg.trainer
         rb = self.rollout(prompts, rng, n=t.val_n,
                           temperature=t.val_temperature)
-        reward_tensor, reward_metrics = compute_rewards(
+        reward_tensor, reward_metrics = self.reward_manager.compute(
             rb.response_texts, rb.ground_truths,
-            [len(r) for r in rb.responses],
-            max_response_length=self.cfg.rollout.max_response_length)
+            [len(r) for r in rb.responses])
         scores = reward_tensor.sum(-1)
         if tracker is not None and t.val_generations_to_log > 0:
             inputs = [self.decode(list(p["input_ids"])) for p in prompts
@@ -914,7 +932,16 @@ class RLTrainer:
         if self.critic is not None:
             target["critic_params"] = self.critic.params["params"]
             target["critic_opt_state"] = self.critic.opt_state
-        tree, extra = load_checkpoint(path, target=target)
+        try:
+            tree, extra = load_checkpoint(path, target=target)
+        except Exception as e:
+            raise RuntimeError(
+                f"failed to restore RL checkpoint {path}: {e}\n"
+                "Note: round-4 changed the opt_state structure under "
+                "freeze_vision_tower (frozen keys are excluded from the "
+                "optimizer entirely) — RL checkpoints saved before that "
+                "change cannot be restored with freeze_vision_tower set."
+            ) from e
         self.params = {"params": tree["params"]}
         self.opt_state = tree["opt_state"]
         if self.critic is not None:
