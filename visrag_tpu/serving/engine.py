@@ -244,8 +244,9 @@ class Engine:
         # chunked path is the resume mechanism — whole-bucket dispatches
         # have none, so repeated sub-chunk prompts still pay full prefill).
         # Shared blocks are refcounted and strictly read-only (resume starts
-        # at the first chunk boundary past the match). LRU-evicted under
-        # pool pressure; cleared by sleep() and by set_params (stale KV).
+        # at the first BLOCK boundary past the match — sub-chunk shared
+        # spans still skip their full blocks). LRU-evicted under pool
+        # pressure; cleared by sleep() and by set_params (stale KV).
         self._prefix_cache = None
         if prefix_cache:
             if self.chunk_tokens is None:
@@ -393,14 +394,18 @@ class Engine:
             # largest one) — blocks cover the block-aligned chunk grid
             C = self.chunk_tokens
             need = max(total, (-(-s // C)) * C // self.block_size)
-            if self._prefix_cache is not None and req.vision_batch is None \
-                    and self._default_positions(req):
+            nc = self._cacheable_len(req) \
+                if self._prefix_cache is not None else 0
+            if nc:
                 # discount the blocks a prefix-cache hit will share (same
-                # trim as _start_chunked) — otherwise pool pressure evicts
-                # the head's own chain to make room it doesn't need
-                m = len(self._match_prefix(req.input_ids))
-                lo0 = min((m * self.block_size) // C * C, (s - 1) // C * C)
-                need -= lo0 // self.block_size
+                # block-aligned trim as _start_chunked) — otherwise pool
+                # pressure evicts the head's own chain to make room it
+                # doesn't need
+                bs_blk = self.block_size
+                m = len(self._match_prefix(req.input_ids[:nc]))
+                lo0 = min(m * bs_blk, (s - 1) // bs_blk * bs_blk)
+                grid_hi = lo0 + -(-(s - lo0) // C) * C
+                need = max(total, grid_hi // bs_blk) - lo0 // bs_blk
             return need
         bucket = _bucket(s, self.prompt_buckets)
         return max(bucket // self.block_size, total)
@@ -536,12 +541,14 @@ class Engine:
             rows, state, bucket, rng)
         self.prefill_count += 1
         self.prefill_dispatches += 1
-        if self._prefix_cache is not None and req.vision_batch is None \
-                and self._default_positions(req):
+        if self._prefix_cache is not None:
             # bucketed prompts POPULATE the cache (their full prompt blocks
-            # are valid chain entries); only the chunked path can MATCH —
-            # whole-bucket dispatches have no resume point
-            self._insert_prefix(req.input_ids, blocks)
+            # are valid chain entries; vision prompts: the pre-image text
+            # span only); only the chunked path can MATCH — whole-bucket
+            # dispatches have no resume point
+            nc = self._cacheable_len(req)
+            if nc:
+                self._insert_prefix(req.input_ids[:nc], blocks)
         self._publish_group(req, blocks, s, last, prow)
         return self._activate_slot(req, slot, tok, logp, s)
 
@@ -615,7 +622,7 @@ class Engine:
         logps = np.asarray(logp)
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             if self._prefix_cache is not None \
-                    and self._default_positions(req):
+                    and self._cacheable_len(req):
                 self._insert_prefix(req.input_ids, blocks_per[i])
             self._publish_group(req, blocks_per[i], len(req.input_ids),
                                 last[i], prows[i])
@@ -663,6 +670,30 @@ class Engine:
         s = len(req.input_ids)
         return bool(np.array_equal(
             req.positions, np.broadcast_to(np.arange(s), (3, s))))
+
+    def _cacheable_len(self, req: Request) -> int:
+        """Tokens from 0 whose K/V is a pure function of the token ids —
+        the span the prefix cache may match/insert. Text requests: the
+        whole prompt (standard positions). Vision requests: the span
+        BEFORE the first vision-embedded token (EVisRAG puts the shared
+        evidence instruction there, reference predict.py:100-105). Causal
+        attention makes pre-image K/V independent of the images; at and
+        after the first slot_map≥0 position the ids are image-pad tokens
+        whose K/V depends on pixel content two prompts can differ in while
+        sharing ids — those blocks must never enter the id-keyed chain.
+        The pre-image mrope positions must equal the text arange on all 3
+        streams (they do in get_rope_index's layout; 0 = not cacheable)."""
+        s = len(req.input_ids)
+        if req.vision_batch is None:
+            return s if self._default_positions(req) else 0
+        sm = np.asarray(req.slot_map)
+        vis = np.nonzero(sm >= 0)[0]
+        n = int(vis[0]) if len(vis) else s
+        if n and np.array_equal(
+                req.positions[:, :n],
+                np.broadcast_to(np.arange(n), (3, n))):
+            return n
+        return 0
 
     def _chain_keys(self, ids: np.ndarray):
         """Chained per-block hash keys over the prompt's FULL blocks."""
@@ -731,29 +762,31 @@ class Engine:
         decode chunk's inactive-slot self-writes must not touch the real
         allocation mid-prefill. With the prefix cache on, cached full
         blocks are SHARED (refcounted — vLLM automatic-prefix-caching
-        role) and prefill resumes at the first uncached chunk boundary."""
+        role) and prefill resumes at the first uncached BLOCK boundary."""
         s = len(req.input_ids)
         sp = req.sampling
         bs_blk = self.block_size
         C = self.chunk_tokens
         budget = max(min(sp.max_tokens, self.max_len - s), 1)
-        n_chunks = -(-s // C)
-        need = max(-(-(s + budget) // bs_blk), n_chunks * C // bs_blk)
         shared: List[int] = []
-        if self._prefix_cache is not None and req.vision_batch is None \
-                and self._default_positions(req):
-            shared = self._match_prefix(req.input_ids)
-        # resume at the last cached CHUNK boundary (cached blocks are
-        # bs-aligned; chunks are C-aligned — round down so the partial
-        # chunk recomputes, which also yields the prompt-end logits when
-        # the whole prompt was cached) — and share ONLY blocks fully below
-        # the resume point: the resumed chunk rewrites its whole [lo, lo+C)
-        # row range, and cached blocks are refcount-shared read-only (other
-        # live slots and the cache itself hold references)
-        lo0 = (len(shared) * bs_blk) // C * C
-        lo0 = min(lo0, (s - 1) // C * C)
+        nc = self._cacheable_len(req) if self._prefix_cache is not None else 0
+        if nc:
+            shared = self._match_prefix(req.input_ids[:nc])
+        # resume at the last cached BLOCK boundary (block-aligned, not
+        # chunk-aligned: a shared span smaller than one chunk — e.g. the
+        # 380-token EVisRAG evidence instruction under C=2048 — still skips
+        # its full blocks; only the sub-block tail recomputes). Capped
+        # below s so at least one token recomputes (prompt-end logits).
+        # Share ONLY blocks fully below the resume point: the resumed
+        # chunk rewrites its whole [lo, lo+C) row range, and cached blocks
+        # are refcount-shared read-only (other live slots and the cache
+        # itself hold references).
+        lo0 = min(len(shared) * bs_blk, (s - 1) // bs_blk * bs_blk)
         shared = shared[:lo0 // bs_blk]
         self.prefix_hits += len(shared)
+        # the chunk grid now spans [lo0, lo0 + ceil((s-lo0)/C)*C)
+        grid_hi = lo0 + -(-(s - lo0) // C) * C
+        need = max(-(-(s + budget) // bs_blk), grid_hi // bs_blk)
         if shared:
             self.allocator.retain(shared)
         blocks = shared + self.allocator.alloc(need - len(shared))
@@ -765,10 +798,12 @@ class Engine:
         embeds = None
         if req.vision_batch is not None:
             # vision tower once, up front (embed_prompt); chunks slice the
-            # (1, n_chunks*C, E) embeds table inside the chunk jit
-            ids = np.zeros((1, n_chunks * C), np.int32)
+            # (1, grid_hi, E) embeds table inside the chunk jit — sized to
+            # the (possibly block-shifted) chunk grid so the final chunk's
+            # dynamic_slice at lo never clamps
+            ids = np.zeros((1, grid_hi), np.int32)
             ids[0, :s] = req.input_ids
-            sm = np.full((1, n_chunks * C), -1, np.int32)
+            sm = np.full((1, grid_hi), -1, np.int32)
             sm[0, :s] = req.slot_map
             vb = {k: jnp.asarray(v) for k, v in req.vision_batch.items()}
             embeds = self._embed_jit(self.params, jnp.asarray(ids), vb,
@@ -819,9 +854,10 @@ class Engine:
             blocks = blocks[:self.max_blocks]
             self.slot_blocks[slot] = blocks
         self.table[slot, :len(blocks)] = blocks
-        if self._prefix_cache is not None and req.vision_batch is None \
-                and self._default_positions(req):
-            self._insert_prefix(req.input_ids, blocks)
+        if self._prefix_cache is not None:
+            nc = self._cacheable_len(req)
+            if nc:
+                self._insert_prefix(req.input_ids[:nc], blocks)
         prow_np = np.zeros((self.vocab,), bool)
         prow_np[req.input_ids] = True
         prow = jnp.asarray(prow_np)
