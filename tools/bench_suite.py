@@ -387,19 +387,42 @@ def _page_image(rng, w=1236, h=1754):
     return Image.fromarray(arr)
 
 
-def _vision_prompt_b3(rng, cfg, vb, instr_tokens=380, tail_tokens=220):
+def _bench_pages(rng, n):
+    """n PIL pages: real corpus rows when BENCH_DATA is set (the
+    reference's example parquet — real aspect mixes shift the kvgrid
+    band/window distribution, VERDICT round-4 #5), else synthetic A4
+    pages. Returns (pages, used_real)."""
+    path = os.environ.get("BENCH_DATA")
+    if path:
+        from visrag_tpu.data.datasets import MMDRTrainDataset
+        pool = [ex["passages"][0][1] for ex in MMDRTrainDataset(path)]
+        log(f"real pages: {len(pool)} from {path}, sizes "
+            f"{[p.size for p in pool[:8]]}")
+        return [pool[i % len(pool)] for i in range(n)], True
+    return [_page_image(rng) for _ in range(n)], False
+
+
+def _vision_prompt_b3(rng, cfg, vb, instr_tokens=380, tail_tokens=220,
+                      instr_ids=None):
     """EVisRAG-shape prompt around a prepared vision batch: instruction
     text, the per-image pad spans, then the query tail; real mrope
-    positions + flat slot map (predict.py:134-145's processor output)."""
+    positions + flat slot map (predict.py:134-145's processor output).
+    instr_ids: explicit instruction span SHARED across requests (the
+    EVisRAG evidence instruction precedes the images, predict.py:100-105
+    — what the multimodal prefix cache reuses)."""
     from visrag_tpu.models.mrope import get_rope_index
     mu = 4    # spatial merge 2x2
     hi = min(cfg.text.vocab_size, 150000)
+    if instr_ids is None:
+        instr_ids = rng.integers(1, hi, size=(instr_tokens,))
+    instr_ids = np.asarray(instr_ids, np.int32)
+    instr_tokens = len(instr_ids)
     spans = []
     for (t, h, w) in vb.grid_thw:
         spans.append(np.full((t * h * w // mu,), cfg.image_token_id,
                              np.int32))
     ids = np.concatenate(
-        [rng.integers(1, hi, size=(instr_tokens,)).astype(np.int32)]
+        [instr_ids]
         + [x for s in spans for x in
            (np.asarray([cfg.vision_start_token_id], np.int32), s)]
         + [rng.integers(1, hi, size=(tail_tokens,)).astype(np.int32)])
@@ -462,23 +485,29 @@ def bench_serve_evisrag_vision():
     # cost per request is unchanged — every request still runs the full
     # vision tower + prefill on its own slots
     t0 = time.time()
+    pages, real_pages = _bench_pages(rng, 4 * n_img)
     vbs = [prepare_vision_batch(
-        [_page_image(rng) for _ in range(n_img)],
+        pages[j * n_img:(j + 1) * n_img],
         head_dim=cfg.vision.head_dim, min_pixels=262144, max_pixels=max_px,
-        device_mode=True) for _ in range(4)]
+        device_mode=True) for j in range(4)]
     log(f"host preprocess {time.time()-t0:.1f}s; "
         f"{vbs[0].patches.shape[0]} patches / {vbs[0].n_tokens} slots per "
-        f"request ({n_img} images)")
+        f"request ({n_img} images, real={real_pages})")
     dev_tables = []
     for vb in vbs:
         dev_tables.append({k: jnp.asarray(getattr(vb, k)) for k in
                            ("patches", "rot_cos", "rot_sin", "seg_window",
                             "seg_full", "reverse_index")})
 
+    # ONE shared evidence instruction across requests (predict.py:100-105
+    # puts it before the images) — the span the multimodal prefix cache
+    # reuses; request tails (queries) stay distinct
+    hi = min(cfg.text.vocab_size, 150000)
+    instr = rng.integers(1, hi, size=(380,)).astype(np.int32)
     prompts = []
     for i in range(n_req):
         vb = vbs[i % 4]
-        ids, pos, slot = _vision_prompt_b3(rng, cfg, vb)
+        ids, pos, slot = _vision_prompt_b3(rng, cfg, vb, instr_ids=instr)
         prompts.append(dict(input_ids=ids, positions=pos,
                             vision_batch=dev_tables[i % 4], slot_map=slot))
     plen = len(prompts[0]["input_ids"])
@@ -514,9 +543,11 @@ def bench_serve_evisrag_vision():
         "(text + vision tower)")
 
     max_len = 1024 * (-(-(plen + new_tokens + 128) // 1024))
+    use_cache = bool(int(os.environ.get("BENCH_PREFIX_CACHE", "1")))
     eng = Engine(model, params, num_slots=slots, max_len=max_len,
                  prompt_buckets=(4096, 8192), eos_token_ids=(),
-                 decode_chunk=32, chunked_prefill_tokens=chunk)
+                 decode_chunk=32, chunked_prefill_tokens=chunk,
+                 prefix_cache=use_cache)
     sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
 
     # vision-tower probe: the standalone embed_prompt cost per prompt
@@ -541,8 +572,19 @@ def bench_serve_evisrag_vision():
     log(f"embed_prompt (vision tower + scatter): {t_vision*1e3:.0f} ms "
         "per prompt")
 
+    # warmup with a DISTINCT instruction prefix: pre-seeding the measured
+    # instruction would hide the first request's honest cold-start (the
+    # round-3 serve_prefix lesson — it overstated the speedup)
+    warm_instr = rng.integers(1, hi, size=(380,)).astype(np.int32)
+    warm_prompts = []
+    for i in range(slots):
+        ids, pos, slot = _vision_prompt_b3(rng, cfg, vbs[i % 4],
+                                           instr_ids=warm_instr)
+        warm_prompts.append(dict(input_ids=ids, positions=pos,
+                                 vision_batch=dev_tables[i % 4],
+                                 slot_map=slot))
     t0 = time.time()
-    eng.generate(prompts[:slots], sampling=SamplingParams(
+    eng.generate(warm_prompts, sampling=SamplingParams(
         temperature=1.0, max_tokens=32))
     log(f"warmup {time.time()-t0:.0f}s")
     t0 = time.time()
@@ -576,6 +618,9 @@ def bench_serve_evisrag_vision():
                    "embed_prompt_ms": round(t_vision * 1e3, 1),
                    "vision_share_of_wall": round(vision_share, 4),
                    "chunked_prefill_tokens": chunk,
+                   "prefix_cache": use_cache,
+                   "prefix_hits": int(eng.prefix_hits),
+                   "real_pages": real_pages,
                    **{k: round(v, 4) for k, v in out.items()}},
     }))
     eng.k_cache = eng.v_cache = None
@@ -889,14 +934,34 @@ def bench_rl_e2e_vision():
     n_img = int(os.environ.get("BENCH_RL_IMAGES", 2))
     resp_len = int(os.environ.get("BENCH_RL_RESP", 512))
     max_px = int(os.environ.get("BENCH_RL_MAX_PIXELS", 262144))
+    # reference-geometry knobs (examples/config.yaml: max_prompt 15000,
+    # response 1536, limit_images 5, pixel budget ≤1.57M — VERDICT
+    # round-4 #1): BENCH_RL_INSTR/TAIL pad the text spans up to the
+    # target prompt length around the image spans
+    instr_tokens = int(os.environ.get("BENCH_RL_INSTR", 200))
+    tail_tokens = int(os.environ.get("BENCH_RL_TAIL", 120))
+    # "gae" runs the MULTIMODAL critic (QwenForValue over the actor's
+    # frozen-tower embed table) alongside the actor — the reference's
+    # dp_critic compute_values + update_critic phases (VERDICT round-4 #4)
+    estimator = os.environ.get("BENCH_RL_ESTIMATOR", "router")
+    geom = os.environ.get("BENCH_RL_GEOM", "1.5b")
     tiny = bool(os.environ.get("BENCH_TINY"))   # CPU wiring smoke
-    # Qwen-1.5B text + the full-size vision tower projected to hidden 1536
-    tcfg = QwenTextConfig(hidden_size=1536, intermediate_size=8960,
-                          num_hidden_layers=28, num_attention_heads=12,
-                          num_key_value_heads=2, vocab_size=151936,
-                          mrope_section=(16, 24, 24), dtype=jnp.bfloat16,
-                          remat=True)
-    vcfg = QwenVisionConfig(out_hidden_size=1536)
+    if geom == "0.5b":
+        # Qwen2.5-0.5B geometry — the actor+critic pair that fits 16 GB
+        tcfg = QwenTextConfig(hidden_size=896, intermediate_size=4864,
+                              num_hidden_layers=24, num_attention_heads=14,
+                              num_key_value_heads=2, vocab_size=151936,
+                              mrope_section=(16, 24, 24),
+                              dtype=jnp.bfloat16, remat=True)
+        vcfg = QwenVisionConfig(out_hidden_size=896)
+    else:
+        # Qwen-1.5B text + full-size vision tower projected to hidden 1536
+        tcfg = QwenTextConfig(hidden_size=1536, intermediate_size=8960,
+                              num_hidden_layers=28, num_attention_heads=12,
+                              num_key_value_heads=2, vocab_size=151936,
+                              mrope_section=(16, 24, 24),
+                              dtype=jnp.bfloat16, remat=True)
+        vcfg = QwenVisionConfig(out_hidden_size=1536)
     if tiny:
         tcfg = QwenTextConfig.tiny(vocab_size=152064,
                                    mrope_section=(2, 2, 2))
@@ -907,21 +972,28 @@ def bench_rl_e2e_vision():
     rng = np.random.default_rng(0)
 
     t0 = time.time()
+    n_vb = min(n_prompts, 2)
+    pages, real_pages = _bench_pages(rng, n_vb * n_img)
     vbs = [prepare_vision_batch(
-        [_page_image(rng) for _ in range(n_img)],
+        pages[j * n_img:(j + 1) * n_img],
         head_dim=vcfg.head_dim, min_pixels=min(262144 // 4, max_px),
         max_pixels=max_px, device_mode=True)
-        for _ in range(min(n_prompts, 2))]
+        for j in range(n_vb)]
     log(f"host preprocess {time.time()-t0:.1f}s; "
         f"{vbs[0].patches.shape[0]} patches / {vbs[0].n_tokens} slots "
-        f"per prompt")
+        f"per prompt (real={real_pages})")
     keys = ("patches", "rot_cos", "rot_sin", "seg_window", "seg_full",
             "reverse_index")
+    # shared instruction header across prompts (the RLHF dataset template
+    # — what rollout prefix caching reuses at the 15k geometry)
+    hi = min(tcfg.vocab_size, 150000)
+    instr = rng.integers(1, hi, size=(instr_tokens,)).astype(np.int32)
     prompts = []
     for i in range(n_prompts):
         vb = vbs[i % len(vbs)]
         ids, pos, slot = _vision_prompt_b3(rng, qcfg, vb,
-                                           instr_tokens=200, tail_tokens=120)
+                                           instr_ids=instr,
+                                           tail_tokens=tail_tokens)
         prompts.append(dict(
             input_ids=ids, positions=pos, slot_map=slot,
             vision_batch={k: getattr(vb, k) for k in keys},
@@ -964,6 +1036,8 @@ def bench_rl_e2e_vision():
     pb = 128
     while pb < plen:
         pb *= 2
+    micro_tokens = int(os.environ.get("BENCH_RL_MICRO_TOKENS",
+                                      2 * (pb + resp_len)))
     cfg = RLConfig()
     cfg = dc.replace(
         cfg,
@@ -972,21 +1046,57 @@ def bench_rl_e2e_vision():
         trainer=dc.replace(cfg.trainer, total_steps=2,
                            rollout_batch_size=n_prompts,
                            global_batch_size=bsz),
+        algorithm=dc.replace(cfg.algorithm, adv_estimator=estimator),
         actor=dc.replace(cfg.actor, ppo_epochs=1,
                          optimizer_state_dtype=os.environ.get(
                              "BENCH_RL_OPT", "bfloat16_nokahan"),
-                         micro_batch_tokens=2 * (pb + resp_len)))
+                         micro_batch_tokens=micro_tokens),
+        critic=dc.replace(cfg.critic, ppo_epochs=1,
+                          optimizer_state_dtype=os.environ.get(
+                              "BENCH_RL_OPT", "bfloat16_nokahan"),
+                          micro_batch_tokens=micro_tokens))
+    critic = None
+    if estimator == "gae":
+        from visrag_tpu.models.qwen25_vl import QwenForValue
+        from visrag_tpu.rl.critic import CriticTrainer
+        vmodel = QwenForValue(tcfg)
+
+        @jax.jit
+        def init_critic(key):
+            p = vmodel.init(key, jnp.zeros((1, 8), jnp.int32),
+                            positions=jnp.zeros((3, 1, 8), jnp.int32))
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+
+        vparams = init_critic(jax.random.PRNGKey(1))
+        # backbone copied from the actor (fresh buffers — the critic
+        # trains and donates its params), value head stays random init
+        vparams["params"]["model"] = jax.tree_util.tree_map(
+            jnp.array, params["params"]["model"])
+        critic = CriticTrainer(vmodel, vparams, cfg.critic,
+                               global_batch_size=bsz, total_steps=2)
     rollout_model = Qwen25VL(dc.replace(qcfg, text=dc.replace(
         tcfg, remat=False)))
+    # long-prompt regime: chunked prefill (no prompt bucket needed, KV
+    # pool sized by slots not bsz) + multimodal prefix caching on the
+    # shared instruction; n-sampling forks share prompt blocks either way
+    long_prompts = plen >= 4096 and not tiny
+    slots = int(os.environ.get("BENCH_RL_SLOTS",
+                               min(bsz, 8) if long_prompts else bsz))
+    engine_kwargs = dict(num_slots=slots, max_len=pb + resp_len + 128,
+                         prompt_buckets=(pb,), decode_chunk=32)
+    if long_prompts:
+        engine_kwargs.update(chunked_prefill_tokens=2048,
+                             prefix_cache=True)
     trainer = RLTrainer(
         model, params, cfg,
         tokenizer_decode=lambda ids: "<answer>x</answer>"
         if sum(ids) % 2 == 0 else "wrong",
         tag_token_ids={"<think>": [50], "<evidence>": [51],
                        "<answer>": [52]},
-        engine_kwargs=dict(num_slots=bsz, max_len=pb + resp_len + 128,
-                           prompt_buckets=(pb,), decode_chunk=32),
-        rollout_model=rollout_model)
+        engine_kwargs=engine_kwargs,
+        rollout_model=rollout_model, critic=critic)
 
     hist = trainer.fit(iter([prompts, prompts]))
     assert len(hist) == 2
@@ -1010,6 +1120,11 @@ def bench_rl_e2e_vision():
                    "vision_slots": int(vbs[0].n_tokens),
                    "tokens": toks, "phase_s": phases,
                    "update_logp_mfu": round(mfu, 4),
+                   "real_pages": real_pages,
+                   "engine_slots": slots,
+                   "micro_batch_tokens": micro_tokens,
+                   "chunked_prefill": bool(long_prompts),
+                   "adv_estimator": estimator, "geom": geom,
                    "optimizer_state_dtype": os.environ.get(
                        "BENCH_RL_OPT", "bfloat16_nokahan")},
     }))
