@@ -994,10 +994,8 @@ def test_pressure_spares_heads_own_prefix_chain(tiny_model):
     d0 = eng.prefill_dispatches
     got = eng.generate([p], sampling=sp, rng=jax.random.PRNGKey(0))
     assert got == want
-    # block-aligned resume: 3 of the 4 cached blocks shared (resume at
-    # token 24 — the cap below s forces the last block to recompute)
-    assert eng.prefix_hits == 3
-    assert eng.prefill_dispatches - d0 == 1       # one chunk [24,40) reran
+    assert eng.prefix_hits == 2                   # resumed at token 16
+    assert eng.prefill_dispatches - d0 == 1       # only chunk [16,32) reran
 
 
 def test_allocator_rejects_double_release():

@@ -501,9 +501,15 @@ def bench_serve_evisrag_vision():
 
     # ONE shared evidence instruction across requests (predict.py:100-105
     # puts it before the images) — the span the multimodal prefix cache
-    # reuses; request tails (queries) stay distinct
+    # reuses; request tails (queries) stay distinct. Default 380 tokens ~
+    # the evidence_prompt_grpo template; the cache engages only once the
+    # span reaches chunked_prefill_tokens (chunk-aligned resume — see the
+    # rejected block-aligned-resume note in serving/engine.py), so
+    # BENCH_INSTR_TOKENS=2500 measures the engaged regime (few-shot /
+    # oneshot-scale headers)
+    instr_tokens = int(os.environ.get("BENCH_INSTR_TOKENS", 380))
     hi = min(cfg.text.vocab_size, 150000)
-    instr = rng.integers(1, hi, size=(380,)).astype(np.int32)
+    instr = rng.integers(1, hi, size=(instr_tokens,)).astype(np.int32)
     prompts = []
     for i in range(n_req):
         vb = vbs[i % 4]
@@ -575,7 +581,7 @@ def bench_serve_evisrag_vision():
     # warmup with a DISTINCT instruction prefix: pre-seeding the measured
     # instruction would hide the first request's honest cold-start (the
     # round-3 serve_prefix lesson — it overstated the speedup)
-    warm_instr = rng.integers(1, hi, size=(380,)).astype(np.int32)
+    warm_instr = rng.integers(1, hi, size=(instr_tokens,)).astype(np.int32)
     warm_prompts = []
     for i in range(slots):
         ids, pos, slot = _vision_prompt_b3(rng, cfg, vbs[i % 4],

@@ -63,8 +63,10 @@ def main(argv=None):
                     eos_token_ids=[tok.eos_token_id],
                     # 15k multimodal prompts prefill chunk-at-a-time (the
                     # vision tower runs once; chunks slice the embeds), so
-                    # running decodes stall at most one 2048-token chunk
-                    chunked_prefill_tokens=2048)
+                    # running decodes stall at most one 2048-token chunk;
+                    # the prefix cache reuses the shared evidence
+                    # instruction's pre-image KV across queries
+                    chunked_prefill_tokens=2048, prefix_cache=True)
     # ban the image token in generation (the rollout-side logit_bias of
     # vllm_rollout_spmd.py:42-49, applied here too: an <image> id in the
     # prediction text would corrupt the QA eval's answer extraction)

@@ -244,9 +244,10 @@ class Engine:
         # chunked path is the resume mechanism — whole-bucket dispatches
         # have none, so repeated sub-chunk prompts still pay full prefill).
         # Shared blocks are refcounted and strictly read-only (resume starts
-        # at the first BLOCK boundary past the match — sub-chunk shared
-        # spans still skip their full blocks). LRU-evicted under pool
-        # pressure; cleared by sleep() and by set_params (stale KV).
+        # at the first chunk boundary past the match — one fixed jit-shape
+        # family; see the rejected block-aligned-resume note in
+        # _start_chunked). LRU-evicted under pool pressure; cleared by
+        # sleep() and by set_params (stale KV).
         self._prefix_cache = None
         if prefix_cache:
             if self.chunk_tokens is None:
@@ -398,14 +399,13 @@ class Engine:
                 if self._prefix_cache is not None else 0
             if nc:
                 # discount the blocks a prefix-cache hit will share (same
-                # block-aligned trim as _start_chunked) — otherwise pool
+                # chunk-aligned trim as _start_chunked) — otherwise pool
                 # pressure evicts the head's own chain to make room it
                 # doesn't need
                 bs_blk = self.block_size
                 m = len(self._match_prefix(req.input_ids[:nc]))
-                lo0 = min(m * bs_blk, (s - 1) // bs_blk * bs_blk)
-                grid_hi = lo0 + -(-(s - lo0) // C) * C
-                need = max(total, grid_hi // bs_blk) - lo0 // bs_blk
+                lo0 = min((m * bs_blk) // C * C, (s - 1) // C * C)
+                need -= lo0 // bs_blk
             return need
         bucket = _bucket(s, self.prompt_buckets)
         return max(bucket // self.block_size, total)
@@ -762,7 +762,7 @@ class Engine:
         decode chunk's inactive-slot self-writes must not touch the real
         allocation mid-prefill. With the prefix cache on, cached full
         blocks are SHARED (refcounted — vLLM automatic-prefix-caching
-        role) and prefill resumes at the first uncached BLOCK boundary."""
+        role) and prefill resumes at the first uncached chunk boundary."""
         s = len(req.input_ids)
         sp = req.sampling
         bs_blk = self.block_size
@@ -772,19 +772,27 @@ class Engine:
         nc = self._cacheable_len(req) if self._prefix_cache is not None else 0
         if nc:
             shared = self._match_prefix(req.input_ids[:nc])
-        # resume at the last cached BLOCK boundary (block-aligned, not
-        # chunk-aligned: a shared span smaller than one chunk — e.g. the
-        # 380-token EVisRAG evidence instruction under C=2048 — still skips
-        # its full blocks; only the sub-block tail recomputes). Capped
-        # below s so at least one token recomputes (prompt-end logits).
-        # Share ONLY blocks fully below the resume point: the resumed
-        # chunk rewrites its whole [lo, lo+C) row range, and cached blocks
-        # are refcount-shared read-only (other live slots and the cache
-        # itself hold references).
-        lo0 = min(len(shared) * bs_blk, (s - 1) // bs_blk * bs_blk)
+        # resume at the last cached CHUNK boundary (cached blocks are
+        # bs-aligned; chunks are C-aligned — round down so the partial
+        # chunk recomputes, which also yields the prompt-end logits when
+        # the whole prompt was cached) — and share ONLY blocks fully below
+        # the resume point: the resumed chunk rewrites its whole [lo, lo+C)
+        # row range, and cached blocks are refcount-shared read-only (other
+        # live slots and the cache itself hold references).
+        # NOTE (round-5, chip-measured): BLOCK-aligned resume was tried and
+        # REJECTED — shifting the grid by a sub-chunk lo0 mints a second
+        # family of chunk/gather/embed jit shapes that compile lazily in
+        # production (the 5-image serve row collapsed 106→26 tok/s on an
+        # in-region 26k-patch embed_prompt recompile), while fixed-(1,C)
+        # chunk dispatches mean a sub-chunk resume saves no compute anyway.
+        # Sub-chunk shared spans therefore give hits only once they reach
+        # chunked_prefill_tokens; see BASELINE.md "multimodal prefix cache".
+        lo0 = (len(shared) * bs_blk) // C * C
+        lo0 = min(lo0, (s - 1) // C * C)
         shared = shared[:lo0 // bs_blk]
         self.prefix_hits += len(shared)
-        # the chunk grid now spans [lo0, lo0 + ceil((s-lo0)/C)*C)
+        # the chunk grid spans [lo0, lo0 + ceil((s-lo0)/C)*C) == the
+        # C-aligned grid over the whole prompt (lo0 is C-aligned)
         grid_hi = lo0 + -(-(s - lo0) // C) * C
         need = max(-(-(s + budget) // bs_blk), grid_hi // bs_blk)
         if shared:
