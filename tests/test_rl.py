@@ -174,6 +174,37 @@ def test_policy_loss_vs_reference():
         assert float(got_m[k]) == pytest.approx(want_m[k], abs=1e-4), k
 
 
+def test_chunked_token_log_probs_matches_naive():
+    """chunked fused linear+CE == naive (B,S,V) path, values AND grads
+    (hidden + head weights) — the 15k-geometry memory fix must be exact."""
+    from visrag_tpu.rl.ppo import chunked_token_log_probs
+
+    rng = np.random.default_rng(5)
+    B, S, H, V = 2, 333, 16, 50          # S not a multiple of the chunk
+    hidden = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(H, V)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, size=(B, S)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, S)) > 0.3, jnp.float32)
+
+    def naive(h, w):
+        lp = log_probs_from_logits(h @ w, labels)
+        return lp, jnp.sum(lp * mask)
+
+    def chunked(h, w):
+        lp = chunked_token_log_probs(lambda x: x @ w, h, labels, chunk=128)
+        return lp, jnp.sum(lp * mask)
+
+    lp_n, _ = naive(hidden, W)
+    lp_c, _ = chunked(hidden, W)
+    np.testing.assert_allclose(np.asarray(lp_c), np.asarray(lp_n),
+                               rtol=1e-5, atol=1e-5)
+    gn = jax.grad(lambda h, w: naive(h, w)[1], argnums=(0, 1))(hidden, W)
+    gc = jax.grad(lambda h, w: chunked(h, w)[1], argnums=(0, 1))(hidden, W)
+    for a, b in zip(gn, gc):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_kl_variants():
     lp = jnp.asarray([[0.0, -1.0]])
     ref = jnp.asarray([[-0.5, -0.5]])

@@ -477,6 +477,58 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 # blocks, the fp32 accumulator, and double buffering
 _SCORE_BUDGET = 2 ** 21
 
+# chip-calibrated lowering bound for the segment kernel's full-K staging
+# ((1,1,sk,d) BlockSpecs, d padded to 128): sk 15488 lowers at 128×256,
+# 16384 misses scoped VMEM by 256K in the grad path. Longer sequences
+# dispatch to _flash_library_segment (K/V-block-streaming fwd+bwd).
+_SEG_KERNEL_MAX_SK = 15488
+
+
+def _flash_library_segment(q, k, v, q_seg, kv_seg, *, causal, sm_scale):
+    """Long-S segment attention via jax's library flash kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): both fwd and bwd
+    stream K/V in blocks, so any sequence length lowers — the path the
+    reference's 15k-token RL geometry takes (packed width 16384). Inputs
+    (B, S, H, D) with equal q/k head counts (GQA repeat done by the
+    caller). Pad q/kv rows share one negative id: a fully-unmatched q row
+    would softmax over an empty set and the library kernel's bwd then
+    multiplies 0-cotangents by NaN residuals (0×NaN = NaN poisoning
+    dk/dv) — letting pad rows attend pad keys keeps everything finite,
+    real rows never match a negative id, and grads to the pad slices are
+    discarded by the pad VJP. Pad-row OUTPUTS are finite garbage (not the
+    zeros the in-house kernel writes) — callers mask them downstream
+    (response/reward masks in the RL update)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds)
+    from jax.experimental.pallas.ops.tpu.flash_attention import \
+        flash_attention as _lib_flash
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    blk = 512
+    sq_p, sk_p = _round_up(sq, blk), _round_up(sk, blk)
+    d_p = _round_up(d, 128)
+
+    def pad_to(x, s_target):
+        pads = [(0, 0), (0, s_target - x.shape[1]), (0, 0),
+                (0, d_p - x.shape[3])]
+        return jnp.pad(x, pads) if any(p[1] for p in pads) else x
+
+    qt = jnp.swapaxes(pad_to(q, sq_p), 1, 2)
+    kt = jnp.swapaxes(pad_to(k, sk_p), 1, 2)
+    vt = jnp.swapaxes(pad_to(v, sk_p), 1, 2)
+    qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
+                 constant_values=-1)
+    ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, sk_p - sk)),
+                 constant_values=-1)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk)
+    o = _lib_flash(qt, kt, vt, segment_ids=SegmentIds(q=qs, kv=ks),
+                   causal=causal, sm_scale=sm_scale, block_sizes=sizes)
+    return jnp.swapaxes(o, 1, 2)[:, :sq, :, :d]
+
 
 def _pick_blocks(sq: int, sk: int, pref_q: Optional[int],
                  pref_k: Optional[int]) -> tuple:
@@ -621,6 +673,17 @@ def flash_attention(q, k, v, q_seg=None, kv_seg=None, *, lengths=None,
         assert h % hk == 0
         k = jnp.repeat(k, h // hk, axis=2)
         v = jnp.repeat(v, h // hk, axis=2)
+
+    if sk > _SEG_KERNEL_MAX_SK and not use_lengths and not interpret:
+        # the segment kernel stages the FULL key sequence per program
+        # ((1,1,sk,d) K/V BlockSpecs) — double-buffered staging alone
+        # exceeds v5e's 16M scoped VMEM past ~15.5k keys (the reference's
+        # 15k-token RL geometry packs to 16384). Dispatch to jax's
+        # K/V-block-streaming library kernel (fwd AND bwd stream), which
+        # lowers at any S (round-4 note: competitive standalone at the ViT
+        # shape, 13.5 ms vs ours 17-21).
+        return _flash_library_segment(q, k, v, q_seg, kv_seg,
+                                      causal=causal, sm_scale=sm_scale)
 
     # pad seq to block multiples and head dim to lane multiples
     bq_, bk_ = _pick_blocks(sq, sk, block_q, block_k)

@@ -30,6 +30,42 @@ def log_probs_from_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return gold - logz
 
 
+def chunked_token_log_probs(head_fn, hidden: jax.Array, labels: jax.Array,
+                            chunk: int = 1024) -> jax.Array:
+    """(B, S, H) hidden + (B, S) labels → (B, S) log p(label) WITHOUT ever
+    materializing the (B, S, V) logits (the flash-attn fused linear+CE
+    role, torch_functional.py:38-70 — at the reference's 15k-token RL
+    geometry a full-seq f32 logits buffer is ~20 GB and cannot compile on
+    a 16 GB chip). lax.map over sequence chunks; jax.checkpoint on the
+    per-chunk head so the BACKWARD also recomputes one chunk's logits at a
+    time (fwd+bwd peak = one (B, chunk, V) buffer). head_fn: (B, K, H) →
+    (B, K, V) logits (differentiable — lm_head grads accumulate across
+    chunks through the scan)."""
+    B, S, H = hidden.shape
+    # chunk size balancing memory (≤ `chunk`) against pad waste: split S
+    # into ceil(S/chunk) equal lane-aligned pieces
+    n = -(-S // chunk)
+    c = -(-(-(-S // n)) // 128) * 128
+    pad = n * c - S
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+    hid = hidden.reshape(B, n, c, H).transpose(1, 0, 2, 3)
+    lab = labels.reshape(B, n, c).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def one(args):
+        h, l = args
+        logits = head_fn(h)
+        logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        gold = jnp.take_along_axis(logits, l[..., None], axis=-1)[..., 0]
+        return gold.astype(jnp.float32) - logz
+
+    out = jax.lax.map(one, (hid, lab))              # (n, B, c)
+    out = out.transpose(1, 0, 2).reshape(B, n * c)
+    return out[:, :S]
+
+
 def masked_mean(x, mask, eps: float = 1e-8):
     return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
 

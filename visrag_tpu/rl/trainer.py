@@ -52,7 +52,7 @@ from ..serving.engine import Engine
 from ..serving.sampling import SamplingParams
 from .advantage import compute_advantage
 from .packing import pack_sequences
-from .ppo import log_probs_from_logits, ppo_loss
+from .ppo import chunked_token_log_probs, ppo_loss
 from .reward_manager import RewardManager
 from .rewards import build_reward_masks
 from .seqlen import reorder_for_dp, token_budget_micro_batches
@@ -291,14 +291,24 @@ class RLTrainer:
     def _sp_mesh(self):
         return self.mesh if self.sp > 1 else None
 
+    def _token_logp(self, params_tree, hidden, input_ids):
+        """(B, S, H) hidden → (B, S-1) label log-probs via the chunked
+        fused linear+CE (never materializes (B, S, V) — at 15k tokens the
+        full-seq f32 logits buffer is ~20 GB and cannot compile)."""
+        labels = jnp.roll(input_ids, -1, axis=1)
+        head = lambda h: self.model.apply(params_tree, h,
+                                          method=self.model.compute_logits)
+        return chunked_token_log_probs(head, hidden[:, :-1], labels[:, :-1])
+
     def _logp_fn(self, params, batch):
-        logits, _ = self.model.apply(params, batch["input_ids"],
+        # only `hidden` is consumed — XLA dead-code-eliminates the model's
+        # own full-seq lm_head projection
+        _, hidden = self.model.apply(params, batch["input_ids"],
                                      attention_mask=batch["attention_mask"],
                                      positions=batch["positions"],
                                      sp_mesh=self._sp_mesh,
                                      **self._vision_kwargs(batch))
-        labels = jnp.roll(batch["input_ids"], -1, axis=1)
-        logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
+        logp = self._token_logp(params, hidden, batch["input_ids"])
         logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])], axis=1)
         # logp[t] = log p(token at t+1 | ...); response_mask marks generated
         # tokens, so shift: contribution of token t is at position t-1
@@ -319,14 +329,14 @@ class RLTrainer:
 
     def _grad_fn(self, train, frozen, batch, total_tokens):
         def loss_fn(tp):
-            logits, _ = self.model.apply(
-                {"params": {**tp, **frozen}}, batch["input_ids"],
+            ptree = {"params": {**tp, **frozen}}
+            _, hidden = self.model.apply(
+                ptree, batch["input_ids"],
                 attention_mask=batch["attention_mask"],
                 positions=batch["positions"],
                 sp_mesh=self._sp_mesh,
                 **self._vision_kwargs(batch))
-            labels = jnp.roll(batch["input_ids"], -1, axis=1)
-            logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
+            logp = self._token_logp(ptree, hidden, batch["input_ids"])
             logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])],
                                    axis=1)
             logp = logp * batch["response_mask"]   # already shifted
@@ -340,15 +350,15 @@ class RLTrainer:
         attention keeps them independent; masks (packed, logp-aligned) zero
         out cross-segment label positions."""
         def loss_fn(tp):
-            logits, _ = self.model.apply(
-                {"params": {**tp, **frozen}}, batch["input_ids"],
+            ptree = {"params": {**tp, **frozen}}
+            _, hidden = self.model.apply(
+                ptree, batch["input_ids"],
                 positions=batch["positions"],
                 segment_ids=batch["segment_ids"],
                 sp_mesh=self._sp_mesh,
                 **{k: batch[k] for k in ("vision_embeds", "slot_map")
                    if k in batch})
-            labels = jnp.roll(batch["input_ids"], -1, axis=1)
-            logp = log_probs_from_logits(logits[:, :-1], labels[:, :-1])
+            logp = self._token_logp(ptree, hidden, batch["input_ids"])
             logp = jnp.concatenate([logp, jnp.zeros_like(logp[:, :1])],
                                    axis=1)
             logp = logp * batch["response_mask"]
