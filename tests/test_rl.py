@@ -797,10 +797,16 @@ def _vision_prompt(rng, cfg, px=56):
                 slot_map=slot, ground_truth="<answer>x</answer>")
 
 
-def test_rl_fit_with_vision():
+@pytest.mark.parametrize("offload", [False, True])
+def test_rl_fit_with_vision(offload):
     """Vision prompts flow end-to-end: engine rollout with images, ONE
     combined frozen-tower embedding table for the update, packed path with
-    packed slot maps, masked optimizer leaves the vision tower untouched."""
+    packed slot maps, masked optimizer leaves the vision tower untouched.
+
+    offload=True exercises actor.offload_frozen_params: the tower's leaves
+    live on HOST through the logp/update phases (frozen_arg={} in the grad
+    jits — the forward consumes vision_embeds, never the tower) and come
+    back to device at the next rollout; two steps prove the round trip."""
     import dataclasses as dc
 
     from test_qwen25_vl import _hf_tiny
@@ -815,11 +821,14 @@ def test_rl_fit_with_vision():
     model = Qwen25VL(Qwen25VLConfig.tiny())
     mcfg = Qwen25VLConfig.tiny()
 
+    steps = 2 if offload else 1
     cfg = RLConfig()
     cfg = dc.replace(
         cfg,
         rollout=dc.replace(cfg.rollout, n=2, max_response_length=6),
-        trainer=dc.replace(cfg.trainer, total_steps=1, rollout_batch_size=2))
+        trainer=dc.replace(cfg.trainer, total_steps=steps,
+                           rollout_batch_size=2),
+        actor=dc.replace(cfg.actor, offload_frozen_params=offload))
     trainer = RLTrainer(
         model, params, cfg,
         tokenizer_decode=lambda ids: ("<answer>x</answer>"
@@ -833,8 +842,13 @@ def test_rl_fit_with_vision():
         trainer.params["params"]["visual"])]
     lm_before = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(
         trainer.params["params"]["model"])]
-    hist = trainer.fit([prompts])
-    assert len(hist) == 1 and np.isfinite(hist[0][1]["loss"])
+    hist = trainer.fit(iter([prompts] * steps))
+    assert len(hist) == steps and np.isfinite(hist[0][1]["loss"])
+    if offload:
+        # after the step's update the tower leaves are host arrays
+        assert all(not isinstance(x, jax.Array)
+                   for x in jax.tree_util.tree_leaves(
+                       trainer.params["params"]["visual"]))
     vis_after = [np.asarray(x) for x in jax.tree_util.tree_leaves(
         trainer.params["params"]["visual"])]
     lm_after = [np.asarray(x) for x in jax.tree_util.tree_leaves(
@@ -1195,3 +1209,77 @@ def test_rl_rollout_prefix_cache_cleared_on_update():
     assert len(eng._prefix_cache) > 0
     eng.set_params(t_cache.params)
     assert len(eng._prefix_cache) == 0
+
+
+def test_rl_ref_offload_parity():
+    """offload_ref_params keeps the reference policy on HOST outside its
+    once-per-step logp phase (the reference ref worker's param_offload,
+    fsdp_workers.py ref_policy cpu_offload) and must not change the math:
+    ref_log_probs match the resident-ref run exactly. Also checks the ref
+    tower strip: a full ref checkpoint (incl. `visual`) loses its frozen
+    tower copy at init — ref logp consumes the actor-tower vision_embeds
+    table, never the ref's own tower."""
+    import dataclasses as dc
+
+    from test_qwen25_vl import _hf_tiny
+    from visrag_tpu.config import RLConfig
+    from visrag_tpu.models.hf_loader import convert_qwen25_vl
+    from visrag_tpu.models.qwen25_vl import Qwen25VL, Qwen25VLConfig
+    from visrag_tpu.rl.trainer import RLTrainer
+
+    hf, _ = _hf_tiny()
+    params = {"params": convert_qwen25_vl(
+        {k: v for k, v in hf.state_dict().items()})}
+    mcfg = Qwen25VLConfig.tiny()
+
+    captured = {}
+
+    def build(offload_ref):
+        cfg = RLConfig()
+        cfg = dc.replace(
+            cfg,
+            rollout=dc.replace(cfg.rollout, n=2, max_response_length=6,
+                               temperature=0.0),
+            algorithm=dc.replace(cfg.algorithm, adv_estimator="grpo",
+                                 use_kl_loss=True),
+            actor=dc.replace(cfg.actor, kl_coef=0.1,
+                             offload_ref_params=offload_ref),
+            trainer=dc.replace(cfg.trainer, total_steps=1,
+                               rollout_batch_size=2))
+        t = RLTrainer(
+            Qwen25VL(mcfg), jax.tree_util.tree_map(jnp.asarray, params), cfg,
+            tokenizer_decode=lambda ids: ("<answer>x</answer>"
+                                          if sum(ids) % 2 == 0 else "wrong"),
+            tag_token_ids={"<think>": [50], "<evidence>": [51],
+                           "<answer>": [52]},
+            engine_kwargs=dict(num_slots=4, max_len=128, prompt_buckets=(64,)),
+            ref_params=jax.tree_util.tree_map(jnp.asarray, params))
+        orig = t.update_policy
+
+        def spy(batch):
+            captured[offload_ref] = np.asarray(batch["ref_log_probs"]).copy()
+            return orig(batch)
+        t.update_policy = spy
+        return t
+
+    rng = np.random.default_rng(4)
+    prompts = [_vision_prompt(rng, mcfg, px=56),
+               _vision_prompt(rng, mcfg, px=42)]
+
+    for offload_ref in (False, True):
+        t = build(offload_ref)
+        # the ref tower copy is stripped for BOTH (frozen tower ≡ actor's)
+        assert "visual" not in t.ref_params["params"]
+        if offload_ref:
+            # host-resident between phases: plain numpy leaves after init
+            assert all(not isinstance(x, jax.Array)
+                       for x in jax.tree_util.tree_leaves(t.ref_params))
+        hist = t.fit([[dict(p) for p in prompts]])
+        assert len(hist) == 1 and np.isfinite(hist[0][1]["loss"])
+        if offload_ref:
+            # still host-resident after the step
+            assert all(not isinstance(x, jax.Array)
+                       for x in jax.tree_util.tree_leaves(t.ref_params))
+
+    assert captured[False].shape == captured[True].shape
+    np.testing.assert_array_equal(captured[False], captured[True])

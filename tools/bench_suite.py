@@ -1056,7 +1056,9 @@ def bench_rl_e2e_vision():
         actor=dc.replace(cfg.actor, ppo_epochs=1,
                          optimizer_state_dtype=os.environ.get(
                              "BENCH_RL_OPT", "bfloat16_nokahan"),
-                         micro_batch_tokens=micro_tokens),
+                         micro_batch_tokens=micro_tokens,
+                         offload_frozen_params=bool(int(os.environ.get(
+                             "BENCH_RL_OFFLOAD", "0")))),
         critic=dc.replace(cfg.critic, ppo_epochs=1,
                           optimizer_state_dtype=os.environ.get(
                               "BENCH_RL_OPT", "bfloat16_nokahan"),
@@ -1095,6 +1097,16 @@ def bench_rl_e2e_vision():
     if long_prompts:
         engine_kwargs.update(chunked_prefill_tokens=2048,
                              prefix_cache=True)
+        # fork-aware pool sizing: n-sampling forks share the group's
+        # prompt blocks, so capacity is leaders + per-fork response tails,
+        # NOT slots*max_len (the default 8-slot pool at 8k context is
+        # 2.3 GB; this is ~1.5 GB even at 16 slots — what lets all bsz
+        # sequences decode in ONE wave on a 16 GB chip)
+        blk = 128
+        auto_blocks = (n_prompts * -(-(plen + resp_len) // blk)
+                       + bsz * (-(-resp_len // blk) + 2) + 32)
+        engine_kwargs["cache_blocks"] = int(os.environ.get(
+            "BENCH_RL_CACHE_BLOCKS", auto_blocks))
     trainer = RLTrainer(
         model, params, cfg,
         tokenizer_decode=lambda ids: "<answer>x</answer>"
@@ -1103,6 +1115,24 @@ def bench_rl_e2e_vision():
                        "<answer>": [52]},
         engine_kwargs=engine_kwargs,
         rollout_model=rollout_model, critic=critic)
+
+    if int(os.environ.get("BENCH_RL_DEBUG_MEM", "0")):
+        # client-side HBM attribution right before the optimizer apply
+        # (device memory_stats is unavailable through the relay): dump
+        # every live jax.Array's bytes so an apply-phase OOM names its
+        # ballast instead of guessing
+        orig_apply = trainer._apply_jit
+
+        def _apply_with_memdump(*a):
+            arrs = jax.live_arrays()
+            tot = sum(x.nbytes for x in arrs)
+            log(f"[mem] live client arrays before apply: "
+                f"{tot / 2**30:.2f} GiB over {len(arrs)}")
+            for x in sorted(arrs, key=lambda x: -x.nbytes)[:14]:
+                log(f"[mem]   {x.nbytes / 2**20:9.1f} MiB "
+                    f"{x.dtype} {x.shape}")
+            return orig_apply(*a)
+        trainer._apply_jit = _apply_with_memdump
 
     hist = trainer.fit(iter([prompts, prompts]))
     assert len(hist) == 2
@@ -1131,6 +1161,8 @@ def bench_rl_e2e_vision():
                    "micro_batch_tokens": micro_tokens,
                    "chunked_prefill": bool(long_prompts),
                    "adv_estimator": estimator, "geom": geom,
+                   "offload_frozen": bool(int(os.environ.get(
+                       "BENCH_RL_OFFLOAD", "0"))),
                    "optimizer_state_dtype": os.environ.get(
                        "BENCH_RL_OPT", "bfloat16_nokahan")},
     }))

@@ -280,6 +280,20 @@ class ActorConfig:
     kl_type: str = "low_var_kl"
     micro_batch_tokens: int = 16384
     freeze_vision_tower: bool = True
+    # host-offload the frozen tower's weights outside the rollout/
+    # vision-embed phases (the reference's param_offload role,
+    # fsdp_workers.py FSDP cpu_offload — here scoped to the frozen
+    # subtree, the only part whose HBM is pure ballast during the
+    # update): frees ~1.34 GB for the 0.67B Qwen ViT. Measured on chip:
+    # moves the 14.8k/5-image wall from the grad pass into the optimizer
+    # apply but does NOT fit it single-chip (BASELINE.md round-5).
+    # Costs one tower re-upload per step (relay-bound on this rig).
+    offload_frozen_params: bool = False
+    # host-offload the reference policy between its once-per-step logp
+    # phase (the reference ref worker's param_offload, fsdp_workers.py
+    # ref_policy cpu_offload): a 1.5B bf16 ref copy is 2.87 GiB of HBM
+    # ballast during rollout/update. Single-host only (raises with mesh=).
+    offload_ref_params: bool = False
     grad_clip: float = 1.0
     # "bfloat16" = AnyPrecisionAdamW role (bf16 m/v + Kahan; the knob the
     # reference uses to fit 3B+ actors — torch_functional.py:204-339)

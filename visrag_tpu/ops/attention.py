@@ -478,10 +478,15 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 _SCORE_BUDGET = 2 ** 21
 
 # chip-calibrated lowering bound for the segment kernel's full-K staging
-# ((1,1,sk,d) BlockSpecs, d padded to 128): sk 15488 lowers at 128×256,
-# 16384 misses scoped VMEM by 256K in the grad path. Longer sequences
-# dispatch to _flash_library_segment (K/V-block-streaming fwd+bwd).
-_SEG_KERNEL_MAX_SK = 15488
+# ((1,1,sk,d) BlockSpecs, d padded to 128). The FWD lowers to sk 15488
+# (16384 misses scoped VMEM by 256K), but the custom-VJP BACKWARD stages
+# k/v/dk/dv full-sequence and needs 34.25M at sk 13824 (~2x the 16M
+# limit; linear ⇒ bwd bound ≈ 6.4k). Dispatch segment-mode calls above
+# 4096 to _flash_library_segment (K/V-block-streaming fwd AND bwd, lowers
+# at any S, chip-measured competitive: 23 ms fwd at (2,12,16k,128)); the
+# packed RL rows at the ≤2.2k widths every prior chip number used keep
+# the in-house kernel.
+_SEG_KERNEL_MAX_SK = 4096
 
 
 def _flash_library_segment(q, k, v, q_seg, kv_seg, *, causal, sm_scale):

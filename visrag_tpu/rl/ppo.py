@@ -31,7 +31,7 @@ def log_probs_from_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def chunked_token_log_probs(head_fn, hidden: jax.Array, labels: jax.Array,
-                            chunk: int = 1024) -> jax.Array:
+                            chunk: int = 512) -> jax.Array:
     """(B, S, H) hidden + (B, S) labels → (B, S) log p(label) WITHOUT ever
     materializing the (B, S, V) logits (the flash-attn fused linear+CE
     role, torch_functional.py:38-70 — at the reference's 15k-token RL

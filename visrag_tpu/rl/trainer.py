@@ -224,6 +224,34 @@ class RLTrainer:
         self._frozen_keys = tuple(
             k for k in ("visual", "vpm") if k in params["params"]
         ) if cfg.actor.freeze_vision_tower else ()
+        # host-offload of the frozen subtree (see ActorConfig docstring):
+        # device leaves swap for a once-downloaded host copy after the
+        # vision_embed phase and come back at the next rollout()
+        self._offload = (bool(cfg.actor.offload_frozen_params)
+                         and bool(self._frozen_keys))
+        self._frozen_host = None
+        # the ref policy's frozen tower is never consulted: ref logp
+        # consumes the vision_embeds table precomputed from the actor's
+        # IDENTICAL frozen tower (freeze_vision_tower is required for
+        # vision RL) — drop the copy so a full-ref checkpoint doesn't
+        # duplicate 1.34 GB of tower weights
+        if self.ref_params is not None and self._frozen_keys:
+            self.ref_params = {"params": {
+                k: v for k, v in self.ref_params["params"].items()
+                if k not in self._frozen_keys}}
+        # host-offload the ref policy between its once-per-step logp phase
+        # (the reference ref worker's param_offload role,
+        # fsdp_workers.py ref_policy cpu_offload): a 1.5B bf16 ref copy is
+        # 2.87 GiB of HBM ballast during rollout/update
+        self._offload_ref = (bool(cfg.actor.offload_ref_params)
+                             and self.ref_params is not None)
+        if self._offload_ref:
+            if mesh is not None:
+                raise ValueError(
+                    "offload_ref_params is single-host: mesh shardings "
+                    "are not preserved through the host round-trip — "
+                    "shard the ref with FSDP instead (mesh=...)")
+            self.ref_params = jax.device_get(self.ref_params)
         self.opt_state = self.tx.init(
             self._split_params(params["params"])[0])
         self.step = 0
@@ -252,6 +280,35 @@ class RLTrainer:
             return p, {}
         return ({k: v for k, v in p.items() if k not in self._frozen_keys},
                 {k: v for k, v in p.items() if k in self._frozen_keys})
+
+    def _offload_frozen(self):
+        """Swap the frozen tower's device leaves for a host copy, freeing
+        their HBM through the logp/adv/update phases (which consume the
+        precomputed `vision_embeds` table, never the tower). The download
+        happens ONCE — frozen params never change — so repeat offloads
+        just drop device references. ~1.34 GB for the 0.67B Qwen ViT
+        (measured effect at the 14.8k/5-image reference geometry: moves
+        the OOM wall from the grad pass into the optimizer apply —
+        BASELINE.md round-5)."""
+        p = self.params["params"]
+        on_dev = [k for k in self._frozen_keys
+                  if isinstance(jax.tree_util.tree_leaves(p[k])[0],
+                                jax.Array)]
+        if not on_dev:
+            return
+        if self._frozen_host is None:
+            self._frozen_host = {k: jax.device_get(p[k])
+                                 for k in self._frozen_keys}
+        for k in self._frozen_keys:
+            p[k] = self._frozen_host[k]
+
+    def _restore_frozen(self):
+        """Re-upload offloaded frozen leaves before rollout/vision_embed."""
+        p = self.params["params"]
+        for k in self._frozen_keys:
+            if not isinstance(jax.tree_util.tree_leaves(p[k])[0],
+                              jax.Array):
+                p[k] = jax.device_put(p[k])
 
     # ---- device placement ---------------------------------------------
 
@@ -400,6 +457,8 @@ class RLTrainer:
         engine is built once and reused across steps (params swap, not
         re-init — obsoletes fsdp_vllm sleep/wake, :140-158)."""
         n = n if n is not None else self.cfg.rollout.n
+        if self._offload:
+            self._restore_frozen()   # engine prefill embeds need the tower
         if self._engine is None:
             kw = dict(self.engine_kwargs)
             if self.tp > 1:
@@ -654,6 +713,11 @@ class RLTrainer:
         """(bs, S) log-probs at shifted positions, micro-batched under the
         actor token budget (dp_actor.compute_log_probs role)."""
         bs, S = batch["input_ids"].shape
+        if self._offload and "vision_batch" not in batch:
+            # offloaded tower: pass the trainable subtree only, or the jit
+            # would re-upload the host leaves on every micro-batch call
+            # (the forward consumes vision_embeds, never the tower)
+            params = {"params": self._split_params(params["params"])[0]}
         seqlens = batch["attention_mask"].sum(1)
         groups, _ = token_budget_micro_batches(
             seqlens, max(self.cfg.actor.micro_batch_tokens, int(S)))
@@ -727,6 +791,8 @@ class RLTrainer:
         compute_log_probs. Shifts response/reward masks into logp space here.
         """
         cfg = self.cfg
+        if self._offload:
+            self._offload_frozen()   # idempotent; fit() already did it
         batch = dict(batch)
         # shift masks into logp space: position t ↔ generated token t+1.
         # (np.roll wraparound is harmless: position 0 is always a prompt
@@ -762,16 +828,22 @@ class RLTrainer:
                 groups, _ = token_budget_micro_batches(
                     mlens, max(cfg.actor.micro_batch_tokens, int(S)))
                 train, frozen = self._split_params(self.params["params"])
+                # offloaded tower: the grad jits get an EMPTY frozen arg —
+                # host leaves as jit inputs would re-upload 1.34 GB per
+                # micro-batch; the forward never touches the tower (the
+                # model consumes vision_embeds; flax resolves submodule
+                # params lazily, so the missing subtree never errors)
+                frozen_arg = {} if self._offload else frozen
                 grads = None
                 for g in groups:
                     if packed_ok:
                         micro = self._pack_micro(mini, g, mlens, S)
                         if grads is None:
                             loss, m, grads = self._grad_packed_jit(
-                                train, frozen, micro, total)
+                                train, frozen_arg, micro, total)
                         else:
                             loss, m, grads = self._grad_packed_acc_jit(
-                                train, frozen, micro, total, grads)
+                                train, frozen_arg, micro, total, grads)
                     else:
                         rows = self._row_bucket(len(g))
                         # pad with duplicates of a real row (an all-zero
@@ -784,10 +856,10 @@ class RLTrainer:
                         micro = self._put_batch(micro)
                         if grads is None:
                             loss, m, grads = self._grad_jit(
-                                train, frozen, micro, total)
+                                train, frozen_arg, micro, total)
                         else:
                             loss, m, grads = self._grad_acc_jit(
-                                train, frozen, micro, total, grads)
+                                train, frozen_arg, micro, total, grads)
                     agg["loss"].append(loss)
                     for k, v in m.items():
                         agg[k].append(v)
@@ -1013,6 +1085,10 @@ class RLTrainer:
                     batch["vision_embeds"] = self._vision_jit(
                         self.params,
                         {k: jnp.asarray(v) for k, v in vb.items()})
+            if self._offload:
+                # tower's last use this step was vision_embed — free its
+                # HBM for the logp/update passes (rollout() restores)
+                self._offload_frozen()
             # old log probs under the current (pre-update) policy
             with timers("old"):
                 batch["old_log_probs"] = self.compute_log_probs(self.params,
@@ -1020,8 +1096,13 @@ class RLTrainer:
             if self.ref_params is not None and \
                     (self.cfg.actor.kl_coef > 0 or self.kl_ctrl is not None):
                 with timers("ref"):
+                    # offloaded ref: upload for this phase only; `rp` going
+                    # out of scope drops the device copy before the update
+                    rp = (jax.device_put(self.ref_params)
+                          if self._offload_ref else self.ref_params)
                     batch["ref_log_probs"] = self.compute_log_probs(
-                        self.ref_params, batch)
+                        rp, batch)
+                    del rp
             extra_metrics = {}
             with timers("adv"):
                 if self.cfg.algorithm.adv_estimator == "gae":
