@@ -1097,6 +1097,9 @@ def bench_rl_e2e_vision():
     if long_prompts:
         engine_kwargs.update(chunked_prefill_tokens=2048,
                              prefix_cache=True)
+        if os.environ.get("BENCH_RL_UNROLL"):
+            engine_kwargs["decode_unroll"] = int(
+                os.environ["BENCH_RL_UNROLL"])
         # fork-aware pool sizing: n-sampling forks share the group's
         # prompt blocks, so capacity is leaders + per-fork response tails,
         # NOT slots*max_len (the default 8-slot pool at 8k context is
@@ -1115,6 +1118,26 @@ def bench_rl_e2e_vision():
                        "<answer>": [52]},
         engine_kwargs=engine_kwargs,
         rollout_model=rollout_model, critic=critic)
+
+    gen_trace = {}
+    if int(os.environ.get("BENCH_RL_GEN_TRACE", "0")):
+        # attribute the gen phase: wall time per engine dispatch family
+        # (class-level wrap — the trainer builds its engine lazily). Each
+        # method's call list spans BOTH fit steps; the warm step is the
+        # second half (identical call counts per step).
+        from visrag_tpu.serving.engine import Engine as _Eng
+        for name in ("_decode_chunk", "_advance_chunk", "_prefill_one",
+                     "_prefill_many", "_place_fork"):
+            orig = getattr(_Eng, name)
+
+            def make(name, orig):
+                def wrapped(self, *a, **kw):
+                    t0 = time.time()
+                    out = orig(self, *a, **kw)
+                    gen_trace.setdefault(name, []).append(time.time() - t0)
+                    return out
+                return wrapped
+            setattr(_Eng, name, make(name, orig))
 
     if int(os.environ.get("BENCH_RL_DEBUG_MEM", "0")):
         # client-side HBM attribution right before the optimizer apply
@@ -1136,6 +1159,12 @@ def bench_rl_e2e_vision():
 
     hist = trainer.fit(iter([prompts, prompts]))
     assert len(hist) == 2
+    if gen_trace:
+        for name, calls in sorted(gen_trace.items()):
+            warm = calls[len(calls) // 2:]   # second fit step
+            log(f"[gen] {name}: {len(warm)} calls, "
+                f"{sum(warm):.2f}s warm (both steps: {len(calls)} / "
+                f"{sum(calls):.2f}s)")
     m1, m2 = hist[0][1], hist[1][1]     # step 1 = compile pass
     log(f"compile step {m1['timing_s/step']:.0f}s; "
         f"warm step {m2['timing_s/step']:.1f}s")

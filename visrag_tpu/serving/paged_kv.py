@@ -150,14 +150,26 @@ def _xla_paged_decode(q, k_pool, v_pool, table, lengths, sm_scale):
     return o.reshape(s, h, d).astype(q.dtype)
 
 
-def _paged_kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, sm_scale, kvh, rep, block_size):
+def _paged_kernel(table_ref, len_ref, q_ref, *refs, sm_scale, kvh, rep,
+                  block_size, n_blk):
+    """Grid step (s, j) attends slot s's query against n_blk CONSECUTIVE
+    table blocks (j*n_blk .. j*n_blk+n_blk-1), each delivered as its own
+    BlockSpec operand. One block per program (the v2 kernel) measured
+    1141 us/LAYER-STACK-step at (16 slots, 128-block tables, 12k context) —
+    0.56 us/program of pure grid/DMA bookkeeping against a 247 us
+    bandwidth floor; batching n_blk=8 blocks into one pair of real MXU
+    dots cut the same shape to 642 us (chip A/B, round-5)."""
+    krefs = refs[:n_blk]
+    vrefs = refs[n_blk:2 * n_blk]
+    o_ref = refs[2 * n_blk]
+    acc_ref, m_ref, l_ref = refs[2 * n_blk + 1:]
     s = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     length = len_ref[s]
     h, d = q_ref.shape[1], q_ref.shape[2]
     width = kvh * block_size
+    W = n_blk * width
 
     @pl.when(j == 0)
     def _init():
@@ -165,19 +177,22 @@ def _paged_kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j * block_size < length)
+    @pl.when(j * n_blk * block_size < length)
     def _step():
         q = q_ref[0].astype(jnp.float32) * sm_scale        # (h, d)
-        k2 = k_ref[0].reshape(width, d)                    # (kvh*bs, d)
-        v2 = v_ref[0].reshape(width, d)
+        k2 = jnp.concatenate(
+            [kr[0].reshape(width, d) for kr in krefs], axis=0)   # (W, d)
+        v2 = jnp.concatenate(
+            [vr[0].reshape(width, d) for vr in vrefs], axis=0)
         s_big = jax.lax.dot_general(
             q.astype(jnp.bfloat16), k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (h, kvh*bs)
-        col = jax.lax.broadcasted_iota(jnp.int32, (h, width), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (h, width), 0)
-        own = (col // block_size) == (row // rep)          # own kv group
-        valid = j * block_size + (col % block_size) < length
-        allow = jnp.logical_and(own, valid)
+            preferred_element_type=jnp.float32)            # (h, W)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, W), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, W), 0)
+        # own kv group within each block's (kvh, bs) panel
+        own = ((col % width) // block_size) == (row // rep)
+        tok = (j * n_blk + col // width) * block_size + (col % block_size)
+        allow = jnp.logical_and(own, tok < length)
         s_big = jnp.where(allow, s_big, -1e30)
         m_prev = m_ref[:, 0:1]
         l_prev = l_ref[:, 0:1]
@@ -250,16 +265,22 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths,
                         jnp.take_along_axis(table, nvalid[:, None] - 1,
                                             axis=1))
 
+    # blocks per program: 8 = the measured plateau of the grid-overhead
+    # amortization (see _paged_kernel docstring); engine tables are
+    # power-of-two bucketed so this is min(8, mb) there, but fall back to
+    # the largest power-of-two divisor for arbitrary test tables
+    n_blk = next(nb_ for nb_ in (8, 4, 2, 1) if mb % nb_ == 0)
+    kv_specs = [
+        pl.BlockSpec((1, kvh, bs, d),
+                     functools.partial(
+                         lambda s_, j, tbl, ln, i: (tbl[s_, j * n_blk + i],
+                                                    0, 0, 0), i=i))
+        for i in range(n_blk)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(s, mb),
-        in_specs=[
-            pl.BlockSpec((1, h, d), lambda s_, j, tbl, ln: (s_, 0, 0)),
-            pl.BlockSpec((1, kvh, bs, d),
-                         lambda s_, j, tbl, ln: (tbl[s_, j], 0, 0, 0)),
-            pl.BlockSpec((1, kvh, bs, d),
-                         lambda s_, j, tbl, ln: (tbl[s_, j], 0, 0, 0)),
-        ],
+        grid=(s, mb // n_blk),
+        in_specs=[pl.BlockSpec((1, h, d), lambda s_, j, tbl, ln: (s_, 0, 0))]
+        + kv_specs + list(kv_specs),
         out_specs=pl.BlockSpec((1, h, d), lambda s_, j, tbl, ln: (s_, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((h, d), jnp.float32),
@@ -269,10 +290,11 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths,
     )
     return pl.pallas_call(
         functools.partial(_paged_kernel, sm_scale=sm_scale, kvh=kvh, rep=rep,
-                          block_size=bs),
+                          block_size=bs, n_blk=n_blk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(table_c, lengths.astype(jnp.int32), q, k_pool, v_pool)
+    )(table_c, lengths.astype(jnp.int32), q,
+      *([k_pool] * n_blk), *([v_pool] * n_blk))
