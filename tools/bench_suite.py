@@ -30,6 +30,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _kv_kwargs():
+    """BENCH_KV_DTYPE=int8 -> quantized KV pools on every bench engine
+    (Engine cache_dtype="int8", serving/paged_kv.KVQuant)."""
+    dt = os.environ.get("BENCH_KV_DTYPE", "")
+    return dict(cache_dtype="int8") if dt == "int8" else {}
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -186,7 +193,7 @@ def bench_serve():
 
     engine = Engine(model, params, num_slots=slots, max_len=2048,
                     prompt_buckets=(128,), eos_token_ids=(),
-                    decode_chunk=32)
+                    decode_chunk=32, **_kv_kwargs())
     prompts = [dict(input_ids=rng.integers(1, 30000, size=(100,))
                     .astype(np.int32)) for _ in range(slots)]
     sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
@@ -249,7 +256,7 @@ def bench_serve_qwen():
     engine = Engine(model, params, num_slots=slots,
                     max_len=max(2048, pbucket + new_tokens),
                     prompt_buckets=(pbucket,), eos_token_ids=(),
-                    decode_chunk=32,
+                    decode_chunk=32, **_kv_kwargs(),
                     decode_unroll=int(os.environ.get("BENCH_UNROLL", 1)))
     prompts = [dict(input_ids=rng.integers(1, 150000, size=(plen,))
                     .astype(np.int32)) for _ in range(slots)]
@@ -322,7 +329,7 @@ def bench_serve_evisrag():
         eng = Engine(model, params, num_slots=slots, max_len=8192 + 1024,
                      prompt_buckets=(4096, 8192), eos_token_ids=(),
                      decode_chunk=32, prefill_token_budget=prefill_budget,
-                     chunked_prefill_tokens=chunk)
+                     chunked_prefill_tokens=chunk, **_kv_kwargs())
         # FULL warmup pass: compiles every batched-prefill K variant and
         # decode rung the measured pass will hit (a partial warmup left
         # ~180 s of first-compiles inside the timed region)
@@ -553,7 +560,7 @@ def bench_serve_evisrag_vision():
     eng = Engine(model, params, num_slots=slots, max_len=max_len,
                  prompt_buckets=(4096, 8192), eos_token_ids=(),
                  decode_chunk=32, chunked_prefill_tokens=chunk,
-                 prefix_cache=use_cache)
+                 prefix_cache=use_cache, **_kv_kwargs())
     sp = SamplingParams(temperature=1.0, top_p=1.0, max_tokens=new_tokens)
 
     # vision-tower probe: the standalone embed_prompt cost per prompt
@@ -1093,7 +1100,8 @@ def bench_rl_e2e_vision():
     slots = int(os.environ.get("BENCH_RL_SLOTS",
                                min(bsz, 8) if long_prompts else bsz))
     engine_kwargs = dict(num_slots=slots, max_len=pb + resp_len + 128,
-                         prompt_buckets=(pb,), decode_chunk=32)
+                         prompt_buckets=(pb,), decode_chunk=32,
+                         **_kv_kwargs())
     if long_prompts:
         engine_kwargs.update(chunked_prefill_tokens=2048,
                              prefix_cache=True)

@@ -259,6 +259,12 @@ class RolloutConfig:
     # (its resume mechanism)
     chunked_prefill_tokens: Optional[int] = None
     prefix_cache: bool = True
+    # rollout KV-cache precision (the vLLM kv_cache_dtype role; the
+    # reference pins bf16, rollout/config.py:31): "int8" halves decode-path
+    # KV HBM traffic via per-token/kv-head absmax quantization
+    # (serving/paged_kv.KVQuant). Rollout-only numerics: RL old/ref
+    # logprobs are recomputed exactly by the packed full-precision pass
+    kv_cache_dtype: str = "bfloat16"
 
 
 @dataclass

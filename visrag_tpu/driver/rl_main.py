@@ -154,7 +154,8 @@ def main(argv=None):
                            cfg.rollout.max_response_length,
                            chunked_prefill_tokens=cpt,
                            prefix_cache=bool(cfg.rollout.prefix_cache
-                                             and cpt is not None)),
+                                             and cpt is not None),
+                           cache_dtype=cfg.rollout.kv_cache_dtype),
         mesh=mesh, banned_token_ids=banned, critic=critic)
 
     # checkpointable prompt cursor (StatefulDataLoader role): resume

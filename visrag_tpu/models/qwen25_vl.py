@@ -359,18 +359,21 @@ class QwenTextBlock(nn.Module):
         The vLLM chunked-prefill role: a 15k-token prompt becomes
         ceil(15k/C) bounded dispatches interleavable with decode chunks."""
         from ..ops.attention import xla_chunk_attention
+        from ..serving.paged_kv import pool_gather, pool_write_rows
         c = self.cfg
         q, k, v = self._qkv(x, cos, sin)
-        bs = kc.shape[2]
+        bs = (kc.data if hasattr(kc, "data") else kc).shape[2]
         C = x.shape[1]
         kvh, d = c.num_key_value_heads, c.head_dim
         kb = jnp.swapaxes(k[0].reshape(C // bs, bs, kvh, d), 1, 2)
         vb = jnp.swapaxes(v[0].reshape(C // bs, bs, kvh, d), 1, 2)
-        kc = kc.at[chunk_rows].set(kb.astype(kc.dtype))
-        vc = vc.at[chunk_rows].set(vb.astype(vc.dtype))
+        kc = pool_write_rows(kc, chunk_rows, kb)
+        vc = pool_write_rows(vc, chunk_rows, vb)
         ng = gather_rows.shape[0]
-        kg = jnp.swapaxes(kc[gather_rows], 1, 2).reshape(1, ng * bs, kvh, d)
-        vg = jnp.swapaxes(vc[gather_rows], 1, 2).reshape(1, ng * bs, kvh, d)
+        kg = jnp.swapaxes(pool_gather(kc, gather_rows, q.dtype),
+                          1, 2).reshape(1, ng * bs, kvh, d)
+        vg = jnp.swapaxes(pool_gather(vc, gather_rows, q.dtype),
+                          1, 2).reshape(1, ng * bs, kvh, d)
         o = xla_chunk_attention(q, kg.astype(q.dtype), vg.astype(q.dtype),
                                 jnp.asarray([start]).reshape(1)
                                 if not hasattr(start, "ndim") else

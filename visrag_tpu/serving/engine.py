@@ -127,19 +127,34 @@ class Engine:
         self.mesh = mesh
         self.tp = 1 if mesh is None else int(dict(mesh.shape).get("model", 1))
         self._attn_mesh = None      # threaded to the paged kernel's shard_map
-        self._kv_shard = None       # NamedSharding pinned on the pools
+        # int8 KV: cache_dtype="int8" stores pools as KVQuant (int8 data +
+        # per-token/kv-head f32 scales) — half the decode/chunk-gather KV
+        # HBM traffic; quantize-on-write, dequantized in-kernel. Beyond-
+        # reference knob (the reference pins bf16, rollout/config.py:31,
+        # but wraps vLLM whose kv_cache_dtype serves the same role).
+        self.kv_quant = (cache_dtype in ("int8", np.int8)
+                         or cache_dtype is jnp.int8)
+        self._kv_shard = None       # pool-leaf sharding pinned on the pools
         if self.tp > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from .paged_kv import KVQuant
             h = tc.num_attention_heads
             kvh = tc.num_key_value_heads
             if kvh % self.tp == 0 and h % self.tp == 0:
                 self._attn_mesh = mesh
-                self._kv_shard = NamedSharding(
-                    mesh, P(None, "model", None, None))
+                data_sh = NamedSharding(mesh, P(None, "model", None, None))
+                # row-form scales (nb, 1, kvh*bs): kv-head-major lanes →
+                # sharding the last axis splits whole kv heads
+                self._kv_shard = (KVQuant(data_sh,
+                                          NamedSharding(
+                                              mesh, P(None, None, "model")))
+                                  if self.kv_quant else data_sh)
             else:
                 # GQA narrower than tp: replicate KV, let GSPMD partition
                 # the XLA decode-attention path over q heads
-                self._kv_shard = NamedSharding(mesh, P())
+                rep = NamedSharding(mesh, P())
+                self._kv_shard = (KVQuant(rep, rep) if self.kv_quant
+                                  else rep)
         self.set_params(params)
         # paged KV pool (vLLM paged-attention role): cache_blocks bounds
         # total tokens in flight; default = the dense slab's capacity
@@ -151,13 +166,24 @@ class Engine:
         self.block_size = bs
         self.max_blocks = max_len // bs
         n_blocks = (cache_blocks or num_slots * self.max_blocks) + 1
-        from .paged_kv import pool_shape
-        shape = pool_shape(n_blocks, bs, tc.num_key_value_heads, tc.head_dim)
+        from .paged_kv import KVQuant, pool_shape, quant_pool_shapes
+        if self.kv_quant:
+            dshape, sshape = quant_pool_shapes(
+                n_blocks, bs, tc.num_key_value_heads, tc.head_dim)
 
-        def _pool():
-            z = jnp.zeros(shape, cache_dtype)
-            return jax.device_put(z, self._kv_shard) \
-                if self._kv_shard is not None else z
+            def _pool():
+                z = KVQuant(jnp.zeros(dshape, jnp.int8),
+                            jnp.zeros(sshape, jnp.float32))
+                return jax.device_put(z, self._kv_shard) \
+                    if self._kv_shard is not None else z
+        else:
+            shape = pool_shape(n_blocks, bs, tc.num_key_value_heads,
+                               tc.head_dim)
+
+            def _pool():
+                z = jnp.zeros(shape, cache_dtype)
+                return jax.device_put(z, self._kv_shard) \
+                    if self._kv_shard is not None else z
         # per-layer tuples (see paged_kv.pool_shape: aliasing/in-place writes)
         self.k_cache = tuple(_pool() for _ in range(tc.num_hidden_layers))
         self.v_cache = tuple(_pool() for _ in range(tc.num_hidden_layers))
@@ -272,17 +298,18 @@ class Engine:
             for blk in self._prefix_cache.values():
                 self.allocator.release([blk])
             self._prefix_cache.clear()
-        self._pool_spec = (self.k_cache[0].shape, self.k_cache[0].dtype,
-                           len(self.k_cache))
+        self._pool_spec = (jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.k_cache[0]), len(self.k_cache))
         self.k_cache = self.v_cache = None
 
     def wake(self) -> None:
         if self.k_cache is not None:
             return
-        shape, dt, layers = self._pool_spec
+        spec, layers = self._pool_spec
 
         def _pool():
-            z = jnp.zeros(shape, dt)
+            z = jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), spec)
             return jax.device_put(z, self._kv_shard) \
                 if self._kv_shard is not None else z
         self.k_cache = tuple(_pool() for _ in range(layers))
@@ -490,8 +517,11 @@ class Engine:
         row = prow.at[tok[0]].set(True)
         seen = jax.lax.dynamic_update_slice(seen, row[None], (slot, 0))
         if do_copy:
-            k_cache = tuple(p.at[dst].set(p[src]) for p in k_cache)
-            v_cache = tuple(p.at[dst].set(p[src]) for p in v_cache)
+            # tree.map: pool leaves are bare arrays or KVQuant (data, scale)
+            # pairs — both copy block row src → dst
+            cp = lambda p: jax.tree.map(lambda a: a.at[dst].set(a[src]), p)
+            k_cache = tuple(cp(p) for p in k_cache)
+            v_cache = tuple(cp(p) for p in v_cache)
         k_cache, v_cache = self._pin_pools(k_cache, v_cache)
         return tok[0], logp[0], k_cache, v_cache, seen
 
@@ -501,7 +531,8 @@ class Engine:
         if self._kv_shard is None:
             return k_cache, v_cache
         pin = lambda t: tuple(
-            jax.lax.with_sharding_constraint(p, self._kv_shard) for p in t)
+            jax.tree.map(jax.lax.with_sharding_constraint, p,
+                         self._kv_shard) for p in t)
         return pin(k_cache), pin(v_cache)
 
     def _prefill_one(self, req: Request, slot: int, rng) -> int:

@@ -38,13 +38,78 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+class KVQuant(NamedTuple):
+    """An int8-quantized per-layer KV pool leaf (Engine cache_dtype="int8").
+
+    Per-(token, kv-head) absmax quantization: `data[b, g, t] ≈ real / scale`
+    with `scale[b, 0, g*bs + t]` the f32 absmax/127 of that token-head row.
+    The scale pool is stored in ROW form — (n_blocks, 1, kvh*bs), kv-head-
+    major, exactly matching the kernel's (kvh, bs, d) → (kvh*bs, d) block
+    collapse — so the decode kernel concatenates (1, width) scale blocks
+    along lanes and folds them into the (h, W) score / probability matrices
+    with one sublane-broadcast multiply: no in-kernel relayouts, and the
+    (W, d) K/V panels are only ever CONVERTED (int8 → bf16), never scaled
+    elementwise. Halves decode-path HBM KV traffic (the measured ~37%-of-bw
+    plateau of the bf16 kernel is read-byte-dominated at long context);
+    scale rows add 1.6% back. Beyond-reference knob: the reference's rollout
+    pins bf16 (rollout/config.py:31) but wraps vLLM, whose kv_cache_dtype
+    serves the same role. NamedTuple → a pytree, so pool tuples thread
+    through jit/donation/device_put unchanged."""
+
+    data: jax.Array    # (n_blocks, kvh, block_size, d) int8
+    scale: jax.Array   # (n_blocks, 1, kvh*block_size) f32
+
+
+def quantize_kv(x):
+    """x (..., d) float → (int8 data, f32 scale (...,)) per-row absmax/127.
+    Zero rows get scale 1 (data all-zero) so dequant stays exact."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _is_quant(pool) -> bool:
+    return isinstance(pool, KVQuant)
+
+
+def quant_pool_shapes(n_blocks: int, block_size: int, kvh: int, d: int):
+    """(data shape, scale shape) for a KVQuant pool."""
+    return ((n_blocks, kvh, block_size, d), (n_blocks, 1, kvh * block_size))
+
+
+def pool_write_rows(pool, rows, xb):
+    """Write whole head-major blocks xb (nr, kvh, bs, d) at pool rows
+    (nr,). Quantizes on write for KVQuant pools; in-place under donation."""
+    if not _is_quant(pool):
+        return pool.at[rows].set(xb.astype(pool.dtype))
+    nr, kvh, bs, _ = xb.shape
+    q, sc = quantize_kv(xb)                       # sc (nr, kvh, bs)
+    return KVQuant(pool.data.at[rows].set(q),
+                   pool.scale.at[rows].set(sc.reshape(nr, 1, kvh * bs)))
+
+
+def pool_gather(pool, rows, dtype=jnp.bfloat16):
+    """Gather + dequantize pool rows → (nr, kvh, bs, d) dtype. The chunked-
+    prefill read path (QwenTextBlock.prefill_chunk gathers the growing
+    prefix each chunk); int8 pools halve that gather's HBM traffic too."""
+    if not _is_quant(pool):
+        return pool[rows].astype(dtype)
+    nr = rows.shape[0]
+    _, kvh, bs, d = pool.data.shape
+    sc = pool.scale[rows].reshape(nr, kvh, bs)
+    return (pool.data[rows].astype(jnp.float32)
+            * sc[..., None]).astype(dtype)
 
 
 class BlockAllocator:
@@ -93,28 +158,40 @@ def pool_shape(n_blocks: int, block_size: int, kvh: int, d: int) -> tuple:
 def write_prefill(k_pool, v_pool, k, v, rows, bucket: int):
     """Scatter prompt K/V into pool blocks.
 
-    k_pool/v_pool: tuples of per-layer (n_blocks, kvh, bs, d) pools.
-    k/v: (L, K, bucket, kvh, d) from model.prefill (K = prompts in the
-    batched prefill dispatch; K = 1 for the single path); rows:
-    (K, bucket//bs) or (bucket//bs,) pool block ids. Donated pools →
-    in-place scatter under jit."""
+    k_pool/v_pool: tuples of per-layer (n_blocks, kvh, bs, d) pools (or
+    KVQuant pairs — quantized on write). k/v: (L, K, bucket, kvh, d) from
+    model.prefill (K = prompts in the batched prefill dispatch; K = 1 for
+    the single path); rows: (K, bucket//bs) or (bucket//bs,) pool block
+    ids. Donated pools → in-place scatter under jit."""
     L = len(k_pool)
-    bs = k_pool[0].shape[2]
+    bs = (k_pool[0].data if _is_quant(k_pool[0]) else k_pool[0]).shape[2]
     nb = bucket // bs
     rows = jnp.asarray(rows).reshape(-1)                   # (K·nb,)
     K = k.shape[1]
-    kb = k.reshape(L, K * nb, bs, *k.shape[3:]).astype(k_pool[0].dtype)
-    vb = v.reshape(L, K * nb, bs, *v.shape[3:]).astype(v_pool[0].dtype)
+    kb = k.reshape(L, K * nb, bs, *k.shape[3:])
+    vb = v.reshape(L, K * nb, bs, *v.shape[3:])
     kb = jnp.swapaxes(kb, 2, 3)                 # → (L, K·nb, kvh, bs, d)
     vb = jnp.swapaxes(vb, 2, 3)
-    k_pool = tuple(p.at[rows].set(kb[l]) for l, p in enumerate(k_pool))
-    v_pool = tuple(p.at[rows].set(vb[l]) for l, p in enumerate(v_pool))
+    k_pool = tuple(pool_write_rows(p, rows, kb[l])
+                   for l, p in enumerate(k_pool))
+    v_pool = tuple(pool_write_rows(p, rows, vb[l])
+                   for l, p in enumerate(v_pool))
     return k_pool, v_pool
 
 
 def write_token(pool, table, pos, x):
     """Write one token per slot into a single layer's pool: x (slots, kvh, d)
     at logical position pos (slots,) → (table[s, pos//bs], :, pos%bs)."""
+    if _is_quant(pool):
+        bs = pool.data.shape[2]
+        kvh = pool.data.shape[1]
+        blk = jnp.take_along_axis(table, (pos // bs)[:, None], axis=1)[:, 0]
+        q, sc = quantize_kv(x)                      # sc (slots, kvh)
+        data = pool.data.at[blk, :, pos % bs].set(q)
+        # row-form scale: lane g*bs + t for head g, token-in-block t
+        lanes = (pos % bs)[:, None] + jnp.arange(kvh)[None, :] * bs
+        scale = pool.scale.at[blk[:, None], 0, lanes].set(sc)
+        return KVQuant(data, scale)
     bs = pool.shape[2]
     blk = jnp.take_along_axis(table, (pos // bs)[:, None], axis=1)[:, 0]
     # advanced indices (blk, pos%bs) around the kvh slice → result axes
@@ -128,14 +205,22 @@ def write_token(pool, table, pos, x):
 
 
 def _xla_paged_decode(q, k_pool, v_pool, table, lengths, sm_scale):
-    """Gather-based reference/CPU path; semantics match the kernel."""
+    """Gather-based reference/CPU path; semantics match the kernel.
+    Dequantizes gathered rows for KVQuant pools (gather-then-dequant keeps
+    the work O(tokens in flight), not O(pool))."""
     s, h, d = q.shape
-    kvh = k_pool.shape[1]
-    rep = h // kvh
-    bs = k_pool.shape[2]
-    kg = k_pool[table]          # (slots, max_blk, kvh, bs, d)
-    vg = v_pool[table]
     mb = table.shape[1]
+    if _is_quant(k_pool):
+        kvh, bs = k_pool.data.shape[1], k_pool.data.shape[2]
+        kg = pool_gather(k_pool, table.reshape(-1), jnp.float32)
+        vg = pool_gather(v_pool, table.reshape(-1), jnp.float32)
+        kg = kg.reshape(s, mb, kvh, bs, d)
+        vg = vg.reshape(s, mb, kvh, bs, d)
+    else:
+        kvh, bs = k_pool.shape[1], k_pool.shape[2]
+        kg = k_pool[table]          # (slots, max_blk, kvh, bs, d)
+        vg = v_pool[table]
+    rep = h // kvh
     # (slots, kvh, max_blk*bs, d)
     kg = jnp.swapaxes(kg, 1, 2).reshape(s, kvh, mb * bs, d)
     vg = jnp.swapaxes(vg, 1, 2).reshape(s, kvh, mb * bs, d)
@@ -151,7 +236,7 @@ def _xla_paged_decode(q, k_pool, v_pool, table, lengths, sm_scale):
 
 
 def _paged_kernel(table_ref, len_ref, q_ref, *refs, sm_scale, kvh, rep,
-                  block_size, n_blk):
+                  block_size, n_blk, quantized=False):
     """Grid step (s, j) attends slot s's query against n_blk CONSECUTIVE
     table blocks (j*n_blk .. j*n_blk+n_blk-1), each delivered as its own
     BlockSpec operand. One block per program (the v2 kernel) measured
@@ -161,8 +246,14 @@ def _paged_kernel(table_ref, len_ref, q_ref, *refs, sm_scale, kvh, rep,
     dots cut the same shape to 642 us (chip A/B, round-5)."""
     krefs = refs[:n_blk]
     vrefs = refs[n_blk:2 * n_blk]
-    o_ref = refs[2 * n_blk]
-    acc_ref, m_ref, l_ref = refs[2 * n_blk + 1:]
+    nin = 2 * n_blk
+    ksrefs = vsrefs = ()
+    if quantized:
+        ksrefs = refs[nin:nin + n_blk]
+        vsrefs = refs[nin + n_blk:nin + 2 * n_blk]
+        nin += 2 * n_blk
+    o_ref = refs[nin]
+    acc_ref, m_ref, l_ref = refs[nin + 1:]
     s = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -184,9 +275,20 @@ def _paged_kernel(table_ref, len_ref, q_ref, *refs, sm_scale, kvh, rep,
             [kr[0].reshape(width, d) for kr in krefs], axis=0)   # (W, d)
         v2 = jnp.concatenate(
             [vr[0].reshape(width, d) for vr in vrefs], axis=0)
+        if quantized:
+            # int8 panels: CONVERT only (int8 → bf16); the per-token f32
+            # scales fold into the (h, W) matrices as lane-wise broadcasts
+            # (k-scale into the scores, v-scale into the probabilities) —
+            # no (W, d) elementwise scaling, no relayouts
+            k2 = k2.astype(jnp.bfloat16)
+            v2 = v2.astype(jnp.bfloat16)
+            k_sc = jnp.concatenate([sr[0] for sr in ksrefs], axis=1)  # (1, W)
+            v_sc = jnp.concatenate([sr[0] for sr in vsrefs], axis=1)
         s_big = jax.lax.dot_general(
             q.astype(jnp.bfloat16), k2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (h, W)
+        if quantized:
+            s_big = s_big * k_sc
         col = jax.lax.broadcasted_iota(jnp.int32, (h, W), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (h, W), 0)
         # own kv group within each block's (kvh, bs) panel
@@ -203,6 +305,8 @@ def _paged_kernel(table_ref, len_ref, q_ref, *refs, sm_scale, kvh, rep,
         l_ref[...] = jnp.broadcast_to(
             l_prev * corr + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        if quantized:
+            p = p * v_sc            # fold v dequant scale into P (h, W)
         ov = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (h, d)
@@ -229,9 +333,15 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths,
     GSPMD around an unpartitionable custom call. When kvh % tp != 0 the
     caller should not pass a mesh (GSPMD partitions the XLA gather path
     instead). The serving-TP role of vLLM's tensor_parallel_size
-    (reference vllm_rollout_spmd.py:106-127)."""
+    (reference vllm_rollout_spmd.py:106-127).
+
+    k_pool/v_pool may be KVQuant (int8 data + row-form f32 scales, see
+    KVQuant): the kernel converts int8 panels to bf16 in VMEM and folds the
+    scales into the (h, W) score/probability matrices — half the KV HBM
+    read bytes per step."""
     s, h, d = q.shape
-    nb, kvh, bs, _ = k_pool.shape
+    quantized = _is_quant(k_pool)
+    nb, kvh, bs, _ = (k_pool.data if quantized else k_pool).shape
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         tp = dict(mesh.shape).get("model", 1)
@@ -242,11 +352,15 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths,
                     f"kv heads {kvh}; drop the mesh to use the GSPMD path")
             inner = functools.partial(paged_decode_attention,
                                       sm_scale=sm_scale, interpret=interpret)
+            # row-form scale pools (nb, 1, kvh*bs) shard on the LAST axis:
+            # kv-head-major lanes, so tp contiguous chunks = kvh/tp heads
+            pool_spec = (KVQuant(P(None, "model", None, None),
+                                 P(None, None, "model"))
+                         if quantized else P(None, "model", None, None))
             fn = jax.shard_map(
                 inner, mesh=mesh,
                 in_specs=(P(None, "model", None),
-                          P(None, "model", None, None),
-                          P(None, "model", None, None),
+                          pool_spec, pool_spec,
                           P(None, None), P(None)),
                 out_specs=P(None, "model", None), check_vma=False)
             return fn(q, k_pool, v_pool, table, lengths)
@@ -276,11 +390,17 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths,
                          lambda s_, j, tbl, ln, i: (tbl[s_, j * n_blk + i],
                                                     0, 0, 0), i=i))
         for i in range(n_blk)]
+    sc_specs = [
+        pl.BlockSpec((1, 1, kvh * bs),
+                     functools.partial(
+                         lambda s_, j, tbl, ln, i: (tbl[s_, j * n_blk + i],
+                                                    0, 0), i=i))
+        for i in range(n_blk)] if quantized else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, mb // n_blk),
         in_specs=[pl.BlockSpec((1, h, d), lambda s_, j, tbl, ln: (s_, 0, 0))]
-        + kv_specs + list(kv_specs),
+        + kv_specs + list(kv_specs) + sc_specs + list(sc_specs),
         out_specs=pl.BlockSpec((1, h, d), lambda s_, j, tbl, ln: (s_, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((h, d), jnp.float32),
@@ -288,13 +408,16 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths,
             pltpu.VMEM((h, 128), jnp.float32),
         ],
     )
+    kd = (k_pool.data, v_pool.data) if quantized else (k_pool, v_pool)
+    sc_ops = ([k_pool.scale] * n_blk + [v_pool.scale] * n_blk
+              if quantized else [])
     return pl.pallas_call(
         functools.partial(_paged_kernel, sm_scale=sm_scale, kvh=kvh, rep=rep,
-                          block_size=bs, n_blk=n_blk),
+                          block_size=bs, n_blk=n_blk, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(table_c, lengths.astype(jnp.int32), q,
-      *([k_pool] * n_blk), *([v_pool] * n_blk))
+      *([kd[0]] * n_blk), *([kd[1]] * n_blk), *sc_ops)
